@@ -1,0 +1,272 @@
+"""Cryptographic parameter types, security curves, and noise formulas.
+
+This module is the TPU-native analog of the reference's parameter machinery:
+
+- security curves: fitted (slope, bias, min-dim) per security level, reference
+  ``tools/parameter-curves/concrete-security-curves-rust/src/gaussian/curves_gen.rs:2-19``
+  and ``security.rs:21-44`` (the constants are published lattice-estimator fits).
+- noise formulas: reference ``backends/concrete-cpu/noise-model/src/gaussian_noise/noise/
+  {keyswitch,external_product_glwe,blind_rotate,modulus_switching}.rs``.
+- parameter sets: the shape of the reference's optimizer output
+  (``concrete-optimizer/concrete-optimizer-cpp/src/concrete-optimizer.rs`` ``Solution``).
+
+One deliberate difference from the reference: our external product / blind rotation is
+computed with *exact* integer arithmetic mod 2^64 (limb-decomposed int8 matmul/convs on
+the MXU) instead of the reference's f64 FFT.  The reference therefore has an additional
+``fft_noise_variance`` term (``external_product_glwe.rs`` ``FFT_SCALING_WEIGHT``) which
+for us is exactly zero.  We keep the formula around (``fft_noise_variance_external_product``)
+so the simulator can also model reference behavior, but our own noise predicate uses
+``fft_precision=None`` (exact arithmetic).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+# ---------------------------------------------------------------------------
+# Security curves
+# ---------------------------------------------------------------------------
+
+#: security level -> (slope, bias, minimal lwe dimension)
+#: Lattice-estimator fitted curves, reference curves_gen.rs:2-19.
+SECURITY_WEIGHTS: dict[int, tuple[float, float, int]] = {
+    128: (-0.025696778711484593, 2.675931372549016, 450),
+    132: (-0.024891456582633045, 2.65734593837534, 450),
+}
+
+
+def secure_log2_std(lwe_dimension: int, security_level: int = 128,
+                    ciphertext_modulus_log: int = 64) -> float:
+    """Minimal secure log2(stddev) (torus units) for an LWE dimension.
+
+    Reference: security_weights.rs ``SecurityWeights::secure_log2_std``.
+    """
+    slope, bias, min_dim = SECURITY_WEIGHTS[security_level]
+    # minimal std covering the 2 lowest bits of the modular scale
+    epsilon_log2_std = 2.0 - ciphertext_modulus_log
+    if lwe_dimension >= min_dim:
+        return max(slope * lwe_dimension + bias, epsilon_log2_std)
+    return float(ciphertext_modulus_log)
+
+
+def minimal_variance_lwe(lwe_dimension: int, security_level: int = 128,
+                         ciphertext_modulus_log: int = 64) -> float:
+    """Minimal secure noise variance (torus units) for LWE. security.rs:21-29."""
+    return minimal_variance_glwe(lwe_dimension, 1, security_level,
+                                 ciphertext_modulus_log)
+
+
+def minimal_variance_glwe(glwe_dimension: int, polynomial_size: int,
+                          security_level: int = 128,
+                          ciphertext_modulus_log: int = 64) -> float:
+    """Minimal secure noise variance (torus units) for GLWE. security.rs:30-44."""
+    equiv = glwe_dimension * polynomial_size
+    return 2.0 ** (2.0 * secure_log2_std(equiv, security_level,
+                                         ciphertext_modulus_log))
+
+
+# ---------------------------------------------------------------------------
+# Noise model (torus-unit variances; modular variance = variance * q^2)
+# ---------------------------------------------------------------------------
+
+def _mod_var_to_var(modular_variance: float, q_log: int = 64) -> float:
+    return modular_variance / 2.0 ** (2 * q_log)
+
+
+def variance_keyswitch(input_lwe_dimension: int, log2_base: int, level: int,
+                       variance_ksk: float, q_log: int = 64) -> float:
+    """Additional variance from a keyswitch. Reference keyswitch.rs / keyswitch_one_bit.rs."""
+    var_key = _mod_var_to_var(1.0 / 4.0, q_log)           # binary key coeff variance
+    sq_exp_key = _mod_var_to_var((1.0 / 2.0) ** 2, q_log)  # squared expectation
+    base = 2.0 ** log2_base
+    b2l = 2.0 ** (2 * log2_base * level)
+    q_sq = 2.0 ** (2 * q_log)
+    res_2 = (q_sq / (12.0 * b2l) - 1.0 / 12.0) * (var_key + sq_exp_key)
+    res_3 = 1.0 / 4.0 * var_key
+    res_4 = level * variance_ksk * (base ** 2 + 2.0) / 12.0
+    return input_lwe_dimension * (res_2 + res_3 + res_4)
+
+
+def variance_external_product(glwe_dimension: int, polynomial_size: int,
+                              log2_base: int, level: int, variance_ggsw: float,
+                              q_log: int = 64,
+                              fft_precision: Optional[int] = None) -> float:
+    """Variance added by one external product (GGSW x GLWE).
+
+    Reference external_product_glwe.rs.  ``fft_precision=None`` means exact
+    integer arithmetic (our TPU kernels): no FFT rounding noise term.
+    """
+    var_key = _mod_var_to_var(1.0 / 4.0, q_log)
+    sq_exp_key = _mod_var_to_var((1.0 / 2.0) ** 2, q_log)
+    k = float(glwe_dimension)
+    b = 2.0 ** log2_base
+    b2l = 2.0 ** (2 * log2_base * level)
+    n = float(polynomial_size)
+    q_sq = 2.0 ** (2 * q_log)
+    res_1 = level * (k + 1.0) * n * (b ** 2 + 2.0) / 12.0 * variance_ggsw
+    res_2 = ((q_sq - b2l) / (24.0 * b2l)
+             * (_mod_var_to_var(1.0, q_log) + k * n * (var_key + sq_exp_key))
+             + k * n / 8.0 * var_key
+             + 1.0 / 16.0 * (1.0 - k * n) ** 2 * sq_exp_key)
+    out = res_1 + res_2
+    if fft_precision is not None:
+        out += fft_noise_variance_external_product(
+            glwe_dimension, polynomial_size, log2_base, level, q_log,
+            fft_precision)
+    return out
+
+
+#: reference external_product_glwe.rs FFT_SCALING_WEIGHT (f64-FFT path only)
+FFT_SCALING_WEIGHT: float = -2.57722494
+
+
+def fft_noise_variance_external_product(glwe_dimension: int, polynomial_size: int,
+                                        log2_base: int, level: int,
+                                        q_log: int = 64,
+                                        fft_precision: int = 53) -> float:
+    """FFT rounding noise of the *reference's* f64 path; zero for our exact kernels."""
+    b = 2.0 ** log2_base
+    lost_bits = q_log - fft_precision
+    res = (2.0 ** FFT_SCALING_WEIGHT * 2.0 ** (2 * lost_bits) * level * b * b
+           * float(polynomial_size) ** 2 * (glwe_dimension + 1.0))
+    return _mod_var_to_var(res, q_log)
+
+
+def variance_blind_rotate(in_lwe_dimension: int, glwe_dimension: int,
+                          polynomial_size: int, log2_base: int, level: int,
+                          variance_bsk: float, q_log: int = 64,
+                          fft_precision: Optional[int] = None) -> float:
+    """Output variance of a blind rotation (fresh: independent of input noise).
+
+    Reference blind_rotate.rs: in_lwe_dimension * variance_cmux(...).
+    """
+    return in_lwe_dimension * variance_external_product(
+        glwe_dimension, polynomial_size, log2_base, level, variance_bsk,
+        q_log, fft_precision)
+
+
+def variance_modulus_switch(internal_lwe_dimension: int,
+                            glwe_log2_polynomial_size: int,
+                            q_log: int = 64) -> float:
+    """Variance added by the modulus switch before blind rotation.
+
+    Reference modulus_switching.rs (binary key).
+    """
+    nb_msb = glwe_log2_polynomial_size + 1
+    w = 2.0 ** nb_msb
+    n = float(internal_lwe_dimension)
+    return ((1.0 / 12.0 + n / 24.0) / w ** 2
+            + _mod_var_to_var(-1.0 / 12.0 + n / 48.0, q_log))
+
+
+def p_error_from_variance(variance: float, message_bits: int,
+                          norm2: int = 1, q_log: int = 64) -> float:
+    """Probability that accumulated noise flips the (p+1)-bit encoded message.
+
+    The decision margin is half a mega-case of the (p+1)-bit encoding
+    (reference noise_estimator/p_error.rs semantics: gaussian tail beyond
+    2^-(p+2) of the torus).
+    """
+    # width of one encoded step on the torus: 2^-(p+1); error if |noise| > half step
+    margin = 2.0 ** (-(message_bits + 2))
+    std = math.sqrt(variance)
+    if std == 0.0:
+        return 0.0
+    z = margin / std
+    return math.erfc(z / math.sqrt(2.0))
+
+
+# ---------------------------------------------------------------------------
+# Parameter sets
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class CryptoParams:
+    """A full single-keyset TFHE parameter solution.
+
+    Mirrors the reference optimizer's ``Solution`` struct
+    (concrete-optimizer-cpp/src/concrete-optimizer.rs) re-expressed for the
+    KS->(modswitch)->BR atomic pattern over q = 2^64.
+    """
+
+    n_small: int            # LWE dimension after keyswitch (blind-rotate input)
+    glwe_dimension: int     # k
+    polynomial_size: int    # N
+    pbs_level: int          # l   (blind rotate / BSK decomposition levels)
+    pbs_base_log: int       # b
+    ks_level: int
+    ks_base_log: int
+    lwe_std: float          # stddev (torus units) of fresh small-LWE noise
+    glwe_std: float         # stddev (torus units) of fresh GLWE noise
+    security_level: int = 128
+    q_log: int = 64
+
+    @property
+    def n_big(self) -> int:
+        """Large LWE dimension (sample-extracted GLWE key) = k * N."""
+        return self.glwe_dimension * self.polynomial_size
+
+    @property
+    def log2_polynomial_size(self) -> int:
+        return int(self.polynomial_size).bit_length() - 1
+
+    @classmethod
+    def make(cls, n_small: int, glwe_dimension: int, polynomial_size: int,
+             pbs_level: int, pbs_base_log: int, ks_level: int, ks_base_log: int,
+             security_level: int = 128) -> "CryptoParams":
+        """Build a parameter set with curve-minimal secure noise."""
+        lwe_std = math.sqrt(minimal_variance_lwe(n_small, security_level))
+        glwe_std = math.sqrt(minimal_variance_glwe(
+            glwe_dimension, polynomial_size, security_level))
+        return cls(n_small=n_small, glwe_dimension=glwe_dimension,
+                   polynomial_size=polynomial_size, pbs_level=pbs_level,
+                   pbs_base_log=pbs_base_log, ks_level=ks_level,
+                   ks_base_log=ks_base_log, lwe_std=lwe_std,
+                   glwe_std=glwe_std, security_level=security_level)
+
+    # -- noise predicate ---------------------------------------------------
+
+    def atomic_pattern_variance(self, norm2: int = 1,
+                                fft_precision: Optional[int] = None) -> float:
+        """Worst-case variance at the blind-rotate decision point for the
+        V0 atomic pattern: fresh BR output -> x norm2 (dot with weights) ->
+        keyswitch -> modswitch.  Reference atomic_pattern.rs semantics."""
+        v_br = variance_blind_rotate(
+            self.n_small, self.glwe_dimension, self.polynomial_size,
+            self.pbs_base_log, self.pbs_level, self.glwe_std ** 2,
+            self.q_log, fft_precision)
+        v_after_dot = v_br * float(norm2) ** 2
+        v_ks = variance_keyswitch(self.n_big, self.ks_base_log, self.ks_level,
+                                  self.lwe_std ** 2, self.q_log)
+        v_ms = variance_modulus_switch(self.n_small,
+                                       self.log2_polynomial_size, self.q_log)
+        return v_after_dot + v_ks + v_ms
+
+    def p_error(self, message_bits: int, norm2: int = 1,
+                fft_precision: Optional[int] = None) -> float:
+        return p_error_from_variance(
+            self.atomic_pattern_variance(norm2, fft_precision), message_bits)
+
+
+# Pinned bench/default parameter sets, 128-bit security, norm2=1, p_error
+# ~6.3e-5 — matching the reference optimizer's V0 table rows
+# (v0-parameters/ref/v0_last_128: precision-4 row "2, 10, 801, 1, 23, 3, 4"
+# and precision-6 row "1, 12, 880, 1, 22, 4, 4"); our noise model reproduces
+# the table's p_error column to 2 significant digits (see tests/test_params.py).
+# The default table generated by our own optimizer lives in
+# concrete_tpu/optimizer/; BENCH_* are pinned so benchmarks stay stable.
+BENCH_PARAMS_4BIT = CryptoParams.make(
+    n_small=801, glwe_dimension=2, polynomial_size=1024,
+    pbs_level=1, pbs_base_log=23, ks_level=3, ks_base_log=4)
+
+BENCH_PARAMS_6BIT = CryptoParams.make(
+    n_small=880, glwe_dimension=1, polynomial_size=4096,
+    pbs_level=1, pbs_base_log=22, ks_level=4, ks_base_log=4)
+
+# Tiny, insecure parameters for fast unit tests (NOT SECURE).
+TEST_PARAMS_TINY = CryptoParams(
+    n_small=16, glwe_dimension=2, polynomial_size=64,
+    pbs_level=2, pbs_base_log=12, ks_level=2, ks_base_log=8,
+    lwe_std=2.0 ** -25, glwe_std=2.0 ** -35, security_level=0)
