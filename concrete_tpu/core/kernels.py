@@ -1,0 +1,286 @@
+"""Batched JAX/XLA TFHE kernels — the TPU compute path.
+
+Every function here matches ``concrete_tpu.core.refimpl`` (the numpy oracle)
+bit-for-bit; tests/test_kernels.py enforces that.  Design notes:
+
+- Batch-first: the unit of work is a *batch* of ciphertexts (the reference's
+  ``Batching.cpp`` pass reached the same conclusion for CPU; here the batch is
+  a native kernel axis).
+- Exact arithmetic mod 2^64: the external product's polynomial products are
+  computed over balanced int8 limb planes with int32 accumulation (MXU path),
+  see core/limbs.py — replacing the reference's f64 FFT (wrappers.cpp:762,
+  tfhe-rs fft path) with an exact integer convolution.
+- The bootstrap key is pre-processed at keygen time into flipped int8 limb
+  planes ("limb BSK"), the analog of the reference's Fourier-domain BSK cached
+  in RuntimeContext (include/concretelang/Runtime/context.h:63-72).
+- Elementwise u64 (decomposition, rotation gathers, recombination) relies on
+  XLA's 32-bit-pair emulation of x64; hot paths can later move into Pallas
+  u32-pair kernels (concrete_tpu/ops/).
+
+Shapes use B = batch, n = small LWE dim, k = GLWE dim, N = poly size,
+l = decomposition levels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+import concrete_tpu.jax_config  # noqa: F401
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from concrete_tpu.core import limbs as lb
+from concrete_tpu.params import CryptoParams
+
+U64 = jnp.uint64
+_Q_LOG = 64
+
+
+# ---------------------------------------------------------------------------
+# Elementwise torus ops (match refimpl exactly)
+# ---------------------------------------------------------------------------
+
+def decompose(v, base_log: int, levels: int):
+    """Balanced gadget decomposition -> int32 digits (..., levels).
+
+    Same closed form as refimpl.decompose: d_j = w_j - (w_{j-1} << B) with
+    w_j = round_half_up(v / 2^(64 - jB)).
+    """
+    assert levels * base_log <= 63
+    v = v.astype(U64)
+    ws = []
+    for j in range(levels + 1):
+        shift = _Q_LOG - j * base_log - 1
+        ws.append(((v >> U64(shift)) + U64(1)) >> U64(1))
+    digits = []
+    for j in range(1, levels + 1):
+        d = ws[j] - (ws[j - 1] << U64(base_log))
+        # wrap to signed: digits are tiny, so low 32 bits carry the value
+        digits.append(d.astype(jnp.int32))
+    return jnp.stack(digits, axis=-1)
+
+
+def modulus_switch(v, log2_poly_size: int):
+    """u64 torus -> [0, 2N) with round-half-up (simulation.cpp:60-75)."""
+    shift = U64(_Q_LOG - log2_poly_size - 2)
+    v = v.astype(U64) >> shift
+    v = v + (v & U64(1))
+    v = v >> U64(1)
+    return (v & U64((1 << (log2_poly_size + 1)) - 1)).astype(jnp.int32)
+
+
+def monomial_mul_batch(polys, r):
+    """X^r * poly mod (X^N + 1) for batched polys (..., N) and per-batch
+    rotations r (...,) int32 in [0, 2N)."""
+    n = polys.shape[-1]
+    j = jnp.arange(n, dtype=jnp.int32)
+    src = (j - r[..., None]) % (2 * n)          # (..., N)
+    neg = src >= n
+    src = jnp.where(neg, src - n, src)
+    out = jnp.take_along_axis(polys, src.astype(jnp.int32), axis=-1)
+    return jnp.where(neg, jnp.uint64(0) - out, out)
+
+
+# ---------------------------------------------------------------------------
+# Exact negacyclic limb convolution (the MXU workhorse)
+# ---------------------------------------------------------------------------
+
+def _flip_kernel_limbs(w_limbs: np.ndarray) -> np.ndarray:
+    """Pre-flip a limb kernel so XLA's cross-correlation computes a true
+    convolution: reverse both the limb axis and the coefficient axis.
+
+    w_limbs: (..., S, N) int8 -> same shape, flipped on the last two axes.
+    """
+    return w_limbs[..., ::-1, ::-1]
+
+
+def negacyclic_limb_conv(d_limbs, w_limbs_flipped, precision=jnp.int32):
+    """Exact negacyclic product planes via one 2-D convolution.
+
+    d_limbs:          (B, Cin, A, N) int8 — digit limb planes.
+    w_limbs_flipped:  (Cout, Cin, S, N) int8 — weight limb planes, pre-flipped
+                      on (S, N) (see _flip_kernel_limbs), S = 8.
+    Returns           (B, Cout, 8, N) int32: plane s = sum over limb pairs
+                      a+beta == s of the negacyclic conv over N.
+
+    mod-2^64 recombination of the 8 planes gives the exact u64 result.
+    """
+    b, cin, a_limbs, n = d_limbs.shape
+    cout, cin2, s_limbs, n2 = w_limbs_flipped.shape
+    assert cin == cin2 and n == n2
+    out = lax.conv_general_dilated(
+        d_limbs.astype(precision),
+        w_limbs_flipped.astype(precision),
+        window_strides=(1, 1),
+        padding=((s_limbs - 1, 8 - a_limbs), (n - 1, n - 1)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=precision,
+    )                                            # (B, Cout, 8, 2N-1)
+    lin = out
+    hi = jnp.pad(lin[..., n:], ((0, 0), (0, 0), (0, 0), (0, 1)))
+    return lin[..., :n] - hi                     # negacyclic fold
+
+
+# ---------------------------------------------------------------------------
+# Key material pre-processing (host side, numpy)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=["planes"], meta_fields=["base_log", "levels"])
+@dataclasses.dataclass(frozen=True)
+class LimbBSK:
+    """Bootstrap key as flipped int8 limb planes: (n, Cout=k+1, Cin=(k+1)l, 8, N).
+
+    Our analog of the reference's Fourier BSK (context.h:63-72), computed once
+    at keygen.
+    """
+    planes: jnp.ndarray
+    base_log: int
+    levels: int
+
+    @property
+    def n_small(self) -> int:
+        return self.planes.shape[0]
+
+
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=["planes"], meta_fields=["base_log", "levels"])
+@dataclasses.dataclass(frozen=True)
+class LimbKSK:
+    """Keyswitch key as int8 limb planes (n_in, l, n_out+1, 8) plus layout."""
+    planes: jnp.ndarray
+    base_log: int
+    levels: int
+
+
+def pack_bsk(bsk_u64: np.ndarray, params: CryptoParams) -> LimbBSK:
+    """Preprocess a u64 BSK (n, l, k+1, k+1, N) into flipped limb planes.
+
+    Output layout: (n, Cout, Cin, 8, N) where Cin indexes (level-major, row r)
+    pairs of the decomposed accumulator and Cout the output GLWE component.
+    """
+    n, l, kp1, kp1_, big_n = bsk_u64.shape
+    limbs = lb.u64_to_balanced_i8(np.asarray(bsk_u64))      # (n, l, r, c, N, 8)
+    limbs = np.moveaxis(limbs, -1, -2)                       # (n, l, r, c, 8, N)
+    # (n, c, l*r, 8, N): Cin index = lev * (k+1) + r
+    limbs = np.transpose(limbs, (0, 3, 1, 2, 4, 5)).reshape(
+        n, kp1, l * kp1, 8, big_n)
+    limbs = _flip_kernel_limbs(limbs)
+    return LimbBSK(planes=jnp.asarray(limbs), base_log=params.pbs_base_log,
+                   levels=params.pbs_level)
+
+
+def pack_ksk(ksk_u64: np.ndarray, params: CryptoParams) -> LimbKSK:
+    """Preprocess a u64 KSK (n_in, l, n_out+1) into int8 limb planes."""
+    limbs = lb.u64_to_balanced_i8(np.asarray(ksk_u64))       # (n_in, l, m, 8)
+    return LimbKSK(planes=jnp.asarray(limbs), base_log=params.ks_base_log,
+                   levels=params.ks_level)
+
+
+# ---------------------------------------------------------------------------
+# Keyswitch (batched)
+# ---------------------------------------------------------------------------
+
+def keyswitch(ct, ksk: LimbKSK):
+    """Batched LWE keyswitch: (B, n_in+1) u64 -> (B, n_out+1) u64.
+
+    out = (0.., b) - sum_{i,j} Decomp_j(a_i) * KSK[i][j], with the products
+    over int8 limb planes on the MXU: for each digit-limb a, an int8 matmul
+    (B, n_in*l) @ (n_in*l, (n_out+1)*8) accumulated into shifted planes.
+    """
+    n_in = ksk.planes.shape[0]
+    n_out_p1 = ksk.planes.shape[2]
+    b_ct = ct.shape[0]
+    a, body = ct[:, :n_in], ct[:, n_in]
+    digits = decompose(a, ksk.base_log, ksk.levels)          # (B, n_in, l) i32
+    a_limbs_n = lb.num_digit_limbs(ksk.base_log)
+    d_limbs = lb.i32_digits_to_balanced_i8(digits, a_limbs_n)  # (B,n_in,l,A)
+    d_limbs = d_limbs.reshape(b_ct, n_in * ksk.levels, a_limbs_n)
+    k_planes = ksk.planes.reshape(n_in * ksk.levels, n_out_p1 * 8)
+    planes = jnp.zeros((b_ct, n_out_p1, 8 + a_limbs_n - 1), dtype=jnp.int32)
+    for a_idx in range(a_limbs_n):
+        prod = jnp.matmul(d_limbs[:, :, a_idx].astype(jnp.int8), k_planes,
+                          preferred_element_type=jnp.int32)
+        planes = planes.at[:, :, a_idx:a_idx + 8].add(
+            prod.reshape(b_ct, n_out_p1, 8))
+    acc = lb.recombine_i32_planes_to_u64(planes[:, :, :8])   # (B, n_out+1)
+    out = jnp.zeros((b_ct, n_out_p1), dtype=U64).at[:, -1].set(body)
+    return out - acc
+
+
+# ---------------------------------------------------------------------------
+# Blind rotation (batched scan over the small LWE dimension)
+# ---------------------------------------------------------------------------
+
+def blind_rotate(ct_small, bsk: LimbBSK, lut_poly, params: CryptoParams):
+    """Batched blind rotation: (B, n+1) u64, LUT poly (N,) u64 ->
+    accumulator (B, k+1, N) u64."""
+    b_ct = ct_small.shape[0]
+    n = params.polynomial_size
+    k = params.glwe_dimension
+    l = params.pbs_level
+    switched = modulus_switch(ct_small, params.log2_polynomial_size)
+    a_t = switched[:, :-1]                                   # (B, n_small)
+    b_t = switched[:, -1]                                    # (B,)
+    # acc = trivial GLWE of X^{-b~} * LUT
+    body0 = monomial_mul_batch(jnp.broadcast_to(lut_poly, (b_ct, n)),
+                               (2 * n - b_t) % (2 * n))
+    acc0 = jnp.zeros((b_ct, k + 1, n), dtype=U64).at[:, k, :].set(body0)
+
+    a_limbs_n = lb.num_digit_limbs(params.pbs_base_log)
+
+    def step(acc, xs):
+        a_j, w_planes = xs                                   # (B,), (k+1, (k+1)l, 8, N)
+        rot = monomial_mul_batch(acc, a_j[:, None])          # (B, k+1, N)
+        diff = rot - acc
+        digits = decompose(diff, params.pbs_base_log, l)     # (B, k+1, N, l)
+        d_limbs = lb.i32_digits_to_balanced_i8(digits, a_limbs_n)
+        # (B, r, N, lev, A) -> (B, Cin=l*(k+1), A, N): Cin = lev * (k+1) + r
+        d_limbs = jnp.transpose(d_limbs, (0, 3, 1, 4, 2)).reshape(
+            b_ct, l * (k + 1), a_limbs_n, n)
+        planes = negacyclic_limb_conv(d_limbs, w_planes)     # (B, k+1, 8, N)
+        ext = lb.recombine_i32_planes_to_u64(planes, axis=-2)
+        return acc + ext, None
+
+    acc, _ = lax.scan(step, acc0, (a_t.T, bsk.planes))
+    return acc
+
+
+def sample_extract(acc, index: int = 0):
+    """Batched sample extract: (B, k+1, N) u64 -> (B, k*N+1) u64."""
+    b_ct, kp1, n = acc.shape
+    k = kp1 - 1
+    t = jnp.arange(n, dtype=jnp.int32)
+    src = (index - t) % (2 * n)
+    neg = src >= n
+    src = jnp.where(neg, src - n, src)
+    a_polys = acc[:, :k, :]                                  # (B, k, N)
+    vals = jnp.take(a_polys, src, axis=-1)
+    vals = jnp.where(neg, jnp.uint64(0) - vals, vals)
+    a_out = vals.reshape(b_ct, k * n)
+    body = acc[:, k, index]
+    return jnp.concatenate([a_out, body[:, None]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Full PBS
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("params", "message_bits", "signed"))
+def pbs_batch(ct_big, ksk: LimbKSK, bsk: LimbBSK, lut_poly,
+              params: CryptoParams, message_bits: int, signed: bool = False):
+    """Batched programmable bootstrap: (B, n_big+1) u64 -> (B, n_big+1) u64.
+
+    KS -> modswitch -> BR -> sample extract, matching refimpl.pbs bit-for-bit
+    (including the signed quarter-torus offset, FHEToTFHEScalar.cpp:395-411).
+    """
+    if signed:
+        offset = U64((1 << (message_bits - 1)) << (_Q_LOG - message_bits - 1))
+        ct_big = ct_big.at[:, -1].add(offset)
+    ct_small = keyswitch(ct_big, ksk)
+    acc = blind_rotate(ct_small, bsk, lut_poly, params)
+    return sample_extract(acc, 0)

@@ -1,0 +1,116 @@
+"""Key generation for real-size parameters.
+
+Functionally identical to refimpl.keygen (which stays the oracle for tiny
+parameters) but vectorized: the GLWE body polynomials  sum_r A_r (*) S_r  are
+computed with the same exact int8 limb convolution the server kernels use
+(core/kernels.negacyclic_limb_conv), so generating a production BSK
+(~n * l * (k+1) GLWE rows) takes seconds instead of hours.
+
+Reference analog: lib/Common/Keys.cpp:59,115,239 (concrete-cpu keygen calls,
+with rayon parallelism); here the batch axis is the vector axis.
+
+Randomness: numpy Generator (PCG64) by default — NOT cryptographically
+secure; a ChaCha20-based CSPRNG (reference: concrete-cpu c_api/csprng.rs)
+lives in concrete_tpu/utils/csprng.py and is used when a SecretCsprng is
+passed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import concrete_tpu.jax_config  # noqa: F401
+import jax.numpy as jnp
+
+from concrete_tpu.core import kernels as kn
+from concrete_tpu.core import limbs as lb
+from concrete_tpu.core.refimpl import (SecretKeys, ServerKeys,
+                                       sample_binary_key,
+                                       sample_torus_gaussian,
+                                       sample_uniform_u64)
+from concrete_tpu.params import CryptoParams
+
+
+def _negacyclic_dot_with_key(a_polys: np.ndarray, key: np.ndarray) -> np.ndarray:
+    """sum_r a_polys[..., r, :] (*) key[r, :]  mod 2^64, exactly.
+
+    a_polys: (rows, k, N) u64; key: (k, N) binary u64.  Uses the int8 limb
+    convolution: the u64 masks are the 8-limb 'digits', the binary key is the
+    kernel (its limb planes are just {0,1} in plane 0).
+    """
+    rows, k, n = a_polys.shape
+    a_limbs = np.moveaxis(lb.u64_to_balanced_i8(a_polys), -1, -2)  # (rows,k,8,N)
+    key_limbs = np.zeros((1, k, 8, n), dtype=np.int8)
+    key_limbs[0, :, 0, :] = key.astype(np.int8)
+    w_flip = kn._flip_kernel_limbs(key_limbs)
+    planes = kn.negacyclic_limb_conv(jnp.asarray(a_limbs), jnp.asarray(w_flip))
+    out = lb.recombine_i32_planes_to_u64(planes, axis=-2)          # (rows,1,N)
+    return np.asarray(out)[:, 0, :]
+
+
+def glwe_encrypt_batch(rng: np.random.Generator, gsk: np.ndarray,
+                       m_polys: np.ndarray, std: float) -> np.ndarray:
+    """Batched GLWE encryption: m_polys (rows, N) -> (rows, k+1, N)."""
+    k, n = gsk.shape
+    rows = m_polys.shape[0]
+    a = sample_uniform_u64(rng, (rows, k, n))
+    e = sample_torus_gaussian(rng, std, (rows, n))
+    body = _negacyclic_dot_with_key(a, gsk) + m_polys + e
+    return np.concatenate([a, body[:, None, :]], axis=1)
+
+
+def make_bsk(rng: np.random.Generator, sk_small: np.ndarray, gsk: np.ndarray,
+             params: CryptoParams) -> np.ndarray:
+    """Bootstrap key: GGSW(s_i) for each small-key bit, (n, l, k+1, k+1, N)."""
+    n_small = params.n_small
+    k, n = gsk.shape
+    l = params.pbs_level
+    # message polys for every (i, level j, row r): r<k: -s_i*S_r*g_j; r=k: s_i*g_j
+    msgs = np.zeros((n_small, l, k + 1, n), dtype=np.uint64)
+    for j in range(l):
+        g = np.uint64(1) << np.uint64(64 - (j + 1) * params.pbs_base_log)
+        for r in range(k):
+            msgs[:, j, r, :] = ((-(sk_small[:, None].astype(np.int64))
+                                 * gsk[r].astype(np.int64)).astype(np.uint64)
+                                * g)
+        msgs[:, j, k, 0] = sk_small * g
+    flat = msgs.reshape(n_small * l * (k + 1), n)
+    cts = glwe_encrypt_batch(rng, gsk, flat, params.glwe_std)
+    return cts.reshape(n_small, l, k + 1, k + 1, n)
+
+
+def make_ksk(rng: np.random.Generator, sk_in: np.ndarray, sk_out: np.ndarray,
+             base_log: int, levels: int, std: float) -> np.ndarray:
+    """Keyswitch key (n_in, l, n_out+1), batched LWE encryptions."""
+    n_in = sk_in.shape[0]
+    n_out = sk_out.shape[0]
+    g = (np.uint64(1) << (np.uint64(64) - np.uint64(base_log)
+                          * np.arange(1, levels + 1, dtype=np.uint64)))
+    msgs = sk_in[:, None] * g[None, :]                        # (n_in, l)
+    a = sample_uniform_u64(rng, (n_in, levels, n_out))
+    e = sample_torus_gaussian(rng, std, (n_in, levels))
+    body = (a * sk_out).sum(axis=-1, dtype=np.uint64) + msgs + e
+    return np.concatenate([a, body[..., None]], axis=-1)
+
+
+def keygen(rng: np.random.Generator, params: CryptoParams
+           ) -> tuple[SecretKeys, ServerKeys]:
+    """Full (client, server) key generation; fast path for real parameters."""
+    sk_small = sample_binary_key(rng, (params.n_small,))
+    gsk = sample_binary_key(rng, (params.glwe_dimension, params.polynomial_size))
+    sk = SecretKeys(lwe_small=sk_small, glwe=gsk)
+    bsk = make_bsk(rng, sk_small, gsk, params)
+    ksk = make_ksk(rng, sk.lwe_big, sk_small, params.ks_base_log,
+                   params.ks_level, params.lwe_std)
+    return sk, ServerKeys(bsk=bsk, ksk=ksk)
+
+
+def encrypt_lwe_batch(rng: np.random.Generator, sk_flat: np.ndarray,
+                      m_torus: np.ndarray, std: float) -> np.ndarray:
+    """Batched LWE encryption under a flat key: (B,) torus -> (B, n+1)."""
+    n = sk_flat.shape[0]
+    m_torus = np.asarray(m_torus, dtype=np.uint64)
+    a = sample_uniform_u64(rng, m_torus.shape + (n,))
+    e = sample_torus_gaussian(rng, std, m_torus.shape)
+    body = (a * sk_flat).sum(axis=-1, dtype=np.uint64) + m_torus + e
+    return np.concatenate([a, body[..., None]], axis=-1)

@@ -1,0 +1,12 @@
+"""Central JAX configuration for concrete_tpu.
+
+TFHE torus arithmetic is mod 2^64, so the framework requires x64 mode.  Import
+this module (it is imported by every core module) before using JAX APIs.
+Hot kernels never put u64 *vectors* through the MXU/VPU — they split into
+int8/int32 limb planes — but u64 scalars/elementwise ops at the XLA level rely
+on x64 emulation.
+"""
+
+import jax
+
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,123 @@
+"""JAX kernels vs the numpy oracle: bit-exact equivalence tests (CPU)."""
+
+import numpy as np
+import pytest
+
+import concrete_tpu.jax_config  # noqa: F401
+import jax.numpy as jnp
+
+from concrete_tpu.core import kernels as K
+from concrete_tpu.core import limbs as lb
+from concrete_tpu.core import refimpl as ref
+from concrete_tpu.params import TEST_PARAMS_TINY
+
+P = TEST_PARAMS_TINY
+
+
+@pytest.fixture(scope="module")
+def keys():
+    rng = np.random.default_rng(123)
+    sk, server = ref.keygen(rng, P)
+    return rng, sk, server
+
+
+def test_decompose_matches_oracle():
+    rng = np.random.default_rng(5)
+    v = rng.integers(0, 1 << 64, (64, 7), dtype=np.uint64)
+    for b, l in [(8, 2), (12, 2), (23, 1), (4, 5)]:
+        got = np.asarray(K.decompose(jnp.asarray(v), b, l))
+        want = ref.decompose(v, b, l)
+        assert np.array_equal(got, want.astype(np.int32)), (b, l)
+
+
+def test_modulus_switch_matches_oracle():
+    rng = np.random.default_rng(6)
+    v = rng.integers(0, 1 << 64, 1000, dtype=np.uint64)
+    got = np.asarray(K.modulus_switch(jnp.asarray(v), 6))
+    want = ref.modulus_switch(v, 6)
+    assert np.array_equal(got.astype(np.uint64), want)
+
+
+def test_monomial_mul_matches_oracle():
+    rng = np.random.default_rng(7)
+    n = 64
+    polys = rng.integers(0, 1 << 64, (5, n), dtype=np.uint64)
+    rots = np.array([0, 1, n - 1, n, 2 * n - 1], dtype=np.int32)
+    got = np.asarray(K.monomial_mul_batch(jnp.asarray(polys), jnp.asarray(rots)))
+    for i in range(5):
+        want = ref.monomial_mul(polys[i], int(rots[i]))
+        assert np.array_equal(got[i], want), i
+
+
+def test_negacyclic_limb_conv_exact():
+    """Limb-plane convolution + recombination == schoolbook polymul mod 2^64."""
+    rng = np.random.default_rng(8)
+    n = 64
+    cin, cout, batch = 3, 2, 4
+    base_log = 12
+    half = 1 << (base_log - 1)
+    digits = rng.integers(-half + 1, half + 1, (batch, cin, n)).astype(np.int32)
+    w = rng.integers(0, 1 << 64, (cout, cin, n), dtype=np.uint64)
+
+    a_limbs = lb.num_digit_limbs(base_log)
+    d_limbs = lb.i32_digits_to_balanced_i8(digits, a_limbs)   # (B, Cin, N, A)
+    d_limbs = np.moveaxis(d_limbs, -1, -2)                    # (B, Cin, A, N)
+    w_limbs = np.moveaxis(lb.u64_to_balanced_i8(w), -1, -2)   # (Cout, Cin, 8, N)
+    w_flip = K._flip_kernel_limbs(w_limbs)
+
+    planes = K.negacyclic_limb_conv(jnp.asarray(d_limbs), jnp.asarray(w_flip))
+    got = np.asarray(lb.recombine_i32_planes_to_u64(planes, axis=-2))
+
+    for b in range(batch):
+        for c in range(cout):
+            want = np.zeros(n, dtype=np.uint64)
+            for i in range(cin):
+                want += ref.negacyclic_polymul(
+                    digits[b, i].astype(np.uint64), w[c, i])
+            assert np.array_equal(got[b, c], want), (b, c)
+
+
+def test_keyswitch_matches_oracle(keys):
+    rng, sk, server = keys
+    msgs = np.arange(8)
+    ct = ref.lwe_encrypt(rng, sk.lwe_big, ref.encode(msgs, 3), P.lwe_std / 16)
+    want = ref.keyswitch(ct, server.ksk, P.ks_base_log, P.ks_level)
+    ksk = K.pack_ksk(server.ksk, P)
+    got = np.asarray(K.keyswitch(jnp.asarray(ct), ksk))
+    assert np.array_equal(got, want)
+
+
+def test_blind_rotate_and_pbs_match_oracle(keys):
+    rng, sk, server = keys
+    p = 3
+    lut = np.array([(3 * v + 1) % 8 for v in range(8)], dtype=np.uint64)
+    msgs = np.arange(8)
+    ct = ref.lwe_encrypt(rng, sk.lwe_big, ref.encode(msgs, p), P.lwe_std / 256)
+
+    want = np.stack([ref.pbs(ct[i], server, lut, P, p) for i in range(8)])
+
+    ksk = K.pack_ksk(server.ksk, P)
+    bsk = K.pack_bsk(server.bsk, P)
+    lut_poly = ref.encode_expand_lut(lut, P.polynomial_size, p)
+    got = np.asarray(K.pbs_batch(jnp.asarray(ct), ksk, bsk,
+                                 jnp.asarray(lut_poly), P, p))
+    assert np.array_equal(got, want)
+    # and the decrypted outputs are correct
+    dec = ref.decode(ref.lwe_decrypt(sk.lwe_big, got), p)
+    assert np.array_equal(dec, (3 * msgs + 1) % 8)
+
+
+def test_pbs_signed_matches_oracle(keys):
+    rng, sk, server = keys
+    p = 3
+    lut = np.arange(8, dtype=np.uint64)
+    xs = np.arange(-4, 4)
+    ct = ref.lwe_encrypt(rng, sk.lwe_big, ref.encode(xs, p), P.lwe_std / 256)
+    want = np.stack([ref.pbs(ct[i], server, lut, P, p, signed=True)
+                     for i in range(len(xs))])
+    ksk = K.pack_ksk(server.ksk, P)
+    bsk = K.pack_bsk(server.bsk, P)
+    lut_poly = ref.encode_expand_lut(lut, P.polynomial_size, p, signed=True)
+    got = np.asarray(K.pbs_batch(jnp.asarray(ct), ksk, bsk,
+                                 jnp.asarray(lut_poly), P, p, signed=True))
+    assert np.array_equal(got, want)
