@@ -1,11 +1,36 @@
 """concrete_tpu — a TPU-native TFHE execution framework (JAX/XLA/Pallas).
 
 Functionally equivalent to Zama Concrete's Python stack (reference:
-/root/reference, frontends/concrete-python/concrete/fhe/__init__.py) but
-architected for TPUs: circuits trace to a graph executed by batched JAX/Pallas
-kernels instead of the MLIR->LLVM CPU path.
+frontends/concrete-python/concrete/fhe/__init__.py) but architected for TPUs:
+circuits trace to a graph executed by batched JAX/Pallas kernels instead of
+the MLIR->LLVM CPU path.
+
+Quickstart (mirrors the reference README):
+
+    import concrete_tpu as fhe
+
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def add(x, y):
+        return x + y
+
+    circuit = add.compile([(2, 3), (0, 0), (7, 7)])
+    assert circuit.encrypt_run_decrypt(2, 6) == 8
 """
 
 from concrete_tpu.version import __version__
 
-__all__ = ["__version__"]
+from concrete_tpu.compilation import (Circuit, Client, Compiler,
+                                      Configuration, Keys, Server, compiler)
+from concrete_tpu.compilation.configuration import ParameterSelectionStrategy
+from concrete_tpu.extensions import (LookupTable, constant, identity, one,
+                                     ones, refresh, univariate, zero, zeros)
+from concrete_tpu.params import CryptoParams
+from concrete_tpu.tracing import Tracer
+
+__all__ = [
+    "__version__",
+    "Circuit", "Client", "Compiler", "Configuration", "Keys", "Server",
+    "compiler", "ParameterSelectionStrategy", "CryptoParams", "Tracer",
+    "LookupTable", "univariate", "constant", "identity", "refresh",
+    "zero", "zeros", "one", "ones",
+]

@@ -1,0 +1,123 @@
+"""Circuit: the user-facing compiled object.
+
+Reference: frontends/concrete-python/concrete/fhe/compilation/circuit.py:25-576
+(keygen/encrypt/run/decrypt/simulate + statistics properties).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from concrete_tpu.compilation.client import Client
+from concrete_tpu.compilation.keys import Keys
+from concrete_tpu.compilation.server import Server
+from concrete_tpu.compilation.specs import ClientSpecs
+from concrete_tpu.representation import Graph
+
+
+class Circuit:
+    def __init__(self, graph: Graph, specs: ClientSpecs,
+                 configuration=None):
+        self.graph = graph
+        self.client_specs = specs
+        self.configuration = configuration
+        cache = None
+        if configuration is not None and configuration.use_insecure_key_cache:
+            cache = configuration.insecure_key_cache_location
+        self.client = Client(specs, Keys(specs.params, cache_directory=cache))
+        self.server = Server(graph, specs)
+
+    # -- key management ----------------------------------------------------
+
+    @property
+    def keys(self) -> Keys:
+        return self.client.keys
+
+    def keygen(self, force: bool = False, seed: Optional[int] = None) -> None:
+        self.client.keygen(force=force, seed=seed)
+
+    # -- the full pipeline -------------------------------------------------
+
+    def encrypt(self, *args):
+        return self.client.encrypt(*args)
+
+    def run(self, *args):
+        self.keygen()
+        if len(self.client_specs.inputs) == 1 and not isinstance(args[0],
+                                                                 tuple):
+            pass
+        return_tuple = self.server.run(
+            *args, evaluation_keys=self.keys.evaluation)
+        return return_tuple if len(return_tuple) != 1 else return_tuple[0]
+
+    def decrypt(self, *results):
+        return self.client.decrypt(*results)
+
+    def encrypt_run_decrypt(self, *args):
+        """The one-call convenience oracle (reference circuit.py)."""
+        enc = self.encrypt(*args)
+        if len(self.client_specs.inputs) == 1:
+            enc = (enc,)
+        res = self.run(*enc)
+        if len(self.client_specs.outputs) == 1:
+            return self.decrypt(res)
+        return self.decrypt(*res)
+
+    def simulate(self, *args):
+        """Noise-accurate plaintext simulation (no keys needed)."""
+        from concrete_tpu.simulation import simulate_graph
+        return simulate_graph(self.graph, self.client_specs, *args)
+
+    # -- statistics (reference circuit.py:236-533) -------------------------
+
+    @property
+    def complexity(self) -> float:
+        return self.server.complexity
+
+    @property
+    def programmable_bootstrap_count(self) -> int:
+        return self.server.programmable_bootstrap_count()
+
+    @property
+    def size_of_secret_keys(self) -> int:
+        p = self.client_specs.params
+        return (p.n_small + p.n_big) * 8
+
+    @property
+    def size_of_bootstrap_keys(self) -> int:
+        p = self.client_specs.params
+        return (p.n_small * p.pbs_level * (p.glwe_dimension + 1) ** 2
+                * p.polynomial_size * 8)
+
+    @property
+    def size_of_keyswitch_keys(self) -> int:
+        p = self.client_specs.params
+        return p.n_big * p.ks_level * (p.n_small + 1) * 8
+
+    @property
+    def size_of_inputs(self) -> int:
+        p = self.client_specs.params
+        return sum(v.size * (p.n_big + 1) * 8
+                   for v in self.client_specs.inputs if v.is_encrypted)
+
+    @property
+    def size_of_outputs(self) -> int:
+        p = self.client_specs.params
+        return sum(v.size * (p.n_big + 1) * 8
+                   for v in self.client_specs.outputs if v.is_encrypted)
+
+    @property
+    def p_error(self) -> float:
+        return self.client_specs.params.p_error(
+            self.client_specs.message_bits)
+
+    @property
+    def global_p_error(self) -> float:
+        n = max(self.programmable_bootstrap_count, 1)
+        pe = self.p_error
+        return 1.0 - (1.0 - pe) ** n
+
+    def __str__(self) -> str:
+        return self.graph.format()

@@ -1,0 +1,79 @@
+"""Client: keygen, encrypt, decrypt.
+
+Reference: frontends/concrete-python/concrete/fhe/compilation/client.py
+(Client.encrypt/decrypt at :156,264 over the native ClientProgram's
+encode->encrypt->compress transformer chain, lib/Common/Transformers.cpp).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from concrete_tpu.compilation.keys import Keys
+from concrete_tpu.compilation.specs import ClientSpecs
+from concrete_tpu.core import keygen as kg
+from concrete_tpu.core import refimpl as ref
+from concrete_tpu.dtypes import Integer
+
+
+class Client:
+    def __init__(self, specs: ClientSpecs, keys: Optional[Keys] = None):
+        self.specs = specs
+        self.keys = keys if keys is not None else Keys(specs.params)
+
+    def keygen(self, force: bool = False, seed: Optional[int] = None) -> None:
+        if force or not self.keys.are_generated:
+            self.keys.generate(seed)
+
+    # -- encryption --------------------------------------------------------
+
+    def encrypt(self, *args):
+        """Encrypt positional arguments (clear args pass through).
+
+        Returns a tuple (or single value) of u64 LWE arrays of shape
+        (*value_shape, n_big + 1).
+        """
+        self.keygen()
+        rng = np.random.default_rng()
+        out = []
+        for pos, arg in enumerate(args):
+            spec = self.specs.inputs[pos]
+            if not spec.is_encrypted:
+                out.append(np.asarray(arg))
+                continue
+            arr = np.asarray(arg, dtype=np.int64)
+            self._validate(arr, spec, pos)
+            enc = ref.encode(arr, self.specs.message_bits)
+            ct = kg.encrypt_lwe_batch(rng, self.keys.secret.lwe_big, enc,
+                                      self.specs.params.lwe_std)
+            out.append(ct)
+        return tuple(out) if len(out) != 1 else out[0]
+
+    def _validate(self, arr, spec, pos):
+        dtype = spec.dtype
+        if isinstance(dtype, Integer):
+            if arr.size and (arr.min() < dtype.min or arr.max() > dtype.max):
+                raise ValueError(
+                    f"argument {pos} has value(s) outside the compiled range "
+                    f"[{dtype.min}, {dtype.max}] (got "
+                    f"[{arr.min()}, {arr.max()}]); recompile with a wider "
+                    "inputset")
+        if tuple(arr.shape) != tuple(spec.shape):
+            raise ValueError(
+                f"argument {pos} has shape {arr.shape}, expected {spec.shape}")
+
+    # -- decryption --------------------------------------------------------
+
+    def decrypt(self, *results):
+        self.keygen()
+        out = []
+        for pos, res in enumerate(results):
+            spec = self.specs.outputs[pos]
+            phase = ref.lwe_decrypt(self.keys.secret.lwe_big, np.asarray(res))
+            signed = isinstance(spec.dtype, Integer) and spec.dtype.is_signed
+            val = ref.decode(phase, self.specs.message_bits, signed=signed)
+            out.append(val if spec.shape else val[()] if
+                       np.ndim(val) == 0 else val)
+        return tuple(out) if len(out) != 1 else out[0]

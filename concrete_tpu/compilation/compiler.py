@@ -1,0 +1,99 @@
+"""Compiler: trace -> measure -> assign widths -> choose parameters -> Circuit.
+
+Reference: frontends/concrete-python/concrete/fhe/compilation/compiler.py:165
+(Compiler.compile) and module_compiler.py:34-470 (FunctionDef.evaluate:
+trace + bounds + fuse).  The fusing of float subgraphs into TLUs
+(compilation/utils.py:208) is planned for a later pass; univariate/
+LookupTable cover the explicit-TLU path today.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+from concrete_tpu.compilation.circuit import Circuit
+from concrete_tpu.compilation.configuration import (Configuration,
+                                                    ParameterSelectionStrategy)
+from concrete_tpu.compilation.specs import ClientSpecs
+from concrete_tpu.optimizer import optimize_v0
+from concrete_tpu.tracing import Tracer
+
+
+class Compiler:
+    def __init__(self, function: Callable,
+                 parameter_encryption_statuses: dict[str, str]):
+        self.function = function
+        self.parameter_encryption_statuses = parameter_encryption_statuses
+        self.configuration = Configuration()
+
+    def compile(self, inputset, configuration: Optional[Configuration] = None,
+                **kwargs) -> Circuit:
+        config = configuration or self.configuration
+        if kwargs:
+            config = config.fork(**kwargs)
+
+        inputset = list(inputset)
+        if not inputset:
+            raise ValueError("inputset must not be empty")
+        sample = inputset[0]
+
+        graph = Tracer.trace(self.function,
+                             self.parameter_encryption_statuses,
+                             sample=sample, name=self.function.__name__)
+        graph.measure_bounds(inputset)
+        graph.update_dtypes_from_bounds()
+
+        p = graph.max_bit_width
+        norm2 = graph.max_norm2()
+
+        if config.forced_parameters is not None:
+            params = config.forced_parameters
+        else:
+            p_error = config.p_error
+            if config.global_p_error is not None:
+                # split the global budget across PBS count (union bound),
+                # reference V0Parameters.cpp:70-119 binary-search equivalent
+                n_pbs = max(sum(
+                    max(int(np.prod(n.output.shape)), 1)
+                    for n in graph.graph.nodes
+                    if n.name in ("tlu", "univariate")), 1)
+                p_error = config.global_p_error / n_pbs
+            params = optimize_v0(p, norm2=norm2, p_error=p_error,
+                                 security_level=config.security_level)
+
+        specs = ClientSpecs(
+            params=params, message_bits=p,
+            inputs=[n.output for n in graph.ordered_inputs],
+            outputs=[n.output for n in graph.ordered_outputs])
+
+        if config.verbose or config.show_graph:
+            print(graph.format())
+        circuit = Circuit(graph, specs, configuration=config)
+        if config.verbose or config.show_statistics:
+            print(f"precision: {p} bits, norm2^2: {norm2}, "
+                  f"params: n={params.n_small} k={params.glwe_dimension} "
+                  f"N={params.polynomial_size}, "
+                  f"pbs_count: {circuit.programmable_bootstrap_count}")
+        return circuit
+
+    # tracing without compiling (reference Compiler.trace)
+    def trace(self, inputset):
+        inputset = list(inputset)
+        graph = Tracer.trace(self.function,
+                             self.parameter_encryption_statuses,
+                             sample=inputset[0], name=self.function.__name__)
+        graph.measure_bounds(inputset)
+        graph.update_dtypes_from_bounds()
+        return graph
+
+
+def compiler(parameter_encryption_statuses: dict[str, str]):
+    """The @fhe.compiler({"x": "encrypted"}) decorator (reference
+    decorators.py)."""
+
+    def decoration(function: Callable):
+        return Compiler(function, parameter_encryption_statuses)
+
+    return decoration

@@ -1,0 +1,230 @@
+"""Graph executor: lowers a traced Graph onto batched TFHE JAX kernels.
+
+This is the TPU-native replacement for the reference's entire
+FHE->TFHE->Concrete->LLVM pipeline (lib/Support/Pipeline.cpp): instead of
+emitting code, the graph is interpreted once at compile time to build a single
+JAX function over ciphertext arrays, which XLA then fuses/compiles for the
+TPU.  Leveled ops (add/sub/mul-by-clear/matmul/sum) are u64 tensor ops;
+table lookups dispatch the whole tensor as one batched programmable bootstrap
+(kernels.pbs_batch) — the analog of the reference's Batching pass
+(lib/Transforms/Batching.cpp), but native rather than recovered by a
+rewrite.
+
+Ciphertext layout: an encrypted integer tensor of shape S is a u64 array of
+shape (*S, n_big + 1) — LWE dimension last.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+import concrete_tpu.jax_config  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from concrete_tpu.core import kernels as kn
+from concrete_tpu.core import refimpl as ref
+from concrete_tpu.dtypes import Integer
+from concrete_tpu.params import CryptoParams
+from concrete_tpu.representation import Graph, Node, Operation
+
+U64 = jnp.uint64
+
+
+@dataclasses.dataclass
+class TluSpec:
+    """A materialized table lookup: expanded LUT polynomial + signedness."""
+    node_uid: int
+    lut_poly: np.ndarray      # (N,) u64 accumulator polynomial
+    signed_input: bool
+
+
+def raw_table(node: Node, p: int) -> np.ndarray:
+    """The 2^p-entry integer table of a tlu/univariate node.
+
+    Index semantics follow the reference (extensions/table.py): index =
+    value mod 2^p (so signed values use negative indexing).
+    """
+    in_node_signed = node.inputs[0].dtype.is_signed if isinstance(
+        node.inputs[0].dtype, Integer) else False
+    idx = np.arange(1 << p)
+    if node.name == "tlu":
+        table = np.asarray(node.properties["kwargs"]["table"], dtype=np.int64)
+        return table[idx % len(table)]
+    fn = node.properties["kwargs"]["function"]
+    if in_node_signed:
+        vals = np.where(idx < (1 << (p - 1)), idx, idx - (1 << p))
+    else:
+        vals = idx
+    return np.vectorize(fn, otypes=[np.int64])(vals)
+
+
+def _materialize_table(node: Node, p: int, params: CryptoParams) -> TluSpec:
+    """Build the 2^p-entry LUT for a tlu/univariate node, then expand it.
+
+    Table semantics follow the reference (extensions/table.py /
+    wrappers.cpp:388): index = value mod 2^p, signed handled by half-rotation
+    + offset in the kernels.
+    """
+    in_node_signed = node.inputs[0].dtype.is_signed if isinstance(
+        node.inputs[0].dtype, Integer) else False
+    out_bits = p
+    lut_vals = raw_table(node, p)
+    lut_enc = lut_vals & ((1 << (out_bits + 1)) - 1)  # mod 2^(p+1) wrap
+    lut_poly = ref.encode_expand_lut(
+        lut_enc.astype(np.uint64), params.polynomial_size, out_bits,
+        signed=in_node_signed)
+    return TluSpec(node_uid=node.uid, lut_poly=lut_poly,
+                   signed_input=in_node_signed)
+
+
+class GraphExecutor:
+    """Compile-time lowering of a Graph to a jittable evaluation function."""
+
+    def __init__(self, graph: Graph, params: CryptoParams, p: int):
+        self.graph = graph
+        self.params = params
+        self.p = p
+        self.tlu_specs: dict[int, TluSpec] = {}
+        for node in graph.topological_order():
+            if node.name in ("tlu", "univariate"):
+                self.tlu_specs[node.uid] = _materialize_table(node, p, params)
+
+    # -- helpers -----------------------------------------------------------
+
+    def _encode_clear(self, value) -> jnp.ndarray:
+        return jnp.asarray(ref.encode(np.asarray(value), self.p))
+
+    def _trivial(self, value) -> jnp.ndarray:
+        """Trivial LWE encryption of clear values (mask zeros)."""
+        enc = ref.encode(np.asarray(value), self.p)
+        out = np.zeros(enc.shape + (self.params.n_big + 1,), dtype=np.uint64)
+        out[..., -1] = enc
+        return jnp.asarray(out)
+
+    # -- the lowered evaluation -------------------------------------------
+
+    def run(self, enc_inputs: dict[int, jnp.ndarray], ksk: kn.LimbKSK,
+            bsk: kn.LimbBSK, lut_polys: dict[int, jnp.ndarray]):
+        """Evaluate the graph.  enc_inputs maps input position ->
+        u64 ciphertext array (or clear np array for clear inputs)."""
+        graph = self.graph
+        params = self.params
+        values: dict[Node, object] = {}
+
+        def is_ct(node: Node) -> bool:
+            return node.output.is_encrypted
+
+        for node in graph.topological_order():
+            name = node.name
+            preds = graph.ordered_preds_of(node)
+            if node.operation == Operation.Input:
+                pos = next(p for p, n in graph.input_nodes.items()
+                           if n is node)
+                values[node] = enc_inputs[pos]
+                continue
+            if node.operation == Operation.Constant:
+                values[node] = node()
+                continue
+            if name == "encrypted_constant":
+                values[node] = self._trivial(node.properties["kwargs"]["value"])
+                continue
+
+            args = [values[pr] for pr in preds]
+            enc_flags = [is_ct(pr) for pr in preds]
+
+            if name == "add" or name == "subtract":
+                a, b = args
+                ea, eb = enc_flags
+                if ea and eb:
+                    out = a + b if name == "add" else a - b
+                elif ea and not eb:
+                    enc_b = self._encode_clear(b)
+                    if name == "add":
+                        out = a.at[..., -1].add(enc_b)
+                    else:
+                        out = a.at[..., -1].add(jnp.uint64(0) - enc_b)
+                else:  # clear - encrypted (or clear + encrypted)
+                    enc_a = self._encode_clear(a)
+                    if name == "add":
+                        out = b.at[..., -1].add(enc_a)
+                    else:
+                        out = (jnp.uint64(0) - b).at[..., -1].add(enc_a)
+                values[node] = out
+            elif name == "multiply":
+                a, b = args
+                ea, eb = enc_flags
+                if ea and eb:
+                    raise NotImplementedError(
+                        "encrypted x encrypted multiplication lowers to two "
+                        "TLUs ((x+y)^2/4 - (x-y)^2/4); planned")
+                ct, clear = (a, b) if ea else (b, a)
+                c = jnp.asarray(np.asarray(clear, dtype=np.int64)
+                                .astype(np.uint64))
+                values[node] = ct * c[..., None]
+            elif name == "negative":
+                values[node] = jnp.uint64(0) - args[0]
+            elif name in ("matmul", "dot"):
+                a, b = args
+                ea, eb = enc_flags
+                if ea and eb:
+                    raise NotImplementedError("enc x enc matmul planned")
+                if ea:
+                    ct, w = a, np.asarray(b, dtype=np.int64).astype(np.uint64)
+                    # ct: (..., M, K?, n+1); contract ct dims with w
+                    if w.ndim == 1:
+                        out = (ct * jnp.asarray(w)[..., None]).sum(axis=-2)
+                    else:
+                        out = jnp.einsum("...kd,km->...md", ct,
+                                         jnp.asarray(w))
+                else:
+                    w = np.asarray(a, dtype=np.int64).astype(np.uint64)
+                    ct = b
+                    if w.ndim == 1:
+                        out = (jnp.asarray(w)[:, None] * ct).sum(axis=-2)
+                    else:
+                        out = jnp.einsum("mk,...kd->...md", jnp.asarray(w), ct)
+                values[node] = out
+            elif name == "sum":
+                axis = node.properties["kwargs"].get("axis")
+                ct = args[0]
+                if axis is None:
+                    nd = ct.ndim - 1
+                    out = ct.sum(axis=tuple(range(nd))) if nd else ct
+                else:
+                    out = ct.sum(axis=axis if axis >= 0 else axis - 1)
+                values[node] = out
+            elif name in ("tlu", "univariate"):
+                ct = args[0]
+                spec = self.tlu_specs[node.uid]
+                lut_poly = lut_polys[node.uid]
+                shape = ct.shape[:-1]
+                flat = ct.reshape((-1, ct.shape[-1]))
+                out = kn.pbs_batch(flat, ksk, bsk, lut_poly, params, self.p,
+                                   signed=spec.signed_input)
+                values[node] = out.reshape(shape + (out.shape[-1],))
+            elif name == "index":
+                index = node.properties["kwargs"]["index"]
+                values[node] = args[0][index]
+            elif name == "reshape":
+                shape = node.properties["kwargs"]["shape"]
+                ct = args[0]
+                if is_ct(node):
+                    values[node] = ct.reshape(
+                        tuple(node.output.shape) + (ct.shape[-1],))
+                else:
+                    values[node] = np.reshape(ct, shape)
+            else:
+                raise NotImplementedError(
+                    f"operation '{name}' is not lowered yet")
+
+        outs = []
+        for out_node in graph.ordered_outputs:
+            v = values[out_node]
+            if not is_ct(out_node):
+                v = self._trivial(v)
+            outs.append(v)
+        return tuple(outs)

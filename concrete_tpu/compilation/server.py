@@ -1,0 +1,116 @@
+"""Server: executes the compiled circuit on encrypted data.
+
+Reference: frontends/concrete-python/concrete/fhe/compilation/server.py
+(Server.create/run/save/load at :88,245,307,379 over the native
+ServerProgram/dlopen'ed circuit).  Here "the compiled artifact" is the traced
+graph + crypto parameters; the executable is a jitted JAX function produced
+by GraphExecutor, compiled (and cached) by XLA on first run.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import zipfile
+from typing import Optional
+
+import numpy as np
+
+import concrete_tpu.jax_config  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from concrete_tpu.compilation.executor import GraphExecutor
+from concrete_tpu.compilation.specs import ClientSpecs
+from concrete_tpu.representation import Graph
+
+
+class Server:
+    def __init__(self, graph: Graph, specs: ClientSpecs):
+        self.graph = graph
+        self.client_specs = specs
+        self._executor = GraphExecutor(graph, specs.params,
+                                       specs.message_bits)
+        self._jitted = None
+
+    # -- execution ---------------------------------------------------------
+
+    def run(self, *args, evaluation_keys) -> tuple:
+        """Run the circuit on encrypted/clear arguments.
+
+        evaluation_keys: (LimbKSK, LimbBSK) from Keys.evaluation.
+        """
+        ksk, bsk = evaluation_keys
+        enc_inputs = {}
+        for pos, arg in enumerate(args):
+            spec = self.client_specs.inputs[pos]
+            enc_inputs[pos] = jnp.asarray(arg) if spec.is_encrypted \
+                else np.asarray(arg)
+        lut_polys = {uid: jnp.asarray(s.lut_poly)
+                     for uid, s in self._executor.tlu_specs.items()}
+        if self._jitted is None:
+            ex = self._executor
+
+            def fn(enc_inputs, ksk, bsk, lut_polys):
+                return ex.run(enc_inputs, ksk, bsk, lut_polys)
+            self._jitted = jax.jit(fn)
+        outs = self._jitted(enc_inputs, ksk, bsk, lut_polys)
+        return tuple(np.asarray(o) for o in outs)
+
+    # -- deployment (reference server.py:245-378) --------------------------
+
+    def save(self, path: str) -> None:
+        """Save a deployment archive (graph + specs).
+
+        Univariate nodes are materialized into explicit tables first so the
+        archive contains no Python callables (the reference ships compiled
+        MLIR for the same reason, server.py:245).
+        """
+        import networkx as nx
+        from concrete_tpu.compilation.executor import raw_table
+        p = self.client_specs.message_bits
+        mapping = {}
+        for node in self.graph.graph.nodes:
+            if node.name == "univariate":
+                mapping[node] = node.materialized_as_tlu(raw_table(node, p))
+        g2 = nx.relabel_nodes(self.graph.graph, mapping, copy=True) \
+            if mapping else self.graph.graph
+        graph2 = Graph(
+            g2,
+            {q: mapping.get(n, n) for q, n in self.graph.input_nodes.items()},
+            {q: mapping.get(n, n) for q, n in self.graph.output_nodes.items()},
+            self.graph.name)
+        with zipfile.ZipFile(path, "w") as z:
+            z.writestr("client.specs.json", self.client_specs.serialize())
+            z.writestr("graph.pkl", pickle.dumps(graph2))
+
+    @classmethod
+    def load(cls, path: str) -> "Server":
+        with zipfile.ZipFile(path) as z:
+            specs = ClientSpecs.deserialize(
+                z.read("client.specs.json").decode())
+            graph = pickle.loads(z.read("graph.pkl"))
+        return cls(graph, specs)
+
+    # -- introspection -----------------------------------------------------
+
+    @property
+    def complexity(self) -> float:
+        """Estimated cost in int8 MACs (our optimizer's cost model)."""
+        from concrete_tpu.optimizer.v0 import cost_pbs_macs, cost_ks_macs
+        p = self.client_specs.params
+        n_pbs = len(self._executor.tlu_specs)
+        sizes = sum(
+            max(int(np.prod(n.output.shape)), 1)
+            for n in self.graph.graph.nodes
+            if n.name in ("tlu", "univariate"))
+        per = (cost_pbs_macs(p.n_small, p.glwe_dimension, p.polynomial_size,
+                             p.pbs_level, p.pbs_base_log)
+               + cost_ks_macs(p.n_big, p.n_small, p.ks_level, p.ks_base_log))
+        return per * max(sizes, n_pbs)
+
+    def programmable_bootstrap_count(self) -> int:
+        return sum(
+            max(int(np.prod(n.output.shape)), 1)
+            for n in self.graph.graph.nodes
+            if n.name in ("tlu", "univariate"))

@@ -1,0 +1,51 @@
+"""Client specs: everything a client needs to encrypt/decrypt for a circuit.
+
+The analog of the reference's ProgramInfo / client.specs.json sidecar
+(lib/Support/ProgramInfoGeneration.cpp, compilation/specs.py in the Python
+frontend): per-gate value descriptions plus the crypto parameters.
+Serialized as JSON-able dicts (our stand-in for the capnp schema shapes of
+tools/concrete-protocol/concrete-protocol.capnp).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+from concrete_tpu.dtypes import Integer
+from concrete_tpu.params import CryptoParams
+from concrete_tpu.values import ValueDescription
+
+
+@dataclasses.dataclass
+class ClientSpecs:
+    params: CryptoParams
+    message_bits: int
+    inputs: list[ValueDescription]
+    outputs: list[ValueDescription]
+
+    def serialize(self) -> str:
+        def vd(v: ValueDescription):
+            return {"bit_width": v.dtype.bit_width,
+                    "is_signed": v.dtype.is_signed,
+                    "shape": list(v.shape),
+                    "is_encrypted": v.is_encrypted}
+        return json.dumps({
+            "params": dataclasses.asdict(self.params),
+            "message_bits": self.message_bits,
+            "inputs": [vd(v) for v in self.inputs],
+            "outputs": [vd(v) for v in self.outputs],
+        })
+
+    @classmethod
+    def deserialize(cls, blob: str) -> "ClientSpecs":
+        data = json.loads(blob)
+
+        def vd(d):
+            return ValueDescription(
+                dtype=Integer(d["bit_width"], d["is_signed"]),
+                shape=tuple(d["shape"]), is_encrypted=d["is_encrypted"])
+        return cls(params=CryptoParams(**data["params"]),
+                   message_bits=data["message_bits"],
+                   inputs=[vd(d) for d in data["inputs"]],
+                   outputs=[vd(d) for d in data["outputs"]])

@@ -85,6 +85,24 @@ def monomial_mul_batch(polys, r):
     return jnp.where(neg, jnp.uint64(0) - out, out)
 
 
+def monomial_mul_rolls(polys, r):
+    """Same as monomial_mul_batch but via log2(2N) masked static rolls.
+
+    TPU gathers with per-element dynamic indices lower catastrophically; a
+    chain of static rolls selected per-row by the bits of r is vastly faster.
+    polys: (B, C, N) u64; r: (B,) int32 in [0, 2N).
+    """
+    b_ct, c, n = polys.shape
+    ext = jnp.concatenate([polys, jnp.uint64(0) - polys], axis=-1)  # (B,C,2N)
+    bits = int(2 * n - 1).bit_length()
+    for b in range(bits):
+        amount = 1 << b
+        rolled = jnp.roll(ext, amount, axis=-1)
+        take = ((r >> b) & 1).astype(bool)[:, None, None]
+        ext = jnp.where(take, rolled, ext)
+    return ext[..., :n]
+
+
 # ---------------------------------------------------------------------------
 # Exact negacyclic limb convolution (the MXU workhorse)
 # ---------------------------------------------------------------------------
@@ -125,6 +143,52 @@ def negacyclic_limb_conv(d_limbs, w_limbs_flipped, precision=jnp.int32):
     return lin[..., :n] - hi                     # negacyclic fold
 
 
+def negacyclic_banded_matmul(d_limbs, vv, block: int):
+    """Exact negacyclic limb product via banded Toeplitz int8 matmuls (MXU).
+
+    The negacyclic product (d (*) w)[t] = sum_j d[j] * v[t - j] with
+    v[x] = w[x] for x >= 0 and v[x] = -w[N+x] for x < 0.  Tiling t and j into
+    blocks of `block`, each (j-block I -> t-block J) contribution is a
+    ``block x block`` Toeplitz slice of v at band J - I.  We materialize the
+    sliding-window matrix M[r, y] = vv[y + block - 1 - r] once per call with
+    static slices, then slice bands out of it — every product is then a plain
+    int8 matmul, which XLA maps onto the MXU (unlike a poly-sized
+    convolution, which it lowers to a catastrophically slow VPU loop).
+
+    d_limbs: (B, Cin, N, A) int8 digit limb planes (limb axis last so the
+             per-limb slice is layout-friendly).
+    vv:      (Cin, Cout, 8, 2N-1) int8 — negacyclic extension
+             concat([-w[..., 1:], w]) of the weight limb planes.
+    Returns  (B, Cout, 8 + A - 1, N) int32 limb-product planes
+             (recombine planes [0, 8) mod 2^64).
+    """
+    b_ct, cin, n, a_limbs = d_limbs.shape
+    cin2, cout, s_limbs, _ = vv.shape
+    assert cin == cin2
+    nb = n // block
+    assert n % block == 0
+    # M: (Cin, r=block, Cout, 8, (2*nb-1)*block) sliding windows of vv
+    width = (2 * nb - 1) * block
+    m = jnp.stack([
+        lax.slice_in_dim(vv, block - 1 - r, block - 1 - r + width, axis=-1)
+        for r in range(block)], axis=1)                      # (Cin, r, Cout, 8, width)
+    planes = jnp.zeros((b_ct, cout, s_limbs + a_limbs - 1, nb, block),
+                       dtype=jnp.int32)
+    for j_blk in range(nb):
+        # rhs: stack the nb band slices (band = J - I) -> (Cin, I, r, Cout, 8, t)
+        rhs = jnp.stack([
+            lax.slice_in_dim(m, (j_blk - i_blk + nb - 1) * block,
+                             (j_blk - i_blk + nb - 1) * block + block, axis=-1)
+            for i_blk in range(nb)], axis=1)
+        rhs = rhs.reshape(cin * nb * block, cout * s_limbs * block)
+        for a in range(a_limbs):
+            lhs = d_limbs[..., a].reshape(b_ct, cin * nb * block)
+            out = jnp.matmul(lhs, rhs, preferred_element_type=jnp.int32)
+            out = out.reshape(b_ct, cout, s_limbs, block)
+            planes = planes.at[:, :, a:a + s_limbs, j_blk, :].add(out)
+    return planes.reshape(b_ct, cout, s_limbs + a_limbs - 1, n)
+
+
 # ---------------------------------------------------------------------------
 # Key material pre-processing (host side, numpy)
 # ---------------------------------------------------------------------------
@@ -133,10 +197,15 @@ def negacyclic_limb_conv(d_limbs, w_limbs_flipped, precision=jnp.int32):
                    data_fields=["planes"], meta_fields=["base_log", "levels"])
 @dataclasses.dataclass(frozen=True)
 class LimbBSK:
-    """Bootstrap key as flipped int8 limb planes: (n, Cout=k+1, Cin=(k+1)l, 8, N).
+    """Bootstrap key as negacyclically-extended int8 limb planes:
+    (n, Cin=(k+1)l, Cout=k+1, 8, 2N-1).
 
-    Our analog of the reference's Fourier BSK (context.h:63-72), computed once
-    at keygen.
+    planes[i, cin, cout, :, :] are the balanced limb planes of the *extended
+    value sequence* vv = [-(w[1:]) mod 2^64, w] of BSK polynomial w — the
+    Toeplitz generator for the banded-matmul external product.  Our analog of
+    the reference's Fourier BSK (context.h:63-72), computed once at keygen.
+    (The negation happens on u64 values before limb decomposition so every
+    limb stays in [-128, 127].)
     """
     planes: jnp.ndarray
     base_log: int
@@ -158,18 +227,20 @@ class LimbKSK:
 
 
 def pack_bsk(bsk_u64: np.ndarray, params: CryptoParams) -> LimbBSK:
-    """Preprocess a u64 BSK (n, l, k+1, k+1, N) into flipped limb planes.
+    """Preprocess a u64 BSK (n, l, k+1, k+1, N) into banded limb planes.
 
-    Output layout: (n, Cout, Cin, 8, N) where Cin indexes (level-major, row r)
-    pairs of the decomposed accumulator and Cout the output GLWE component.
+    Output layout: (n, Cin, Cout, 8, 2N-1) where Cin = lev * (k+1) + r indexes
+    the decomposed accumulator rows and Cout the output GLWE component; the
+    last axis is the negacyclic extension [-(w[1:]), w] (u64 negation first,
+    then balanced limb split).
     """
+    bsk_u64 = np.asarray(bsk_u64)
     n, l, kp1, kp1_, big_n = bsk_u64.shape
-    limbs = lb.u64_to_balanced_i8(np.asarray(bsk_u64))      # (n, l, r, c, N, 8)
-    limbs = np.moveaxis(limbs, -1, -2)                       # (n, l, r, c, 8, N)
-    # (n, c, l*r, 8, N): Cin index = lev * (k+1) + r
-    limbs = np.transpose(limbs, (0, 3, 1, 2, 4, 5)).reshape(
-        n, kp1, l * kp1, 8, big_n)
-    limbs = _flip_kernel_limbs(limbs)
+    ext = np.concatenate(
+        [(np.uint64(0) - bsk_u64[..., 1:]), bsk_u64], axis=-1)  # (n,l,r,c,2N-1)
+    limbs = np.moveaxis(lb.u64_to_balanced_i8(ext), -1, -2)     # (n,l,r,c,8,2N-1)
+    # (n, Cin=l*r, Cout=c, 8, 2N-1): Cin index = lev * (k+1) + r
+    limbs = limbs.reshape(n, l * kp1, kp1, 8, 2 * big_n - 1)
     return LimbBSK(planes=jnp.asarray(limbs), base_log=params.pbs_base_log,
                    levels=params.pbs_level)
 
@@ -227,23 +298,25 @@ def blind_rotate(ct_small, bsk: LimbBSK, lut_poly, params: CryptoParams):
     a_t = switched[:, :-1]                                   # (B, n_small)
     b_t = switched[:, -1]                                    # (B,)
     # acc = trivial GLWE of X^{-b~} * LUT
-    body0 = monomial_mul_batch(jnp.broadcast_to(lut_poly, (b_ct, n)),
-                               (2 * n - b_t) % (2 * n))
-    acc0 = jnp.zeros((b_ct, k + 1, n), dtype=U64).at[:, k, :].set(body0)
+    body0 = monomial_mul_rolls(
+        jnp.broadcast_to(lut_poly, (b_ct, 1, n)), (2 * n - b_t) % (2 * n))
+    acc0 = jnp.zeros((b_ct, k + 1, n), dtype=U64).at[:, k, :].set(
+        body0[:, 0, :])
 
     a_limbs_n = lb.num_digit_limbs(params.pbs_base_log)
+    block = min(128, n)
 
     def step(acc, xs):
-        a_j, w_planes = xs                                   # (B,), (k+1, (k+1)l, 8, N)
-        rot = monomial_mul_batch(acc, a_j[:, None])          # (B, k+1, N)
+        a_j, w_vv = xs                                       # (B,), (Cin, k+1, 8, 2N-1)
+        rot = monomial_mul_rolls(acc, a_j)                   # (B, k+1, N)
         diff = rot - acc
         digits = decompose(diff, params.pbs_base_log, l)     # (B, k+1, N, l)
         d_limbs = lb.i32_digits_to_balanced_i8(digits, a_limbs_n)
-        # (B, r, N, lev, A) -> (B, Cin=l*(k+1), A, N): Cin = lev * (k+1) + r
-        d_limbs = jnp.transpose(d_limbs, (0, 3, 1, 4, 2)).reshape(
-            b_ct, l * (k + 1), a_limbs_n, n)
-        planes = negacyclic_limb_conv(d_limbs, w_planes)     # (B, k+1, 8, N)
-        ext = lb.recombine_i32_planes_to_u64(planes, axis=-2)
+        # (B, r, N, lev, A) -> (B, Cin=l*(k+1), N, A): Cin = lev * (k+1) + r
+        d_limbs = jnp.transpose(d_limbs, (0, 3, 1, 2, 4)).reshape(
+            b_ct, l * (k + 1), n, a_limbs_n)
+        planes = negacyclic_banded_matmul(d_limbs, w_vv, block)
+        ext = lb.recombine_i32_planes_to_u64(planes[:, :, :8, :], axis=-2)
         return acc + ext, None
 
     acc, _ = lax.scan(step, acc0, (a_t.T, bsk.planes))

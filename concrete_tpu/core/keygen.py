@@ -39,12 +39,15 @@ def _negacyclic_dot_with_key(a_polys: np.ndarray, key: np.ndarray) -> np.ndarray
     kernel (its limb planes are just {0,1} in plane 0).
     """
     rows, k, n = a_polys.shape
-    a_limbs = np.moveaxis(lb.u64_to_balanced_i8(a_polys), -1, -2)  # (rows,k,8,N)
-    key_limbs = np.zeros((1, k, 8, n), dtype=np.int8)
-    key_limbs[0, :, 0, :] = key.astype(np.int8)
-    w_flip = kn._flip_kernel_limbs(key_limbs)
-    planes = kn.negacyclic_limb_conv(jnp.asarray(a_limbs), jnp.asarray(w_flip))
-    out = lb.recombine_i32_planes_to_u64(planes, axis=-2)          # (rows,1,N)
+    a_limbs = lb.u64_to_balanced_i8(a_polys)                # (rows, k, N, 8)
+    # negacyclic extension of the binary key: values in {0, 1, -1} -> a single
+    # balanced limb plane (S=1)
+    ext = np.concatenate([np.uint64(0) - key[:, 1:], key], axis=-1)
+    vv = lb.u64_to_balanced_i8(ext)[..., :1]                # (k, 2N-1, 1)
+    vv = np.moveaxis(vv, -1, -2)[:, None, :, :]             # (k, 1, 1, 2N-1)
+    planes = kn.negacyclic_banded_matmul(
+        jnp.asarray(a_limbs), jnp.asarray(vv), min(128, n))  # (rows, 1, 8, N)
+    out = lb.recombine_i32_planes_to_u64(planes[:, :, :8, :], axis=-2)
     return np.asarray(out)[:, 0, :]
 
 

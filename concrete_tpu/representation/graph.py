@@ -1,0 +1,190 @@
+"""The computation DAG: evaluation, bounds measurement, bit-width assignment.
+
+Reference: frontends/concrete-python/concrete/fhe/representation/graph.py:27
+(networkx MultiDiGraph of Nodes, topological `evaluate` at graph.py:89-120,
+bounds measurement over inputsets, pruning/formatting).  Bit-width assignment
+here is the max-over-measured-bounds rule (the reference's z3-based
+AssignBitWidths pass, mlir/processors/assign_bit_widths.py:18, solves the same
+constraint system; with single-keyset "mono" semantics the solution is the
+partition max, which is what we compute).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import networkx as nx
+import numpy as np
+
+from concrete_tpu.dtypes import Integer
+from concrete_tpu.representation.node import Node, Operation
+
+
+class Graph:
+    def __init__(self, graph: nx.MultiDiGraph, input_nodes: dict[int, Node],
+                 output_nodes: dict[int, Node], name: str = "main"):
+        self.graph = graph
+        self.input_nodes = input_nodes        # position -> Node
+        self.output_nodes = output_nodes      # position -> Node
+        self.name = name
+
+    # -- structure ---------------------------------------------------------
+
+    def topological_order(self) -> list[Node]:
+        return list(nx.topological_sort(self.graph))
+
+    def ordered_preds_of(self, node: Node) -> list[Node]:
+        edges = sorted(self.graph.in_edges(node, data="input_idx"),
+                       key=lambda e: e[2])
+        return [e[0] for e in edges]
+
+    @property
+    def ordered_inputs(self) -> list[Node]:
+        return [self.input_nodes[i] for i in sorted(self.input_nodes)]
+
+    @property
+    def ordered_outputs(self) -> list[Node]:
+        return [self.output_nodes[i] for i in sorted(self.output_nodes)]
+
+    # -- evaluation (reference graph.py:89-120) ----------------------------
+
+    def evaluate(self, *inputs) -> dict[Node, np.ndarray]:
+        """Plaintext evaluation; returns every node's value."""
+        results: dict[Node, np.ndarray] = {}
+        for node in self.topological_order():
+            if node.operation == Operation.Input:
+                pos = next(p for p, n in self.input_nodes.items() if n is node)
+                results[node] = np.asarray(inputs[pos])
+            elif node.operation == Operation.Constant:
+                results[node] = node()
+            else:
+                args = [results[p] for p in self.ordered_preds_of(node)]
+                results[node] = np.asarray(node(*args))
+        return results
+
+    def __call__(self, *inputs):
+        results = self.evaluate(*inputs)
+        outs = tuple(results[n] for n in self.ordered_outputs)
+        return outs[0] if len(outs) == 1 else outs
+
+    # -- bounds measurement ------------------------------------------------
+
+    def measure_bounds(self, inputset) -> None:
+        """Run every inputset sample, recording per-node (min, max).
+
+        Reference: FunctionDef.evaluate (compilation/module_compiler.py:153).
+        """
+        for sample in inputset:
+            if not isinstance(sample, tuple):
+                sample = (sample,)
+            results = self.evaluate(*sample)
+            for node, value in results.items():
+                arr = np.asarray(value)
+                lo, hi = int(arr.min()), int(arr.max())
+                if node.bounds is None:
+                    node.bounds = (lo, hi)
+                else:
+                    node.bounds = (min(node.bounds[0], lo),
+                                   max(node.bounds[1], hi))
+
+    def update_dtypes_from_bounds(self) -> None:
+        """Assign each node's Integer dtype from measured bounds."""
+        for node in self.topological_order():
+            if node.bounds is None:
+                raise RuntimeError(
+                    f"node {node.name} has no measured bounds; "
+                    "was measure_bounds called with a non-empty inputset?")
+            dtype = Integer.that_can_represent(list(node.bounds))
+            node.output = type(node.output)(
+                dtype=dtype, shape=node.output.shape,
+                is_encrypted=node.output.is_encrypted)
+
+    @property
+    def max_bit_width(self) -> int:
+        """Mono-keyset precision: max over encrypted nodes."""
+        width = 1
+        for node in self.graph.nodes:
+            if node.output.is_encrypted and isinstance(node.output.dtype,
+                                                       Integer):
+                width = max(width, node.output.dtype.bit_width)
+        return width
+
+    # -- MANP (norm2) analysis ---------------------------------------------
+
+    def max_norm2(self) -> int:
+        """Squared 2-norm of integer weights accumulated since the last
+        table lookup, maximized over TLU/output boundaries.
+
+        The TPU-native equivalent of the reference's MANP forward dataflow
+        analysis (lib/Dialect/FHE/Analysis/MANP.cpp:55) used to pick the
+        optimizer's noise factor.
+        """
+        manp: dict[Node, int] = {}
+        worst = 1
+        for node in self.topological_order():
+            preds = self.ordered_preds_of(node)
+            name = node.name
+            if node.operation in (Operation.Input, Operation.Constant):
+                manp[node] = 1
+            elif name in ("tlu", "univariate"):
+                worst = max(worst, *(manp[p] for p in preds if
+                                     p.output.is_encrypted), 1)
+                manp[node] = 1
+            elif name in ("add", "subtract"):
+                s = sum(manp[p] for p in preds if p.output.is_encrypted)
+                manp[node] = max(s, 1)
+            elif name == "negative":
+                manp[node] = manp[preds[0]]
+            elif name == "multiply":
+                # encrypted * clear: scale by max |constant|^2
+                enc = [p for p in preds if p.output.is_encrypted]
+                clear = [p for p in preds if not p.output.is_encrypted]
+                scale = 1
+                for c in clear:
+                    hi = max(abs(c.bounds[0]), abs(c.bounds[1])) \
+                        if c.bounds else max(abs(c.output.dtype.min),
+                                             abs(c.output.dtype.max))
+                    scale *= hi * hi
+                manp[node] = max(manp[enc[0]] * scale, 1) if enc else 1
+            elif name in ("matmul", "dot"):
+                enc = [p for p in preds if p.output.is_encrypted]
+                clear = [p for p in preds if not p.output.is_encrypted]
+                if enc and clear:
+                    cnode = clear[0]
+                    const = cnode.properties.get("constant")
+                    if const is not None:
+                        w = np.asarray(const, dtype=np.int64)
+                        norm = int((w.astype(object) ** 2).sum(axis=0).max()) \
+                            if w.ndim == 2 else int((w.astype(object) ** 2).sum())
+                    else:
+                        hi = max(abs(cnode.output.dtype.min),
+                                 abs(cnode.output.dtype.max))
+                        size = max(cnode.output.size, 1)
+                        norm = hi * hi * size
+                    manp[node] = max(manp[enc[0]] * norm, 1)
+                else:
+                    manp[node] = 1
+            elif name == "sum":
+                size = max(preds[0].output.size, 1)
+                manp[node] = manp[preds[0]] * size
+            else:
+                manp[node] = max((manp[p] for p in preds), default=1)
+        for node in self.ordered_outputs:
+            worst = max(worst, manp.get(node, 1))
+        return worst
+
+    # -- formatting --------------------------------------------------------
+
+    def format(self) -> str:
+        lines = []
+        names: dict[Node, str] = {}
+        for i, node in enumerate(self.topological_order()):
+            names[node] = f"%{i}"
+            preds = [names[p] for p in self.ordered_preds_of(node)]
+            lines.append(f"{names[node]} = {node.format(preds)}")
+        outs = ", ".join(names[n] for n in self.ordered_outputs)
+        lines.append(f"return {outs}")
+        return "\n".join(lines)
+
+    def __str__(self) -> str:
+        return self.format()

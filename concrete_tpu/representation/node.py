@@ -1,0 +1,171 @@
+"""Computation-graph nodes.
+
+Reference: frontends/concrete-python/concrete/fhe/representation/node.py:26
+(Node with Operation enum {Input, Constant, Generic} and an `evaluator`).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Callable, Optional
+
+import numpy as np
+
+from concrete_tpu.values import ValueDescription
+
+
+class Operation(enum.Enum):
+    Input = "input"
+    Constant = "constant"
+    Generic = "generic"
+
+
+_UID = [0]
+
+
+class Node:
+    """One operation in the computation DAG.
+
+    `properties["name"]` identifies generic ops ("add", "multiply", "tlu",
+    "matmul", ...); `evaluator` computes the plaintext result from input
+    plaintexts (used for inputset bounds measurement, simulation, and as the
+    differential oracle in tests).
+    """
+
+    def __init__(self, operation: Operation,
+                 inputs: list["ValueDescription"],
+                 output: ValueDescription,
+                 evaluator: Optional[Callable] = None,
+                 properties: Optional[dict] = None):
+        self.operation = operation
+        self.inputs = inputs
+        self.output = output
+        self.evaluator = evaluator
+        self.properties = properties or {}
+        self.bounds: Optional[tuple[int, int]] = None  # measured (min, max)
+        self.uid = _UID[0]
+        _UID[0] += 1
+
+    # -- constructors (reference node.py:47,74,133) ------------------------
+
+    @classmethod
+    def input(cls, name: str, value: ValueDescription) -> "Node":
+        return cls(Operation.Input, [value], value,
+                   evaluator=lambda x: x, properties={"name": name})
+
+    @classmethod
+    def constant(cls, constant) -> "Node":
+        arr = np.asarray(constant)
+        value = ValueDescription.of(arr, is_encrypted=False)
+        return cls(Operation.Constant, [], value,
+                   evaluator=lambda: arr, properties={"constant": arr,
+                                                      "name": "constant"})
+
+    @classmethod
+    def generic(cls, name: str, inputs: list[ValueDescription],
+                output: ValueDescription, evaluator: Callable,
+                **kwargs) -> "Node":
+        props = {"name": name, "kwargs": kwargs}
+        return cls(Operation.Generic, inputs, output, evaluator=evaluator,
+                   properties=props)
+
+    # ----------------------------------------------------------------------
+
+    @property
+    def name(self) -> str:
+        return self.properties.get("name", self.operation.value)
+
+    @property
+    def converted_to_table_lookup(self) -> bool:
+        return self.name in ("tlu", "univariate")
+
+    def __call__(self, *args):
+        if self.operation == Operation.Constant:
+            return self.evaluator()
+        return self.evaluator(*args)
+
+    def __repr__(self) -> str:
+        return (f"Node<{self.name}, out={self.output}, "
+                f"bounds={self.bounds}>")
+
+    # -- pickling (deployment archives) ------------------------------------
+    # Evaluators are often closures; on pickle they are dropped and rebuilt
+    # from the op registry below.  Ops whose evaluator cannot be rebuilt
+    # (univariate with a user callable) must be materialized into explicit
+    # tables before serialization (Server.save does this).
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        props = dict(state["properties"])
+        if "kwargs" in props:
+            kwargs = {k: v for k, v in props["kwargs"].items()
+                      if not callable(v)}
+            props["kwargs"] = kwargs
+        state["properties"] = props
+        state["evaluator"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self.evaluator = _rebuild_evaluator(
+            self.operation, self.properties)
+
+    def materialized_as_tlu(self, table: np.ndarray) -> "Node":
+        """Return a copy of this univariate/tlu node with an explicit table
+        (used before deployment serialization)."""
+        node = Node(self.operation, self.inputs, self.output,
+                    evaluator=lambda x: table[np.asarray(x) % len(table)],
+                    properties={"name": "tlu", "kwargs": {"table": table}})
+        node.bounds = self.bounds
+        node.uid = self.uid
+        return node
+
+    def format(self, predecessors: list[str]) -> str:
+        if self.operation == Operation.Input:
+            return f"{self.properties['name']}  # {self.output}"
+        if self.operation == Operation.Constant:
+            c = self.properties["constant"]
+            rep = np.array2string(np.asarray(c), threshold=8)
+            return f"{rep}  # {self.output}"
+        args = ", ".join(predecessors)
+        return f"{self.name}({args})  # {self.output}"
+
+
+# -- evaluator registry for unpickling ---------------------------------------
+
+def _rebuild_evaluator(operation: Operation, properties: dict):
+    name = properties.get("name")
+    kwargs = properties.get("kwargs", {})
+    if operation == Operation.Input:
+        return lambda x: x
+    if operation == Operation.Constant:
+        constant = properties["constant"]
+        return lambda: constant
+    if name == "add":
+        return lambda x, y: x + y
+    if name == "subtract":
+        return lambda x, y: x - y
+    if name == "multiply":
+        return lambda x, y: x * y
+    if name == "negative":
+        return lambda x: -x
+    if name in ("matmul",):
+        return lambda x, y: x @ y
+    if name == "dot":
+        return lambda x, y: np.dot(x, y)
+    if name == "sum":
+        axis = kwargs.get("axis")
+        return lambda x: np.sum(x, axis=axis)
+    if name == "reshape":
+        shape = kwargs["shape"]
+        return lambda x: np.reshape(x, shape)
+    if name == "index":
+        index = kwargs["index"]
+        return lambda x: x[index]
+    if name == "tlu":
+        table = kwargs["table"]
+        return lambda x: table[np.asarray(x) % len(table)]
+    if name == "encrypted_constant":
+        value = kwargs["value"]
+        return lambda: value
+    return None  # univariate without materialized table: not executable

@@ -1,0 +1,93 @@
+"""Noise-accurate plaintext simulation.
+
+Reference: lib/Runtime/simulation.cpp (sim_* kernels: plaintext op + Gaussian
+noise drawn from the noise model) and the SimulateTFHE pass.  Simulation runs
+the traced graph on plaintexts while tracking each value's noise variance via
+the same formulas the optimizer uses, sampling Gaussian noise at every
+decision point (TLU index) to reproduce the real error probability —
+no keys, no crypto, so it is fast enough for test sweeps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from concrete_tpu import params as pp
+from concrete_tpu.representation import Operation
+
+__all__ = ["simulate_graph"]
+
+
+def simulate_graph(graph, specs, *inputs, rng=None):
+    """Evaluate with simulated noise; returns outputs like the real circuit."""
+    rng = rng or np.random.default_rng()
+    params = specs.params
+    p = specs.message_bits
+    step = 2.0 ** -(p + 1)          # torus width of one encoded step
+
+    fresh_var = params.lwe_std ** 2
+    br_var = pp.variance_blind_rotate(
+        params.n_small, params.glwe_dimension, params.polynomial_size,
+        params.pbs_base_log, params.pbs_level, params.glwe_std ** 2)
+    ks_var = pp.variance_keyswitch(
+        params.n_big, params.ks_base_log, params.ks_level,
+        params.lwe_std ** 2)
+    ms_var = pp.variance_modulus_switch(
+        params.n_small, params.log2_polynomial_size)
+
+    values: dict = {}
+    variances: dict = {}
+
+    for node in graph.topological_order():
+        name = node.name
+        preds = graph.ordered_preds_of(node)
+        if node.operation == Operation.Input:
+            pos = next(q for q, n in graph.input_nodes.items() if n is node)
+            values[node] = np.asarray(inputs[pos])
+            variances[node] = fresh_var if node.output.is_encrypted else 0.0
+            continue
+        if node.operation == Operation.Constant:
+            values[node] = node()
+            variances[node] = 0.0
+            continue
+        args = [values[q] for q in preds]
+        if name in ("tlu", "univariate"):
+            x = np.asarray(args[0])
+            # sample the decision noise at the TLU boundary
+            total_var = variances[preds[0]] + ks_var + ms_var
+            noise = rng.normal(0.0, np.sqrt(total_var), x.shape)
+            shifted = x + np.round(noise / step).astype(np.int64)
+            domain = 1 << p
+            shifted = ((shifted % domain) + domain) % domain
+            if node.inputs[0].dtype.is_signed:
+                half = domain // 2
+                shifted = np.where(shifted >= half, shifted - domain, shifted)
+            values[node] = np.asarray(node(shifted))
+            variances[node] = br_var
+        else:
+            values[node] = np.asarray(node(*args))
+            # propagate variance through leveled ops (MANP-style)
+            if name in ("add", "subtract"):
+                variances[node] = sum(variances[q] for q in preds)
+            elif name == "negative":
+                variances[node] = variances[preds[0]]
+            elif name == "multiply":
+                enc = [q for q in preds if q.output.is_encrypted]
+                clear = [q for q in preds if not q.output.is_encrypted]
+                scale = 1.0
+                for c in clear:
+                    hi = max(abs(np.asarray(values[c]).min()),
+                             abs(np.asarray(values[c]).max()), 1)
+                    scale *= float(hi) ** 2
+                variances[node] = (variances[enc[0]] if enc else 0.0) * scale
+            elif name in ("matmul", "dot", "sum"):
+                src = [q for q in preds if q.output.is_encrypted]
+                base = variances[src[0]] if src else 0.0
+                size = max(preds[0].output.size, 1)
+                variances[node] = base * size
+            else:
+                variances[node] = max((variances[q] for q in preds),
+                                      default=0.0)
+
+    outs = tuple(values[n] for n in graph.ordered_outputs)
+    return outs[0] if len(outs) == 1 else outs

@@ -1,0 +1,283 @@
+"""The tracer: builds a computation graph from a plain Python/NumPy function.
+
+Reference: frontends/concrete-python/concrete/fhe/tracing/tracer.py:36-170 —
+a proxy object overloading NumPy operators, producing a networkx DAG; rejects
+data-dependent Python branching.  Same UX here: users write ordinary numpy
+code over function parameters annotated "encrypted"/"clear".
+"""
+
+from __future__ import annotations
+
+import inspect
+from typing import Callable
+
+import networkx as nx
+import numpy as np
+
+from concrete_tpu.representation import Graph, Node, Operation
+from concrete_tpu.values import ValueDescription
+
+
+class Tracer:
+    """Proxy standing in for a value during tracing."""
+
+    # -- graph construction helpers ---------------------------------------
+
+    def __init__(self, node: Node, predecessors: list["Tracer"]):
+        self.node = node
+        self.predecessors = predecessors
+
+    @staticmethod
+    def _constant_tracer(value) -> "Tracer":
+        return Tracer(Node.constant(value), [])
+
+    @staticmethod
+    def sanitize(value) -> "Tracer":
+        return value if isinstance(value, Tracer) else \
+            Tracer._constant_tracer(value)
+
+    @classmethod
+    def _generic(cls, name: str, operands: list["Tracer"],
+                 evaluator: Callable, output: ValueDescription,
+                 **kwargs) -> "Tracer":
+        node = Node.generic(name, [t.node.output for t in operands], output,
+                            evaluator, **kwargs)
+        return cls(node, operands)
+
+    @staticmethod
+    def _infer_output(name: str, evaluator: Callable,
+                      operands: list["Tracer"], **kwargs) -> ValueDescription:
+        """Infer output shape/encryption by evaluating on zeros."""
+        samples = []
+        for t in operands:
+            desc = t.node.output
+            samples.append(np.zeros(desc.shape, dtype=np.int64)
+                           if not _is_float(desc) else
+                           np.zeros(desc.shape))
+        result = np.asarray(evaluator(*samples))
+        encrypted = any(t.node.output.is_encrypted for t in operands)
+        return ValueDescription.of(result, is_encrypted=encrypted)
+
+    # -- operator overloads ------------------------------------------------
+
+    def _binary(self, name: str, other, evaluator, reflected=False):
+        other = Tracer.sanitize(other)
+        operands = [other, self] if reflected else [self, other]
+        output = Tracer._infer_output(name, evaluator, operands)
+        return Tracer._generic(name, operands, evaluator, output)
+
+    def __add__(self, other):
+        return self._binary("add", other, lambda x, y: x + y)
+
+    def __radd__(self, other):
+        return self._binary("add", other, lambda x, y: x + y, reflected=True)
+
+    def __sub__(self, other):
+        return self._binary("subtract", other, lambda x, y: x - y)
+
+    def __rsub__(self, other):
+        return self._binary("subtract", other, lambda x, y: x - y,
+                            reflected=True)
+
+    def __mul__(self, other):
+        return self._binary("multiply", other, lambda x, y: x * y)
+
+    def __rmul__(self, other):
+        return self._binary("multiply", other, lambda x, y: x * y,
+                            reflected=True)
+
+    def __matmul__(self, other):
+        return self._binary("matmul", other, lambda x, y: x @ y)
+
+    def __rmatmul__(self, other):
+        return self._binary("matmul", other, lambda x, y: x @ y,
+                            reflected=True)
+
+    def __neg__(self):
+        output = Tracer._infer_output("negative", lambda x: -x, [self])
+        return Tracer._generic("negative", [self], lambda x: -x, output)
+
+    def __pos__(self):
+        return self
+
+    def __getitem__(self, index):
+        ev = lambda x: x[index]  # noqa: E731
+        output = Tracer._infer_output("index", ev, [self])
+        return Tracer._generic("index", [self], ev, output, index=index)
+
+    # numpy ufunc/function protocol so np.* works on tracers ---------------
+
+    SUPPORTED_UFUNCS = {
+        np.add: ("add", lambda x, y: x + y),
+        np.subtract: ("subtract", lambda x, y: x - y),
+        np.multiply: ("multiply", lambda x, y: x * y),
+        np.negative: ("negative", lambda x: -x),
+        np.matmul: ("matmul", lambda x, y: x @ y),
+    }
+
+    def __array_ufunc__(self, ufunc, method, *args, **kwargs):
+        if method != "__call__" or ufunc not in Tracer.SUPPORTED_UFUNCS:
+            raise RuntimeError(
+                f"numpy ufunc {ufunc.__name__} is not supported on encrypted "
+                "values yet; use fhe.univariate for pointwise functions")
+        name, ev = Tracer.SUPPORTED_UFUNCS[ufunc]
+        operands = [Tracer.sanitize(a) for a in args]
+        output = Tracer._infer_output(name, ev, operands)
+        return Tracer._generic(name, operands, ev, output)
+
+    SUPPORTED_FUNCS = {}  # populated below
+
+    def __array_function__(self, func, types, args, kwargs):
+        handler = Tracer.SUPPORTED_FUNCS.get(func)
+        if handler is None:
+            raise RuntimeError(
+                f"numpy function {func.__name__} is not supported on "
+                "encrypted values yet")
+        return handler(*args, **kwargs)
+
+    def sum(self, axis=None):
+        ev = lambda x: np.sum(x, axis=axis)  # noqa: E731
+        output = Tracer._infer_output("sum", ev, [self])
+        return Tracer._generic("sum", [self], ev, output, axis=axis)
+
+    def reshape(self, *shape):
+        if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
+            shape = tuple(shape[0])
+        ev = lambda x: np.reshape(x, shape)  # noqa: E731
+        output = Tracer._infer_output("reshape", ev, [self])
+        return Tracer._generic("reshape", [self], ev, output, shape=shape)
+
+    def flatten(self):
+        ev = lambda x: np.reshape(x, (-1,))  # noqa: E731
+        output = Tracer._infer_output("reshape", ev, [self])
+        return Tracer._generic("reshape", [self], ev, output, shape=(-1,))
+
+    @property
+    def shape(self):
+        return self.node.output.shape
+
+    @property
+    def ndim(self):
+        return len(self.node.output.shape)
+
+    @property
+    def size(self):
+        return self.node.output.size
+
+    def __len__(self):
+        if not self.node.output.shape:
+            raise TypeError("len() of unsized (scalar) encrypted value")
+        return self.node.output.shape[0]
+
+    def __bool__(self):
+        raise RuntimeError(
+            "cannot branch on an encrypted value: FHE circuits must be "
+            "data-independent (reference tracer rejects this too)")
+
+    def _comparison_not_ready(self, op):
+        raise RuntimeError(
+            f"comparison '{op}' on encrypted values lowers to TLU "
+            "strategies (reference mlir/context.py:880); not implemented yet "
+            "— use fhe.univariate for unary predicates")
+
+    def __gt__(self, other):
+        self._comparison_not_ready(">")
+
+    def __ge__(self, other):
+        self._comparison_not_ready(">=")
+
+    def __lt__(self, other):
+        self._comparison_not_ready("<")
+
+    def __le__(self, other):
+        self._comparison_not_ready("<=")
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    # -- trace entry point (reference tracer.py:36) ------------------------
+
+    @staticmethod
+    def trace(function: Callable, encryption_statuses: dict[str, str],
+              sample=None, name: str = None) -> Graph:
+        """Trace `function` into a Graph.  `sample` (one inputset element)
+        provides parameter shapes — the reference sizes parameters the same
+        way from the inputset (compilation/compiler.py)."""
+        sig = inspect.signature(function)
+        params = list(sig.parameters)
+        missing = set(params) - set(encryption_statuses)
+        if missing:
+            raise ValueError(
+                f"encryption status not specified for parameter(s) {missing}")
+        if sample is not None and not isinstance(sample, tuple):
+            sample = (sample,)
+        input_tracers: dict[int, Tracer] = {}
+        arg_list = []
+        for pos, pname in enumerate(params):
+            status = encryption_statuses[pname]
+            if sample is not None:
+                desc = ValueDescription.of(
+                    sample[pos], is_encrypted=(status == "encrypted"))
+            else:
+                desc = ValueDescription(dtype=None, shape=(),
+                                        is_encrypted=(status == "encrypted"))
+            node = Node.input(pname, desc)
+            t = Tracer(node, [])
+            input_tracers[pos] = t
+            arg_list.append(t)
+        result = function(*arg_list)
+        outputs = result if isinstance(result, tuple) else (result,)
+        outputs = tuple(Tracer.sanitize(o) for o in outputs)
+
+        g = nx.MultiDiGraph()
+        visited = set()
+
+        def add(t: Tracer):
+            if id(t) in visited:
+                return
+            visited.add(id(t))
+            g.add_node(t.node)
+            for idx, p in enumerate(t.predecessors):
+                add(p)
+                g.add_edge(p.node, t.node, input_idx=idx)
+
+        for t in outputs:
+            add(t)
+        for t in input_tracers.values():
+            g.add_node(t.node)
+
+        return Graph(
+            g,
+            input_nodes={p: t.node for p, t in input_tracers.items()},
+            output_nodes={i: t.node for i, t in enumerate(outputs)},
+            name=name or function.__name__)
+
+
+def _is_float(desc: ValueDescription) -> bool:
+    from concrete_tpu.dtypes import Float
+    return isinstance(desc.dtype, Float)
+
+
+def _np_sum(a, axis=None, **kw):
+    return a.sum(axis=axis)
+
+
+def _np_reshape(a, shape, **kw):
+    return a.reshape(shape)
+
+
+def _np_dot(a, b, **kw):
+    a = Tracer.sanitize(a)
+    b = Tracer.sanitize(b)
+    ev = lambda x, y: np.dot(x, y)  # noqa: E731
+    output = Tracer._infer_output("dot", ev, [a, b])
+    return Tracer._generic("dot", [a, b], ev, output)
+
+
+Tracer.SUPPORTED_FUNCS = {
+    np.sum: _np_sum,
+    np.reshape: _np_reshape,
+    np.dot: _np_dot,
+    np.matmul: lambda a, b, **kw: Tracer.sanitize(a).__matmul__(b),
+}

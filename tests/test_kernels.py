@@ -77,6 +77,35 @@ def test_negacyclic_limb_conv_exact():
             assert np.array_equal(got[b, c], want), (b, c)
 
 
+def test_negacyclic_banded_matmul_exact():
+    """Banded Toeplitz matmul path == schoolbook polymul mod 2^64."""
+    rng = np.random.default_rng(9)
+    n = 256  # exercises multi-block (nb=2) with block=128
+    cin, cout, batch = 2, 2, 3
+    base_log = 17
+    half = 1 << (base_log - 1)
+    digits = rng.integers(-half + 1, half + 1, (batch, cin, n)).astype(np.int32)
+    w = rng.integers(0, 1 << 64, (cin, cout, n), dtype=np.uint64)
+
+    a_limbs = lb.num_digit_limbs(base_log)
+    d_limbs = lb.i32_digits_to_balanced_i8(digits, a_limbs)     # (B,Cin,N,A)
+    ext = np.concatenate([np.uint64(0) - w[..., 1:], w], axis=-1)
+    vv = np.moveaxis(lb.u64_to_balanced_i8(ext), -1, -2)        # (Cin,Cout,8,2N-1)
+
+    planes = K.negacyclic_banded_matmul(jnp.asarray(d_limbs),
+                                        jnp.asarray(vv), 128)
+    got = np.asarray(lb.recombine_i32_planes_to_u64(
+        planes[:, :, :8, :], axis=-2))
+
+    for b in range(batch):
+        for c in range(cout):
+            want = np.zeros(n, dtype=np.uint64)
+            for i in range(cin):
+                want += ref.negacyclic_polymul(
+                    digits[b, i].astype(np.uint64), w[i, c])
+            assert np.array_equal(got[b, c], want), (b, c)
+
+
 def test_keyswitch_matches_oracle(keys):
     rng, sk, server = keys
     msgs = np.arange(8)
