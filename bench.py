@@ -55,7 +55,9 @@ def main() -> None:
 
     t0 = time.time()
     ksk = K.pack_ksk(server.ksk, params)
-    bsk = K.pack_bsk(server.bsk, params)
+    # dropping 2 low BSK limb planes adds ~2^-34 torus variance (see
+    # params.variance_bsk_limb_truncation) - negligible vs the 2^-16 budget
+    bsk = K.pack_bsk(server.bsk, params, truncate_limbs=2)
     lut = np.array([(3 * v + 1) % (1 << p_bits) for v in range(1 << p_bits)],
                    dtype=np.uint64)
     lut_poly = jnp.asarray(ref.encode_expand_lut(

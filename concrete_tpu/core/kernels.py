@@ -194,7 +194,8 @@ def negacyclic_banded_matmul(d_limbs, vv, block: int):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.tree_util.register_dataclass,
-                   data_fields=["planes"], meta_fields=["base_log", "levels"])
+                   data_fields=["planes"],
+                   meta_fields=["base_log", "levels", "truncate_limbs"])
 @dataclasses.dataclass(frozen=True)
 class LimbBSK:
     """Bootstrap key as negacyclically-extended int8 limb planes:
@@ -210,6 +211,7 @@ class LimbBSK:
     planes: jnp.ndarray
     base_log: int
     levels: int
+    truncate_limbs: int = 0
 
     @property
     def n_small(self) -> int:
@@ -226,13 +228,20 @@ class LimbKSK:
     levels: int
 
 
-def pack_bsk(bsk_u64: np.ndarray, params: CryptoParams) -> LimbBSK:
+def pack_bsk(bsk_u64: np.ndarray, params: CryptoParams,
+             truncate_limbs: int = 0) -> LimbBSK:
     """Preprocess a u64 BSK (n, l, k+1, k+1, N) into banded limb planes.
 
-    Output layout: (n, Cin, Cout, 8, 2N-1) where Cin = lev * (k+1) + r indexes
+    Output layout: (n, Cin, Cout, S, 2N-1) where Cin = lev * (k+1) + r indexes
     the decomposed accumulator rows and Cout the output GLWE component; the
     last axis is the negacyclic extension [-(w[1:]), w] (u64 negation first,
     then balanced limb split).
+
+    truncate_limbs: drop that many *low* limb planes of the BSK (S = 8 - t).
+    This trades a provably negligible extra noise term
+    (params.variance_bsk_limb_truncation) for ~25-30% fewer MXU MACs — the
+    exact-integer analog of the reference's f64-FFT precision loss
+    (fft_noise_variance), but with a much smaller, tunable magnitude.
     """
     bsk_u64 = np.asarray(bsk_u64)
     n, l, kp1, kp1_, big_n = bsk_u64.shape
@@ -241,8 +250,10 @@ def pack_bsk(bsk_u64: np.ndarray, params: CryptoParams) -> LimbBSK:
     limbs = np.moveaxis(lb.u64_to_balanced_i8(ext), -1, -2)     # (n,l,r,c,8,2N-1)
     # (n, Cin=l*r, Cout=c, 8, 2N-1): Cin index = lev * (k+1) + r
     limbs = limbs.reshape(n, l * kp1, kp1, 8, 2 * big_n - 1)
+    if truncate_limbs:
+        limbs = limbs[:, :, :, truncate_limbs:, :]
     return LimbBSK(planes=jnp.asarray(limbs), base_log=params.pbs_base_log,
-                   levels=params.pbs_level)
+                   levels=params.pbs_level, truncate_limbs=truncate_limbs)
 
 
 def pack_ksk(ksk_u64: np.ndarray, params: CryptoParams) -> LimbKSK:
@@ -316,7 +327,10 @@ def blind_rotate(ct_small, bsk: LimbBSK, lut_poly, params: CryptoParams):
         d_limbs = jnp.transpose(d_limbs, (0, 3, 1, 2, 4)).reshape(
             b_ct, l * (k + 1), n, a_limbs_n)
         planes = negacyclic_banded_matmul(d_limbs, w_vv, block)
-        ext = lb.recombine_i32_planes_to_u64(planes[:, :, :8, :], axis=-2)
+        keep = 8 - bsk.truncate_limbs
+        ext = lb.recombine_i32_planes_to_u64(
+            planes[:, :, :keep, :], axis=-2,
+            limb_offset=bsk.truncate_limbs)
         return acc + ext, None
 
     acc, _ = lax.scan(step, acc0, (a_t.T, bsk.planes))

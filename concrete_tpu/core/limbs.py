@@ -73,17 +73,19 @@ def num_digit_limbs(base_log: int) -> int:
     return -(-(base_log + 1) // 8)
 
 
-def recombine_i32_planes_to_u64(planes, axis: int = -1):
-    """sum_s planes[..., s] << (8 s)  (mod 2^64), planes int32 (sign-extended).
+def recombine_i32_planes_to_u64(planes, axis: int = -1,
+                                limb_offset: int = 0):
+    """sum_s planes[..., s] << (8 (s + limb_offset))  (mod 2^64).
 
-    `planes` must have its limb axis last (or pass `axis`); at most 8 planes
-    contribute mod 2^64.
+    `planes` are int32 (sign-extended); the limb axis is `axis`.  Only planes
+    with 8*(s + limb_offset) < 64 contribute mod 2^64.
     """
     xp = jnp if isinstance(planes, jnp.ndarray) else np
     planes = xp.moveaxis(planes, axis, -1)
-    num = min(planes.shape[-1], N_LIMBS_U64)
+    num = min(planes.shape[-1], N_LIMBS_U64 - limb_offset)
     out = None
     for s in range(num):
-        term = planes[..., s].astype(xp.int64).astype(xp.uint64) << xp.uint64(8 * s)
+        term = (planes[..., s].astype(xp.int64).astype(xp.uint64)
+                << xp.uint64(8 * (s + limb_offset)))
         out = term if out is None else out + term
     return out

@@ -134,6 +134,27 @@ def fft_noise_variance_external_product(glwe_dimension: int, polynomial_size: in
     return _mod_var_to_var(res, q_log)
 
 
+def variance_bsk_limb_truncation(in_lwe_dimension: int, glwe_dimension: int,
+                                 polynomial_size: int, log2_base: int,
+                                 level: int, truncate_limbs: int,
+                                 q_log: int = 64) -> float:
+    """Extra blind-rotate variance from dropping the lowest `truncate_limbs`
+    8-bit limb planes of the BSK in the banded-matmul kernel (our analog of
+    the reference's fft noise term, but exactly characterizable).
+
+    Per CMUX output coefficient the truncation error is
+    sum over (k+1)*l*N digit products of d * t with |d| <= 2^(B-1) and
+    t uniform-ish in [0, 2^(8*truncate_limbs)); variance ~= count * E[d^2] *
+    E[t^2] / q^2, summed over the n CMUXes of a blind rotation.
+    """
+    if truncate_limbs == 0:
+        return 0.0
+    count = (glwe_dimension + 1) * level * polynomial_size
+    e_d2 = (2.0 ** (log2_base - 1)) ** 2 / 3.0
+    e_t2 = (2.0 ** (8 * truncate_limbs)) ** 2 / 3.0
+    return in_lwe_dimension * count * e_d2 * e_t2 / 2.0 ** (2 * q_log)
+
+
 def variance_blind_rotate(in_lwe_dimension: int, glwe_dimension: int,
                           polynomial_size: int, log2_base: int, level: int,
                           variance_bsk: float, q_log: int = 64,

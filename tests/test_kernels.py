@@ -136,6 +136,30 @@ def test_blind_rotate_and_pbs_match_oracle(keys):
     assert np.array_equal(dec, (3 * msgs + 1) % 8)
 
 
+def test_truncated_bsk_pbs_correct(keys):
+    """With truncated BSK limbs results are no longer bit-exact vs the
+    oracle, but decrypted outputs stay correct and the added noise matches
+    the model bound."""
+    rng, sk, server = keys
+    from concrete_tpu.params import variance_bsk_limb_truncation
+    p = 3
+    lut = np.array([(3 * v + 1) % 8 for v in range(8)], dtype=np.uint64)
+    msgs = np.arange(8)
+    ct = ref.lwe_encrypt(rng, sk.lwe_big, ref.encode(msgs, p), P.lwe_std / 256)
+    ksk = K.pack_ksk(server.ksk, P)
+    bsk = K.pack_bsk(server.bsk, P, truncate_limbs=2)
+    lut_poly = ref.encode_expand_lut(lut, P.polynomial_size, p)
+    got = np.asarray(K.pbs_batch(jnp.asarray(ct), ksk, bsk,
+                                 jnp.asarray(lut_poly), P, p))
+    dec = ref.decode(ref.lwe_decrypt(sk.lwe_big, got), p)
+    assert np.array_equal(dec, (3 * msgs + 1) % 8)
+    var = variance_bsk_limb_truncation(
+        P.n_small, P.glwe_dimension, P.polynomial_size, P.pbs_base_log,
+        P.pbs_level, 2)
+    # truncation noise stays far below a quarter encoding step
+    assert np.sqrt(var) < 2.0 ** -(p + 4)
+
+
 def test_pbs_signed_matches_oracle(keys):
     rng, sk, server = keys
     p = 3
