@@ -22,8 +22,9 @@ from concrete_tpu.version import __version__
 from concrete_tpu.compilation import (Circuit, Client, Compiler,
                                       Configuration, Keys, Server, compiler)
 from concrete_tpu.compilation.configuration import ParameterSelectionStrategy
-from concrete_tpu.extensions import (LookupTable, constant, identity, one,
-                                     ones, refresh, univariate, zero, zeros)
+from concrete_tpu.extensions import (LookupTable, constant, identity,
+                                     multivariate, one, ones, refresh,
+                                     univariate, zero, zeros)
 from concrete_tpu.params import CryptoParams
 from concrete_tpu.tracing import Tracer
 
@@ -31,6 +32,6 @@ __all__ = [
     "__version__",
     "Circuit", "Client", "Compiler", "Configuration", "Keys", "Server",
     "compiler", "ParameterSelectionStrategy", "CryptoParams", "Tracer",
-    "LookupTable", "univariate", "constant", "identity", "refresh",
+    "LookupTable", "univariate", "multivariate", "constant", "identity", "refresh",
     "zero", "zeros", "one", "ones",
 ]

@@ -42,6 +42,8 @@ class Compiler:
         graph = Tracer.trace(self.function,
                              self.parameter_encryption_statuses,
                              sample=sample, name=self.function.__name__)
+        from concrete_tpu.compilation.transforms import run_default_transforms
+        run_default_transforms(graph)
         graph.measure_bounds(inputset)
         graph.update_dtypes_from_bounds()
 

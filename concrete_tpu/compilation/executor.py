@@ -81,6 +81,54 @@ def _materialize_table(node: Node, p: int, params: CryptoParams) -> TluSpec:
                    signed_input=in_node_signed)
 
 
+@dataclasses.dataclass
+class MultivariateSpec:
+    """A packed n-operand TLU: bias/shift per operand + expanded LUT.
+
+    packed = sum_i (x_i - min_i) << offset_i; table indexed by the packed
+    value (reference packing lowering, mlir/context.py:1325).
+    """
+    node_uid: int
+    mins: list[int]
+    offsets: list[int]
+    widths: list[int]
+    lut_poly: np.ndarray
+
+
+def packed_layout(graph: Graph, node: Node):
+    """(mins, widths, offsets) for a multivariate node's operands, from
+    measured bounds; offsets are bit positions, operand 0 most significant."""
+    preds = graph.ordered_preds_of(node)
+    mins, widths = [], []
+    for pr in preds:
+        lo, hi = pr.bounds
+        mins.append(lo)
+        widths.append(max(int(hi - lo).bit_length(), 1))
+    offsets = []
+    acc = 0
+    for w in reversed(widths):
+        offsets.append(acc)
+        acc += w
+    offsets = list(reversed(offsets))
+    return mins, widths, offsets
+
+
+def _materialize_multivariate(graph: Graph, node: Node, p: int,
+                              params: CryptoParams) -> MultivariateSpec:
+    fn = node.properties["kwargs"]["function"]
+    mins, widths, offsets = packed_layout(graph, node)
+    idx = np.arange(1 << p)
+    operands = []
+    for mn, w, off in zip(mins, widths, offsets):
+        operands.append(((idx >> off) & ((1 << w) - 1)) + mn)
+    lut_vals = np.vectorize(fn, otypes=[np.int64])(*operands)
+    lut_enc = lut_vals & ((1 << (p + 1)) - 1)
+    lut_poly = ref.encode_expand_lut(
+        lut_enc.astype(np.uint64), params.polynomial_size, p, signed=False)
+    return MultivariateSpec(node_uid=node.uid, mins=mins, offsets=offsets,
+                            widths=widths, lut_poly=lut_poly)
+
+
 class GraphExecutor:
     """Compile-time lowering of a Graph to a jittable evaluation function."""
 
@@ -89,9 +137,13 @@ class GraphExecutor:
         self.params = params
         self.p = p
         self.tlu_specs: dict[int, TluSpec] = {}
+        self.multivariate_specs: dict[int, MultivariateSpec] = {}
         for node in graph.topological_order():
             if node.name in ("tlu", "univariate"):
                 self.tlu_specs[node.uid] = _materialize_table(node, p, params)
+            elif node.name == "multivariate":
+                self.multivariate_specs[node.uid] = _materialize_multivariate(
+                    graph, node, p, params)
 
     # -- helpers -----------------------------------------------------------
 
@@ -205,6 +257,22 @@ class GraphExecutor:
                 flat = ct.reshape((-1, ct.shape[-1]))
                 out = kn.pbs_batch(flat, ksk, bsk, lut_poly, params, self.p,
                                    signed=spec.signed_input)
+                values[node] = out.reshape(shape + (out.shape[-1],))
+            elif name == "multivariate":
+                spec = self.multivariate_specs[node.uid]
+                packed = None
+                bias = 0
+                for ct, mn, off in zip(args, spec.mins, spec.offsets):
+                    term = ct * jnp.uint64(1 << off)
+                    packed = term if packed is None else packed + term
+                    bias += mn << off
+                packed = packed.at[..., -1].add(
+                    jnp.uint64(0) - self._encode_clear(bias))
+                lut_poly = lut_polys[node.uid]
+                shape = packed.shape[:-1]
+                flat = packed.reshape((-1, packed.shape[-1]))
+                out = kn.pbs_batch(flat, ksk, bsk, lut_poly, params, self.p,
+                                   signed=False)
                 values[node] = out.reshape(shape + (out.shape[-1],))
             elif name == "index":
                 index = node.properties["kwargs"]["index"]

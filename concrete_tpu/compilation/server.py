@@ -48,6 +48,9 @@ class Server:
                 else np.asarray(arg)
         lut_polys = {uid: jnp.asarray(s.lut_poly)
                      for uid, s in self._executor.tlu_specs.items()}
+        lut_polys.update({uid: jnp.asarray(s.lut_poly)
+                          for uid, s in
+                          self._executor.multivariate_specs.items()})
         if self._jitted is None:
             ex = self._executor
 

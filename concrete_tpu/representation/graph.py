@@ -88,7 +88,8 @@ class Graph:
                                    max(node.bounds[1], hi))
 
     def update_dtypes_from_bounds(self) -> None:
-        """Assign each node's Integer dtype from measured bounds."""
+        """Assign each node's Integer dtype from measured bounds (and refresh
+        every node's view of its predecessors' descriptions)."""
         for node in self.topological_order():
             if node.bounds is None:
                 raise RuntimeError(
@@ -98,15 +99,26 @@ class Graph:
             node.output = type(node.output)(
                 dtype=dtype, shape=node.output.shape,
                 is_encrypted=node.output.is_encrypted)
+        for node in self.topological_order():
+            preds = self.ordered_preds_of(node)
+            if preds:
+                node.inputs = [p.output for p in preds]
 
     @property
     def max_bit_width(self) -> int:
-        """Mono-keyset precision: max over encrypted nodes."""
+        """Mono-keyset precision: max over encrypted nodes (multivariate
+        nodes count their packed operand width)."""
         width = 1
         for node in self.graph.nodes:
             if node.output.is_encrypted and isinstance(node.output.dtype,
                                                        Integer):
                 width = max(width, node.output.dtype.bit_width)
+            if node.name == "multivariate":
+                packed = 0
+                for pr in self.ordered_preds_of(node):
+                    lo, hi = pr.bounds
+                    packed += max(int(hi - lo).bit_length(), 1)
+                width = max(width, packed)
         return width
 
     # -- MANP (norm2) analysis ---------------------------------------------
@@ -129,6 +141,16 @@ class Graph:
             elif name in ("tlu", "univariate"):
                 worst = max(worst, *(manp[p] for p in preds if
                                      p.output.is_encrypted), 1)
+                manp[node] = 1
+            elif name == "multivariate":
+                # packed = sum (x_i - min_i) << off_i: scaled norms add
+                packed_manp = 0
+                acc_off = 0
+                for pr in reversed(preds):
+                    lo, hi = pr.bounds
+                    packed_manp += manp[pr] * (1 << acc_off) ** 2
+                    acc_off += max(int(hi - lo).bit_length(), 1)
+                worst = max(worst, packed_manp)
                 manp[node] = 1
             elif name in ("add", "subtract"):
                 s = sum(manp[p] for p in preds if p.output.is_encrypted)

@@ -116,6 +116,8 @@ class Tracer:
     }
 
     def __array_ufunc__(self, ufunc, method, *args, **kwargs):
+        if method == "__call__" and ufunc in Tracer.UFUNC_BUILDERS:
+            return Tracer.UFUNC_BUILDERS[ufunc](*args)
         if method != "__call__" or ufunc not in Tracer.SUPPORTED_UFUNCS:
             raise RuntimeError(
                 f"numpy ufunc {ufunc.__name__} is not supported on encrypted "
@@ -174,23 +176,93 @@ class Tracer:
             "cannot branch on an encrypted value: FHE circuits must be "
             "data-independent (reference tracer rejects this too)")
 
-    def _comparison_not_ready(self, op):
-        raise RuntimeError(
-            f"comparison '{op}' on encrypted values lowers to TLU "
-            "strategies (reference mlir/context.py:880); not implemented yet "
-            "— use fhe.univariate for unary predicates")
+    # comparisons: the reference's "subtraction trick" strategy
+    # (mlir/context.py:700): compare via the sign of x - y, one TLU over a
+    # signed (p+1)-bit difference.
+
+    def _comparison(self, other, predicate, name):
+        diff = self - other
+        ev_fn = predicate
+
+        def evaluator(v):
+            return ev_fn(np.asarray(v)).astype(np.int64)
+
+        output = Tracer._infer_output(name, evaluator, [diff])
+        return Tracer._generic("univariate", [diff], evaluator, output,
+                               function=lambda v: int(ev_fn(np.asarray(v))))
 
     def __gt__(self, other):
-        self._comparison_not_ready(">")
+        return self._comparison(other, lambda d: d > 0, "greater")
 
     def __ge__(self, other):
-        self._comparison_not_ready(">=")
+        return self._comparison(other, lambda d: d >= 0, "greater_equal")
 
     def __lt__(self, other):
-        self._comparison_not_ready("<")
+        return self._comparison(other, lambda d: d < 0, "less")
 
     def __le__(self, other):
-        self._comparison_not_ready("<=")
+        return self._comparison(other, lambda d: d <= 0, "less_equal")
+
+    def __eq__(self, other):  # noqa: A003
+        return self._comparison(other, lambda d: d == 0, "equal")
+
+    def __ne__(self, other):
+        return self._comparison(other, lambda d: d != 0, "not_equal")
+
+    __hash__ = object.__hash__
+
+    # bitwise: packed two-operand TLU (reference bitwise strategies,
+    # mlir/context.py chunked/packed lowering)
+
+    def _bitwise(self, other, fn, name):
+        from concrete_tpu.extensions.multivariate import multivariate
+        other = Tracer.sanitize(other)
+        if not other.node.output.is_encrypted and \
+                other.node.operation == Operation.Constant:
+            const = other.node.properties["constant"]
+            return Tracer._generic(
+                "univariate", [self],
+                lambda x: fn(np.asarray(x), const).astype(np.int64),
+                Tracer._infer_output(name, lambda x: fn(np.asarray(x), const),
+                                     [self]),
+                function=lambda v: int(fn(np.int64(v), const)))
+        return multivariate(lambda a, b: int(fn(np.int64(a), np.int64(b))))(
+            self, other)
+
+    def __and__(self, other):
+        return self._bitwise(other, np.bitwise_and, "bitwise_and")
+
+    def __rand__(self, other):
+        return self._bitwise(other, np.bitwise_and, "bitwise_and")
+
+    def __or__(self, other):
+        return self._bitwise(other, np.bitwise_or, "bitwise_or")
+
+    def __ror__(self, other):
+        return self._bitwise(other, np.bitwise_or, "bitwise_or")
+
+    def __xor__(self, other):
+        return self._bitwise(other, np.bitwise_xor, "bitwise_xor")
+
+    def __rxor__(self, other):
+        return self._bitwise(other, np.bitwise_xor, "bitwise_xor")
+
+    def __rshift__(self, other):
+        if isinstance(other, Tracer):
+            from concrete_tpu.extensions.multivariate import multivariate
+            return multivariate(lambda a, b: int(a) >> int(b))(self, other)
+        k = int(other)
+        return Tracer._generic(
+            "univariate", [self], lambda x: np.asarray(x) >> k,
+            Tracer._infer_output("right_shift", lambda x: np.asarray(x) >> k,
+                                 [self]),
+            function=lambda v: int(v) >> k)
+
+    def __lshift__(self, other):
+        if isinstance(other, Tracer):
+            from concrete_tpu.extensions.multivariate import multivariate
+            return multivariate(lambda a, b: int(a) << int(b))(self, other)
+        return self * (1 << int(other))
 
     def __iter__(self):
         for i in range(len(self)):
@@ -274,6 +346,38 @@ def _np_dot(a, b, **kw):
     output = Tracer._infer_output("dot", ev, [a, b])
     return Tracer._generic("dot", [a, b], ev, output)
 
+
+def _relu_diff(x, y):
+    """relu(x - y) as one TLU over the signed difference."""
+    diff = Tracer.sanitize(x) - Tracer.sanitize(y)
+    ev = lambda v: np.maximum(np.asarray(v), 0)  # noqa: E731
+    output = Tracer._infer_output("relu", ev, [diff])
+    return Tracer._generic("univariate", [diff], ev, output,
+                           function=lambda v: max(int(v), 0))
+
+
+def _np_maximum(x, y):
+    """max(x, y) = y + relu(x - y) (reference FHEMaxTransform semantics)."""
+    return Tracer.sanitize(y) + _relu_diff(x, y)
+
+
+def _np_minimum(x, y):
+    return Tracer.sanitize(x) - _relu_diff(x, y)
+
+
+Tracer.UFUNC_BUILDERS = {
+    np.maximum: _np_maximum,
+    np.minimum: _np_minimum,
+    np.greater: lambda x, y: Tracer.sanitize(x).__gt__(y),
+    np.greater_equal: lambda x, y: Tracer.sanitize(x).__ge__(y),
+    np.less: lambda x, y: Tracer.sanitize(x).__lt__(y),
+    np.less_equal: lambda x, y: Tracer.sanitize(x).__le__(y),
+    np.equal: lambda x, y: Tracer.sanitize(x).__eq__(y),
+    np.not_equal: lambda x, y: Tracer.sanitize(x).__ne__(y),
+    np.bitwise_and: lambda x, y: Tracer.sanitize(x).__and__(y),
+    np.bitwise_or: lambda x, y: Tracer.sanitize(x).__or__(y),
+    np.bitwise_xor: lambda x, y: Tracer.sanitize(x).__xor__(y),
+}
 
 Tracer.SUPPORTED_FUNCS = {
     np.sum: _np_sum,

@@ -202,3 +202,83 @@ def test_optimizer_params_compile_path():
     # real keygen for the optimized params is too slow for unit tests on CPU;
     # parameter sanity is checked instead
     assert p.n_small >= 450
+
+
+def test_encrypted_multiplication():
+    """enc x enc multiply lowers to two TLUs (EncryptedMulToDoubleTLU)."""
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def f(x, y):
+        return x * y
+
+    inputset = [(i, j) for i in range(4) for j in range(4)]
+    circuit = f.compile(inputset, CFG)
+    assert circuit.programmable_bootstrap_count == 2
+    for x, y in ((2, 3), (0, 3), (3, 3)):
+        check_execution(circuit, lambda a, b: a * b, x, y, retries=3)
+
+
+def test_encrypted_multiplication_signed_operand():
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def f(x, y):
+        return (x - 1) * y
+
+    inputset = [(i, j) for i in range(3) for j in range(3)]
+    circuit = f.compile(inputset, CFG)
+    check_execution(circuit, lambda a, b: (a - 1) * b, 0, 2, retries=3)
+    check_execution(circuit, lambda a, b: (a - 1) * b, 2, 2, retries=3)
+
+
+def test_comparisons():
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def f(x, y):
+        return x > y, x <= y, x == y
+
+    inputset = [(i, j) for i in range(4) for j in range(4)]
+    circuit = f.compile(inputset, CFG)
+    for x, y in ((1, 3), (3, 1), (2, 2)):
+        got = circuit.encrypt_run_decrypt(x, y)
+        assert tuple(int(v) for v in got) == (x > y, x <= y, x == y), (x, y)
+
+
+def test_maximum_minimum():
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def f(x, y):
+        return np.maximum(x, y) + np.minimum(x, y)
+
+    inputset = [(i, j) for i in range(4) for j in range(4)]
+    circuit = f.compile(inputset, CFG)
+    check_execution(circuit, lambda x, y: x + y, 1, 3, retries=3)
+    check_execution(circuit, lambda x, y: x + y, 3, 0, retries=3)
+
+
+def test_bitwise():
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def f(x, y):
+        return x & y, x | y, x ^ y
+
+    inputset = [(i, j) for i in range(4) for j in range(4)]
+    circuit = f.compile(inputset, CFG)
+    for x, y in ((1, 3), (2, 3)):
+        got = circuit.encrypt_run_decrypt(x, y)
+        assert tuple(int(v) for v in got) == (x & y, x | y, x ^ y), (x, y)
+
+
+def test_multivariate_extension():
+    from concrete_tpu.extensions.multivariate import multivariate
+
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def f(x, y):
+        return multivariate(lambda a, b: (a % (b + 1)))(x, y)
+
+    inputset = [(i, j) for i in range(4) for j in range(4)]
+    circuit = f.compile(inputset, CFG)
+    check_execution(circuit, lambda x, y: x % (y + 1), 3, 1, retries=3)
+
+
+def test_shift_by_clear():
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return (x >> 1) + (x << 1)
+
+    circuit = f.compile(range(4), CFG)
+    check_execution(circuit, lambda x: (x >> 1) + (x << 1), 3, retries=3)
