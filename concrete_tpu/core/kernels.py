@@ -163,27 +163,37 @@ def negacyclic_banded_matmul(d_limbs, vv, block: int):
              (recombine planes [0, 8) mod 2^64).
     """
     b_ct, cin, n, a_limbs = d_limbs.shape
-    cin2, cout, s_limbs, _ = vv.shape
-    assert cin == cin2
+    lhs_list = [d_limbs[..., a].reshape(b_ct, cin * n)
+                for a in range(a_limbs)]
+    return negacyclic_banded_matmul_planes(lhs_list, vv, block)
+
+
+def negacyclic_banded_matmul_planes(lhs_list, vv, block: int):
+    """Core of the banded matmul: lhs_list[a] is the (B, Cin*N) int8 plane of
+    digit limb a; vv as in negacyclic_banded_matmul."""
+    a_limbs = len(lhs_list)
+    b_ct = lhs_list[0].shape[0]
+    cin, cout, s_limbs, two_n_m1 = vv.shape
+    n = (two_n_m1 + 1) // 2
     nb = n // block
     assert n % block == 0
-    # M: (Cin, r=block, Cout, 8, (2*nb-1)*block) sliding windows of vv
+    # M: (Cin, r=block, Cout, S, (2*nb-1)*block) sliding windows of vv
     width = (2 * nb - 1) * block
     m = jnp.stack([
         lax.slice_in_dim(vv, block - 1 - r, block - 1 - r + width, axis=-1)
-        for r in range(block)], axis=1)                      # (Cin, r, Cout, 8, width)
+        for r in range(block)], axis=1)                      # (Cin, r, Cout, S, width)
     planes = jnp.zeros((b_ct, cout, s_limbs + a_limbs - 1, nb, block),
                        dtype=jnp.int32)
     for j_blk in range(nb):
-        # rhs: stack the nb band slices (band = J - I) -> (Cin, I, r, Cout, 8, t)
+        # rhs: stack the nb band slices (band = J - I) -> (Cin, I, r, Cout, S, t)
         rhs = jnp.stack([
             lax.slice_in_dim(m, (j_blk - i_blk + nb - 1) * block,
                              (j_blk - i_blk + nb - 1) * block + block, axis=-1)
             for i_blk in range(nb)], axis=1)
         rhs = rhs.reshape(cin * nb * block, cout * s_limbs * block)
         for a in range(a_limbs):
-            lhs = d_limbs[..., a].reshape(b_ct, cin * nb * block)
-            out = jnp.matmul(lhs, rhs, preferred_element_type=jnp.int32)
+            out = jnp.matmul(lhs_list[a], rhs,
+                             preferred_element_type=jnp.int32)
             out = out.reshape(b_ct, cout, s_limbs, block)
             planes = planes.at[:, :, a:a + s_limbs, j_blk, :].add(out)
     return planes.reshape(b_ct, cout, s_limbs + a_limbs - 1, n)
@@ -298,9 +308,77 @@ def keyswitch(ct, ksk: LimbKSK):
 # Blind rotation (batched scan over the small LWE dimension)
 # ---------------------------------------------------------------------------
 
-def blind_rotate(ct_small, bsk: LimbBSK, lut_poly, params: CryptoParams):
+def _use_pallas_default() -> bool:
+    return jax.default_backend() not in ("cpu",)
+
+
+def blind_rotate(ct_small, bsk: LimbBSK, lut_poly, params: CryptoParams,
+                 use_pallas: bool = None):
     """Batched blind rotation: (B, n+1) u64, LUT poly (N,) u64 ->
-    accumulator (B, k+1, N) u64."""
+    accumulator (B, k+1, N) u64.
+
+    use_pallas: run the elementwise phases (rotate/decompose/limb-split and
+    recombine/accumulate) as fused Pallas u32-pair kernels, keeping the
+    accumulator in (lo, hi) planes across the scan.  Default: on for TPU
+    backends, off for CPU (Pallas CPU needs interpret mode).
+    """
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+    if use_pallas:
+        return _blind_rotate_pallas(ct_small, bsk, lut_poly, params)
+    return _blind_rotate_xla(ct_small, bsk, lut_poly, params)
+
+
+def _blind_rotate_pallas(ct_small, bsk: LimbBSK, lut_poly,
+                         params: CryptoParams):
+    from concrete_tpu.ops import pallas_step as ps
+    b_ct = ct_small.shape[0]
+    n = params.polynomial_size
+    k = params.glwe_dimension
+    l = params.pbs_level
+    kp1 = k + 1
+    switched = modulus_switch(ct_small, params.log2_polynomial_size)
+    a_t = switched[:, :-1]
+    b_t = switched[:, -1]
+    body0 = monomial_mul_rolls(
+        jnp.broadcast_to(lut_poly, (b_ct, 1, n)), (2 * n - b_t) % (2 * n))
+    acc0 = jnp.zeros((b_ct, kp1, n), dtype=U64).at[:, k, :].set(
+        body0[:, 0, :])
+    lo0, hi0 = ps.split_u64(acc0.reshape(b_ct * kp1, n))
+
+    a_limbs_n = lb.num_digit_limbs(params.pbs_base_log)
+    block = min(128, n)
+    keep = 8 - bsk.truncate_limbs
+
+    def step(carry, xs):
+        lo, hi = carry                                       # (B*(k+1), N) u32
+        a_j, w_vv = xs
+        a_rows = jnp.repeat(a_j, kp1, total_repeat_length=b_ct * kp1)
+        d_planes = ps.rotate_decompose_limbs(
+            lo, hi, a_rows, base_log=params.pbs_base_log, levels=l,
+            a_limbs=a_limbs_n)
+        # lhs per digit limb a: (B, Cin*N), Cin = lev*(k+1)+r
+        lhs_list = []
+        for a in range(a_limbs_n):
+            if l == 1:
+                lhs = d_planes[a].reshape(b_ct, kp1 * n)
+            else:
+                lhs = jnp.concatenate(
+                    [d_planes[lev * a_limbs_n + a].reshape(b_ct, kp1, n)
+                     for lev in range(l)], axis=1).reshape(b_ct, l * kp1 * n)
+            lhs_list.append(lhs)
+        planes = negacyclic_banded_matmul_planes(lhs_list, w_vv, block)
+        planes = planes[:, :, :keep, :].reshape(b_ct * kp1, keep, n)
+        lo2, hi2 = ps.recombine_accumulate(
+            planes, lo, hi, limb_offset=bsk.truncate_limbs)
+        return (lo2, hi2), None
+
+    (lo, hi), _ = lax.scan(step, (lo0, hi0), (a_t.T, bsk.planes))
+    return ps.merge_u64(lo, hi).reshape(b_ct, kp1, n)
+
+
+def _blind_rotate_xla(ct_small, bsk: LimbBSK, lut_poly, params: CryptoParams):
+    """XLA-only variant (CPU tests, reference for the Pallas path)."""
     b_ct = ct_small.shape[0]
     n = params.polynomial_size
     k = params.glwe_dimension
