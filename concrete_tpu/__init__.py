@@ -22,9 +22,13 @@ from concrete_tpu.version import __version__
 from concrete_tpu.compilation import (Circuit, Client, Compiler,
                                       Configuration, Keys, Server, compiler)
 from concrete_tpu.compilation.configuration import ParameterSelectionStrategy
-from concrete_tpu.extensions import (LookupTable, constant, identity,
-                                     multivariate, one, ones, refresh,
-                                     univariate, zero, zeros)
+from concrete_tpu.extensions import (AutoRounder, AutoTruncator, LookupTable,
+                                     bits, constant, conv, hint, identity,
+                                     if_then_else, maxpool, multivariate, mux,
+                                     one, ones, refresh, relu,
+                                     round_bit_pattern, tag,
+                                     truncate_bit_pattern, univariate, zero,
+                                     zeros)
 from concrete_tpu.params import CryptoParams
 from concrete_tpu.tracing import Tracer
 
@@ -32,6 +36,9 @@ __all__ = [
     "__version__",
     "Circuit", "Client", "Compiler", "Configuration", "Keys", "Server",
     "compiler", "ParameterSelectionStrategy", "CryptoParams", "Tracer",
-    "LookupTable", "univariate", "multivariate", "constant", "identity", "refresh",
-    "zero", "zeros", "one", "ones",
+    "LookupTable", "univariate", "multivariate", "constant", "identity",
+    "refresh", "zero", "zeros", "one", "ones",
+    "AutoRounder", "AutoTruncator", "round_bit_pattern",
+    "truncate_bit_pattern", "bits", "if_then_else", "mux", "relu",
+    "conv", "maxpool", "tag", "hint",
 ]

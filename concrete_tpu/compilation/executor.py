@@ -274,6 +274,37 @@ class GraphExecutor:
                 out = kn.pbs_batch(flat, ksk, bsk, lut_poly, params, self.p,
                                    signed=False)
                 values[node] = out.reshape(shape + (out.shape[-1],))
+            elif name == "conv":
+                kw = node.properties["kwargs"]
+                w = np.asarray(kw["weight"], dtype=np.int64).astype(np.uint64)
+                bias = kw.get("bias")
+                sh, sw = kw["strides"]
+                ph, pw = kw["padding"]
+                ct = args[0]                     # (n, c, h, w, d)
+                o, i, kh, kwid = w.shape
+                nb, c, h, wdt, d = ct.shape
+                if ph or pw:
+                    ct = jnp.pad(ct, ((0, 0), (0, 0), (ph, ph), (pw, pw),
+                                      (0, 0)))
+                oh = (h + 2 * ph - kh) // sh + 1
+                ow = (wdt + 2 * pw - kwid) // sw + 1
+                w_j = jnp.asarray(w)
+                rows = []
+                for yy in range(oh):
+                    cols = []
+                    for xx in range(ow):
+                        patch = ct[:, :, yy * sh:yy * sh + kh,
+                                   xx * sw:xx * sw + kwid, :]
+                        cols.append(jnp.einsum("ncijd,ocij->nod", patch, w_j))
+                    rows.append(jnp.stack(cols, axis=2))
+                out = jnp.stack(rows, axis=2)    # (n, o, oh, ow, d)
+                if bias is not None:
+                    enc_b = self._encode_clear(
+                        np.asarray(bias, dtype=np.int64))
+                    out = out.at[..., -1].add(enc_b[None, :, None, None])
+                values[node] = out
+            elif name == "hint":
+                values[node] = args[0]
             elif name == "index":
                 index = node.properties["kwargs"]["index"]
                 values[node] = args[0][index]
