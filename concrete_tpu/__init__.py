@@ -20,7 +20,8 @@ Quickstart (mirrors the reference README):
 from concrete_tpu.version import __version__
 
 from concrete_tpu.compilation import (Circuit, Client, Compiler,
-                                      Configuration, Keys, Server, compiler)
+                                      Configuration, Keys, Server, compiler,
+                                      function, module)
 from concrete_tpu.compilation.configuration import ParameterSelectionStrategy
 from concrete_tpu.extensions import (AutoRounder, AutoTruncator, LookupTable,
                                      bits, constant, conv, hint, identity,
@@ -35,7 +36,8 @@ from concrete_tpu.tracing import Tracer
 __all__ = [
     "__version__",
     "Circuit", "Client", "Compiler", "Configuration", "Keys", "Server",
-    "compiler", "ParameterSelectionStrategy", "CryptoParams", "Tracer",
+    "compiler", "function", "module", "ParameterSelectionStrategy",
+    "CryptoParams", "Tracer",
     "LookupTable", "univariate", "multivariate", "constant", "identity",
     "refresh", "zero", "zeros", "one", "ones",
     "AutoRounder", "AutoTruncator", "round_bit_pattern",

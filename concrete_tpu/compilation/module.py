@@ -1,0 +1,164 @@
+"""Multi-function modules with composition.
+
+Reference: frontends/concrete-python/concrete/fhe/compilation/module.py
+(FheModule/FheFunction, ExecutionRt) and module_compiler.py (ModuleCompiler
+with @fhe.function methods).  All functions of a module share one keyset and
+one (mono) encoding, so any function's encrypted output can feed any
+function's encrypted input without decryption (the reference's composition
+rules; we implement the AllComposable policy).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+from concrete_tpu.compilation.circuit import Circuit
+from concrete_tpu.compilation.client import Client
+from concrete_tpu.compilation.configuration import Configuration
+from concrete_tpu.compilation.keys import Keys
+from concrete_tpu.compilation.server import Server
+from concrete_tpu.compilation.specs import ClientSpecs
+from concrete_tpu.compilation.transforms import run_default_transforms
+from concrete_tpu.optimizer import optimize_v0
+from concrete_tpu.tracing import Tracer
+
+
+class FunctionDef:
+    """One function of a module (reference module_compiler.py:34)."""
+
+    def __init__(self, function: Callable, statuses: dict[str, str]):
+        self.function = function
+        self.statuses = statuses
+        self.graph = None
+
+    def trace_and_measure(self, inputset):
+        inputset = list(inputset)
+        graph = Tracer.trace(self.function, self.statuses,
+                             sample=inputset[0],
+                             name=self.function.__name__)
+        run_default_transforms(graph)
+        graph.measure_bounds(inputset)
+        graph.update_dtypes_from_bounds()
+        self.graph = graph
+        return graph
+
+
+def function(statuses: dict[str, str]):
+    """Marks a module method as an FHE function (reference @fhe.function)."""
+
+    def decorator(fn):
+        fn._fhe_function = FunctionDef(fn, statuses)
+        return fn
+
+    return decorator
+
+
+class FheFunction:
+    """A compiled module function: run/encrypt/decrypt via the shared keys."""
+
+    def __init__(self, name: str, graph, specs: ClientSpecs, client: Client):
+        self.name = name
+        self.graph = graph
+        self.client_specs = specs
+        self.client = client
+        self.server = Server(graph, specs)
+
+    def encrypt(self, *args):
+        return self.client.encrypt(*args)
+
+    def run(self, *args):
+        self.client.keygen()
+        outs = self.server.run(*args,
+                               evaluation_keys=self.client.keys.evaluation)
+        return outs if len(outs) != 1 else outs[0]
+
+    def decrypt(self, *results):
+        return self.client.decrypt(*results)
+
+    def encrypt_run_decrypt(self, *args):
+        enc = self.encrypt(*args)
+        if len(self.client_specs.inputs) == 1:
+            enc = (enc,)
+        res = self.run(*enc)
+        if len(self.client_specs.outputs) == 1:
+            return self.decrypt(res)
+        return self.decrypt(*res)
+
+
+class FheModule:
+    """A set of compiled functions sharing one keyset (composable)."""
+
+    def __init__(self, functions: dict[str, FheFunction], keys: Keys):
+        self._functions = functions
+        self.keys = keys
+
+    def __getattr__(self, name):
+        fns = object.__getattribute__(self, "_functions")
+        if name in fns:
+            return fns[name]
+        raise AttributeError(name)
+
+    @property
+    def function_names(self):
+        return list(self._functions)
+
+    def keygen(self, force: bool = False, seed: Optional[int] = None):
+        self.keys.generate(seed) if (force or not self.keys.are_generated) \
+            else None
+
+
+class ModuleCompiler:
+    def __init__(self, cls):
+        self.cls = cls
+        self.functions: dict[str, FunctionDef] = {}
+        for attr in dir(cls):
+            fn = getattr(cls, attr)
+            fdef = getattr(fn, "_fhe_function", None)
+            if fdef is not None:
+                self.functions[attr] = fdef
+
+    def compile(self, inputsets: dict[str, list],
+                configuration: Optional[Configuration] = None,
+                **kwargs) -> FheModule:
+        config = configuration or Configuration()
+        if kwargs:
+            config = config.fork(**kwargs)
+        graphs = {}
+        p = 1
+        norm2 = 1
+        for name, fdef in self.functions.items():
+            if name not in inputsets:
+                raise ValueError(f"no inputset for module function '{name}'")
+            g = fdef.trace_and_measure(inputsets[name])
+            graphs[name] = g
+            p = max(p, g.max_bit_width)
+            norm2 = max(norm2, g.max_norm2())
+        if config.forced_parameters is not None:
+            params = config.forced_parameters
+        else:
+            params = optimize_v0(p, norm2=norm2,
+                                 p_error=config.p_error or 6.3e-5,
+                                 security_level=config.security_level)
+        keys = Keys(params)
+        client0 = None
+        functions = {}
+        for name, g in graphs.items():
+            specs = ClientSpecs(
+                params=params, message_bits=p,
+                inputs=[n.output for n in g.ordered_inputs],
+                outputs=[n.output for n in g.ordered_outputs])
+            client = Client(specs, keys)
+            client0 = client0 or client
+            functions[name] = FheFunction(name, g, specs, client)
+        return FheModule(functions, keys)
+
+
+def module():
+    """The @fhe.module() class decorator (reference decorators.py)."""
+
+    def decorator(cls):
+        return ModuleCompiler(cls)
+
+    return decorator

@@ -290,3 +290,26 @@ def test_shift_by_clear():
 
     circuit = f.compile(range(4), CFG)
     check_execution(circuit, lambda x: (x >> 1) + (x << 1), 3, retries=3)
+
+
+def test_module_composition():
+    """Multi-function module: one keyset, outputs feed inputs (composition)."""
+    @fhe.module()
+    class Counter:
+        @fhe.function({"x": "encrypted"})
+        def inc(x):
+            return x + 1
+
+        @fhe.function({"x": "encrypted"})
+        def double(x):
+            table = fhe.LookupTable([(2 * v) % 16 for v in range(16)])
+            return table[x]
+
+    mod = Counter.compile(
+        {"inc": list(range(15)), "double": list(range(8))}, CFG)
+    assert mod.function_names == ["double", "inc"] or \
+        set(mod.function_names) == {"inc", "double"}
+    enc = mod.inc.encrypt(3)
+    mid = mod.inc.run(enc)          # 4
+    out = mod.double.run(mid)       # 8, composed without decryption
+    assert mod.double.decrypt(out) == 8
