@@ -1,0 +1,60 @@
+"""Example-workload tests (tiny insecure params; differential vs clear)."""
+
+import numpy as np
+import pytest
+
+import concrete_tpu as fhe
+from concrete_tpu.models import (GameOfLife, LevenshteinDistance,
+                                 QuantizedMLP, StaticKeyValueDatabase)
+from concrete_tpu.params import TEST_PARAMS_TINY
+
+CFG = fhe.Configuration(forced_parameters=TEST_PARAMS_TINY)
+
+
+def test_quantized_mlp():
+    mlp = QuantizedMLP(d_in=6, d_hidden=3, d_out=2, weight_bits=2,
+                       activation_bits=2)
+    circuit = mlp.compile(CFG)
+    x = np.array([1, 0, 3, 2, 1, 0])
+    for _ in range(3):
+        got = circuit.encrypt_run_decrypt(x)
+        if np.array_equal(np.asarray(got), mlp.infer_clear(x)):
+            return
+    raise AssertionError(f"{got} != {mlp.infer_clear(x)}")
+
+
+def test_game_of_life_step():
+    gol = GameOfLife(3, 3)
+    circuit = gol.compile(CFG)
+    grid = np.array([[0, 1, 0], [0, 1, 0], [0, 1, 0]])  # blinker
+    want = gol.step_clear(grid)
+    for _ in range(3):
+        got = np.array(circuit.encrypt_run_decrypt(grid)).reshape(3, 3)
+        if np.array_equal(got, want):
+            return
+    raise AssertionError(f"{got} != {want}")
+
+
+def test_levenshtein_distance():
+    lev = LevenshteinDistance(2, 2, alphabet_bits=1)
+    circuit = lev.compile(CFG)
+    a = np.array([0, 1])
+    b = np.array([1, 1])
+    want = LevenshteinDistance.distance_clear(list(a), list(b))
+    for _ in range(4):
+        got = circuit.encrypt_run_decrypt(a, b)
+        if int(got) == want:
+            return
+    raise AssertionError(f"{got} != {want}")
+
+
+def test_static_kvdb():
+    db = StaticKeyValueDatabase([1, 3, 5], [10, 4, 7])
+    circuit = db.compile(CFG)
+    for key in (3, 5, 2):
+        for _ in range(3):
+            got = circuit.encrypt_run_decrypt(key)
+            if int(got) == db.query_clear(key):
+                break
+        else:
+            raise AssertionError((key, got))
