@@ -25,8 +25,9 @@ def main() -> None:
                     help="small batch / tiny params smoke run")
     ap.add_argument("--check", action="store_true",
                     help="decrypt outputs and verify the LUT was applied")
-    ap.add_argument("--params", choices=["4bit", "6bit", "tiny"],
-                    default="4bit")
+    ap.add_argument("--params", choices=["4bit", "4bit-tpuopt", "6bit",
+                                         "tiny"],
+                    default="4bit-tpuopt")
     args = ap.parse_args()
 
     import concrete_tpu.jax_config  # noqa: F401
@@ -37,9 +38,11 @@ def main() -> None:
     from concrete_tpu.core import refimpl as ref
     from concrete_tpu import params as pp
 
-    params = {"4bit": pp.BENCH_PARAMS_4BIT, "6bit": pp.BENCH_PARAMS_6BIT,
+    params = {"4bit": pp.BENCH_PARAMS_4BIT,
+              "4bit-tpuopt": pp.BENCH_PARAMS_4BIT_TPUOPT,
+              "6bit": pp.BENCH_PARAMS_6BIT,
               "tiny": pp.TEST_PARAMS_TINY}[args.params]
-    p_bits = {"4bit": 4, "6bit": 6, "tiny": 3}[args.params]
+    p_bits = {"4bit": 4, "4bit-tpuopt": 4, "6bit": 6, "tiny": 3}[args.params]
     batch = 64 if args.quick else args.batch
 
     dev = jax.devices()[0]

@@ -27,6 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 U32 = jnp.uint32
+_I0 = np.int32(0)  # index-map literal; python 0 traces to i64 under x64
 
 
 def _v_shift_right(hi, lo, s: int):
@@ -115,8 +116,9 @@ def _rotate_kernel(a_ref, lo_ref, hi_ref, *dl_refs,
     bits = int(2 * n - 1).bit_length()
     for b in range(bits):
         take = ((a >> b) & 1) != 0                  # (Rt, 1) bool
-        rl = pltpu.roll(ext_lo, 1 << b, axis=1)
-        rh = pltpu.roll(ext_hi, 1 << b, axis=1)
+        shift = jnp.int32(1 << b)  # mosaic dynamic_rotate requires i32
+        rl = pltpu.roll(ext_lo, shift, axis=1)
+        rh = pltpu.roll(ext_hi, shift, axis=1)
         ext_lo = jnp.where(take, rl, ext_lo)
         ext_hi = jnp.where(take, rh, ext_hi)
     rot_lo = ext_lo[:, :n]
@@ -147,13 +149,13 @@ def rotate_decompose_limbs(acc_lo, acc_hi, a_rows, *, base_log: int,
     kernel = functools.partial(_rotate_kernel, n=n, base_log=base_log,
                                levels=levels, a_limbs=a_limbs)
     n_out = levels * a_limbs
-    plane_spec = pl.BlockSpec((tile, n), lambda i: (i, 0),
+    plane_spec = pl.BlockSpec((tile, n), lambda i: (i, _I0),
                               memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+            pl.BlockSpec((tile, 1), lambda i: (i, _I0),
                          memory_space=pltpu.VMEM),
             plane_spec,
             plane_spec,
@@ -196,7 +198,7 @@ def _recombine_kernel(planes_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref,
 
 
 def recombine_accumulate(planes, acc_lo, acc_hi, *, limb_offset: int = 0,
-                         row_tile: int = 256, interpret: bool = False):
+                         row_tile: int = 128, interpret: bool = False):
     """planes: (rows, S, N) int32 (S = planes kept); acc: (rows, N) u32.
 
     Returns updated (acc_lo, acc_hi) with
@@ -213,17 +215,17 @@ def recombine_accumulate(planes, acc_lo, acc_hi, *, limb_offset: int = 0,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile, keep, n), lambda i: (i, 0, 0),
+            pl.BlockSpec((tile, keep, n), lambda i: (i, _I0, _I0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, n), lambda i: (i, 0),
+            pl.BlockSpec((tile, n), lambda i: (i, _I0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, n), lambda i: (i, 0),
+            pl.BlockSpec((tile, n), lambda i: (i, _I0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((tile, n), lambda i: (i, 0),
+            pl.BlockSpec((tile, n), lambda i: (i, _I0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, n), lambda i: (i, 0),
+            pl.BlockSpec((tile, n), lambda i: (i, _I0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(jax.ShapeDtypeStruct((rows, n), U32),

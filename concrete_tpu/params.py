@@ -282,6 +282,13 @@ BENCH_PARAMS_4BIT = CryptoParams.make(
     n_small=801, glwe_dimension=2, polynomial_size=1024,
     pbs_level=1, pbs_base_log=23, ks_level=3, ks_base_log=4)
 
+# Our own V0 optimizer's pick for 4-bit under the TPU int8-MAC cost model
+# (optimize_v0(4)): single-limb gadget digits (base 32) make the banded
+# matmul ~2x cheaper than the reference-style (1, 23) decomposition.
+BENCH_PARAMS_4BIT_TPUOPT = CryptoParams.make(
+    n_small=710, glwe_dimension=1, polynomial_size=1024,
+    pbs_level=4, pbs_base_log=5, ks_level=8, ks_base_log=2)
+
 BENCH_PARAMS_6BIT = CryptoParams.make(
     n_small=880, glwe_dimension=1, polynomial_size=4096,
     pbs_level=1, pbs_base_log=22, ks_level=4, ks_base_log=4)
