@@ -7,6 +7,16 @@ int8/int32 limb planes — but u64 scalars/elementwise ops at the XLA level rely
 on x64 emulation.
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Optional persistent compilation cache (off by default: the axon
+# remote-compile path bypasses it, and cross-machine XLA:CPU AOT entries
+# can trigger feature-mismatch loads).
+_cache_dir = os.environ.get("CONCRETE_TPU_JAX_CACHE")
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
