@@ -19,6 +19,7 @@ Quickstart (mirrors the reference README):
 
 from concrete_tpu.version import __version__
 
+from concrete_tpu.compilation.artifacts import DebugArtifacts
 from concrete_tpu.compilation import (Circuit, Client, Compiler,
                                       Configuration, Keys, Server, compiler,
                                       function, module)
@@ -42,5 +43,5 @@ __all__ = [
     "refresh", "zero", "zeros", "one", "ones",
     "AutoRounder", "AutoTruncator", "round_bit_pattern",
     "truncate_bit_pattern", "bits", "if_then_else", "mux", "relu",
-    "conv", "maxpool", "tag", "hint",
+    "conv", "maxpool", "tag", "hint", "DebugArtifacts",
 ]

@@ -29,7 +29,7 @@ class Compiler:
         self.configuration = Configuration()
 
     def compile(self, inputset, configuration: Optional[Configuration] = None,
-                **kwargs) -> Circuit:
+                artifacts=None, **kwargs) -> Circuit:
         config = configuration or self.configuration
         if kwargs:
             config = config.fork(**kwargs)
@@ -78,6 +78,12 @@ class Compiler:
                   f"params: n={params.n_small} k={params.glwe_dimension} "
                   f"N={params.polynomial_size}, "
                   f"pbs_count: {circuit.programmable_bootstrap_count}")
+        if artifacts is not None:
+            artifacts.add_graph(graph.name, graph)
+            artifacts.add_bounds(graph)
+            artifacts.add_parameters(params)
+            artifacts.add_statistics(circuit)
+            artifacts.export()
         return circuit
 
     # tracing without compiling (reference Compiler.trace)

@@ -313,3 +313,17 @@ def test_module_composition():
     mid = mod.inc.run(enc)          # 4
     out = mod.double.run(mid)       # 8, composed without decryption
     assert mod.double.decrypt(out) == 8
+
+
+def test_debug_artifacts(tmp_path):
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return fhe.LookupTable([1, 0, 3, 2])[x]
+
+    artifacts = fhe.DebugArtifacts(str(tmp_path / "artifacts"))
+    f.compile(range(4), CFG, artifacts=artifacts)
+    import os
+    files = os.listdir(str(tmp_path / "artifacts"))
+    assert any("graph" in f for f in files)
+    assert "statistics.txt" in files
+    assert "parameters.txt" in files
