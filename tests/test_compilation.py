@@ -327,3 +327,20 @@ def test_debug_artifacts(tmp_path):
     assert any("graph" in f for f in files)
     assert "statistics.txt" in files
     assert "parameters.txt" in files
+
+
+def test_transport_value_roundtrip():
+    from concrete_tpu.compilation.value import Value
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return x + 1
+
+    circuit = f.compile(range(6), CFG)
+    circuit.keygen()
+    enc = circuit.encrypt(4)
+    blob = Value(enc).serialize()
+    restored = Value.deserialize(blob)
+    assert restored == Value(enc)
+    out = circuit.run(restored.inner)
+    assert circuit.decrypt(out) == 5
