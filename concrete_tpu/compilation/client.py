@@ -29,11 +29,12 @@ class Client:
 
     # -- encryption --------------------------------------------------------
 
-    def encrypt(self, *args):
+    def encrypt(self, *args, compress: bool = False):
         """Encrypt positional arguments (clear args pass through).
 
         Returns a tuple (or single value) of u64 LWE arrays of shape
-        (*value_shape, n_big + 1).
+        (*value_shape, n_big + 1) — or SeededLweCiphertext when
+        compress=True (Compression::SEED, reference Transformers.cpp:224).
         """
         self.keygen()
         rng = np.random.default_rng()
@@ -46,8 +47,15 @@ class Client:
             arr = np.asarray(arg, dtype=np.int64)
             self._validate(arr, spec, pos)
             enc = ref.encode(arr, self.specs.message_bits)
-            ct = kg.encrypt_lwe_batch(rng, self.keys.secret.lwe_big, enc,
-                                      self.specs.params.lwe_std)
+            if compress:
+                import os
+                from concrete_tpu.core import compression as cz
+                ct = cz.encrypt_seeded(rng, self.keys.secret.lwe_big, enc,
+                                       self.specs.params.lwe_std,
+                                       seed=os.urandom(32))
+            else:
+                ct = kg.encrypt_lwe_batch(rng, self.keys.secret.lwe_big, enc,
+                                          self.specs.params.lwe_std)
             out.append(ct)
         return tuple(out) if len(out) != 1 else out[0]
 

@@ -40,10 +40,14 @@ class Server:
 
         evaluation_keys: (LimbKSK, LimbBSK) from Keys.evaluation.
         """
+        from concrete_tpu.core.compression import (SeededLweCiphertext,
+                                                   decompress)
         ksk, bsk = evaluation_keys
         enc_inputs = {}
         for pos, arg in enumerate(args):
             spec = self.client_specs.inputs[pos]
+            if isinstance(arg, SeededLweCiphertext):
+                arg = decompress(arg)
             enc_inputs[pos] = jnp.asarray(arg) if spec.is_encrypted \
                 else np.asarray(arg)
         lut_polys = {uid: jnp.asarray(s.lut_poly)

@@ -344,3 +344,22 @@ def test_transport_value_roundtrip():
     assert restored == Value(enc)
     out = circuit.run(restored.inner)
     assert circuit.decrypt(out) == 5
+
+
+def test_seeded_compression():
+    """Compression::SEED: ciphertext stored as (seed, body), mask regrown."""
+    from concrete_tpu.core.compression import SeededLweCiphertext
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return x + 1
+
+    circuit = f.compile(range(6), CFG)
+    circuit.keygen()
+    enc = circuit.client.encrypt(4, compress=True)
+    assert isinstance(enc, SeededLweCiphertext)
+    n = circuit.client_specs.params.n_big
+    full_size = (n + 1) * 8
+    assert enc.size_bytes < full_size / 4  # massive compression
+    out = circuit.run(enc)
+    assert circuit.decrypt(out) == 5
