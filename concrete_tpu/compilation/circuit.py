@@ -70,6 +70,17 @@ class Circuit:
         from concrete_tpu.simulation import simulate_graph
         return simulate_graph(self.graph, self.client_specs, *args)
 
+    def run_async(self, *args):
+        """Run on a background thread; returns a concurrent.futures.Future.
+
+        Reference: ExecutionRt's auto_schedule_run thread pool
+        (compilation/module.py:32-66).
+        """
+        import concurrent.futures
+        if not hasattr(self, "_pool"):
+            self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        return self._pool.submit(self.run, *args)
+
     # -- statistics (reference circuit.py:236-533) -------------------------
 
     @property

@@ -123,3 +123,43 @@ def test_tag_and_hint():
     # hint forces at least 5 bits of headroom
     assert circuit.client_specs.message_bits >= 5
     check(circuit, lambda x: x + 1, 2)
+
+
+def test_crt_arithmetic():
+    from concrete_tpu.extensions import crt
+
+    moduli = (3, 4, 5)  # covers 0..59
+
+    @fhe.compiler({"a": "encrypted", "b": "encrypted"})
+    def f(a, b):
+        a_r = [a[i] for i in range(3)]
+        b_r = [b[i] for i in range(3)]
+        return crt.crt_add(a_r, b_r, moduli)
+
+    rng = np.random.default_rng(0)
+    inputset = [(np.array(crt.crt_encode_clear(rng.integers(0, 30), moduli)),
+                 np.array(crt.crt_encode_clear(rng.integers(0, 30), moduli)))
+                for _ in range(20)]
+    circuit = f.compile(inputset, CFG)
+    for x, y in ((25, 17), (3, 9)):
+        xa = np.array(crt.crt_encode_clear(x, moduli))
+        yb = np.array(crt.crt_encode_clear(y, moduli))
+        for _ in range(4):
+            got = circuit.encrypt_run_decrypt(xa, yb)
+            if crt.crt_decode_clear(got, moduli) == (x + y) % 60:
+                break
+        else:
+            raise AssertionError((x, y, got))
+
+
+def test_run_async():
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return x + 1
+
+    circuit = f.compile(range(6), CFG)
+    circuit.keygen()
+    enc = circuit.encrypt(3)
+    fut = circuit.run_async(enc)
+    out = fut.result(timeout=120)
+    assert circuit.decrypt(out) == 4
