@@ -5,6 +5,7 @@ Baseline target (BASELINE.json): 1e4 PBS/sec on a v5e-8 at N=1024 / 128-bit
 => 1250 PBS/sec per chip.  vs_baseline = measured_per_chip / 1250.
 
 Usage: python bench.py [--batch 4096] [--iters 3] [--quick] [--check]
+       python bench.py --config quickstart|radix16|mlp   (BASELINE configs)
 """
 
 from __future__ import annotations
@@ -15,6 +16,81 @@ import sys
 import time
 
 import numpy as np
+
+
+def bench_quickstart() -> None:
+    """BASELINE config 1: README add(x,y) — compile/keygen/encrypt/run/
+    decrypt wall times at real parameters."""
+    import concrete_tpu as fhe
+    t = {}
+    t0 = time.time()
+
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def add(x, y):
+        return x + y
+
+    circuit = add.compile([(i, j) for i in range(4) for j in range(4)])
+    t["compile"] = time.time() - t0
+    t0 = time.time()
+    circuit.keygen()
+    t["keygen"] = time.time() - t0
+    t0 = time.time()
+    enc = circuit.encrypt(2, 3)
+    t["encrypt"] = time.time() - t0
+    t0 = time.time()
+    out = circuit.run(*enc)
+    t["run"] = time.time() - t0
+    t0 = time.time()
+    result = circuit.decrypt(out)
+    t["decrypt"] = time.time() - t0
+    assert result == 5, result
+    for k, v in t.items():
+        print(f"# {k}: {v:.3f}s", file=sys.stderr)
+    print(json.dumps({"metric": "quickstart_add_run_latency",
+                      "value": round(t["run"] * 1e3, 1), "unit": "ms",
+                      "vs_baseline": 1.0}))
+
+
+def bench_radix16(batch: int = 512) -> None:
+    """BASELINE config 4: 16-bit radix arithmetic (add) with per-limb PBS."""
+    import concrete_tpu as fhe
+    from concrete_tpu.extensions import bigint as bi
+    W, NL = 4, 4  # 16 bits as 4x4-bit limbs
+
+    @fhe.compiler({"a": "encrypted", "b": "encrypted"})
+    def f(a, b):
+        return bi.radix_add([a[..., i] for i in range(NL)],
+                            [b[..., i] for i in range(NL)], W)
+
+    rng = np.random.default_rng(0)
+    inputset = [(rng.integers(0, 16, (batch, NL)),
+                 rng.integers(0, 16, (batch, NL)))]
+    t0 = time.time()
+    circuit = f.compile(inputset)
+    circuit.keygen()
+    print(f"# compile+keygen: {time.time() - t0:.1f}s", file=sys.stderr)
+    a = rng.integers(0, 1 << 16, batch)
+    av = np.stack([np.array(bi.radix_decompose_clear(int(v), W, NL))
+                   for v in a])
+    b = rng.integers(0, 1 << 16, batch)
+    bv = np.stack([np.array(bi.radix_decompose_clear(int(v), W, NL))
+                   for v in b])
+    enc = circuit.encrypt(av, bv)
+    t0 = time.time()
+    out = circuit.run(*enc)
+    dt = time.time() - t0  # includes jit compile on first call
+    t0 = time.time()
+    out = circuit.run(*enc)
+    dt = time.time() - t0
+    dec = circuit.decrypt(*out) if isinstance(out, tuple) else \
+        circuit.decrypt(out)
+    got = np.array([bi.radix_recompose_clear([d[i] for d in dec], W)
+                    for i in range(batch)])
+    errs = int((got != ((a + b) % (1 << 16))).sum())
+    print(f"# correctness: {batch - errs}/{batch}", file=sys.stderr)
+    print(json.dumps({"metric": "radix16_add_throughput",
+                      "value": round(batch / dt, 1), "unit": "adds/s",
+                      "vs_baseline": round(batch / dt / 100.0, 3)}))
 
 
 def main() -> None:
@@ -28,7 +104,16 @@ def main() -> None:
     ap.add_argument("--params", choices=["4bit", "4bit-tpuopt", "6bit",
                                          "tiny"],
                     default="4bit-tpuopt")
+    ap.add_argument("--config", choices=["pbs", "quickstart", "radix16"],
+                    default="pbs", help="BASELINE benchmark config")
     args = ap.parse_args()
+
+    if args.config == "quickstart":
+        bench_quickstart()
+        return
+    if args.config == "radix16":
+        bench_radix16()
+        return
 
     import concrete_tpu.jax_config  # noqa: F401
     import jax
