@@ -143,9 +143,11 @@ def main() -> None:
 
     t0 = time.time()
     ksk = K.pack_ksk(server.ksk, params)
-    # dropping 2 low BSK limb planes adds ~2^-34 torus variance (see
-    # params.variance_bsk_limb_truncation) - negligible vs the 2^-16 budget
-    bsk = K.pack_bsk(server.bsk, params, truncate_limbs=2)
+    # noise-budget-aware BSK limb truncation (<=5% of the safe variance);
+    # base-32 digits allow dropping 5 of 8 planes (~2x fewer matmul MACs)
+    trunc = pp.choose_truncate_limbs(params, p_bits)
+    print(f"# truncate_limbs: {trunc}", file=sys.stderr)
+    bsk = K.pack_bsk(server.bsk, params, truncate_limbs=trunc)
     lut = np.array([(3 * v + 1) % (1 << p_bits) for v in range(1 << p_bits)],
                    dtype=np.uint64)
     lut_poly = jnp.asarray(ref.encode_expand_lut(

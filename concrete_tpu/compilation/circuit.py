@@ -49,7 +49,8 @@ class Circuit:
                                                                  tuple):
             pass
         return_tuple = self.server.run(
-            *args, evaluation_keys=self.keys.evaluation)
+            *args, evaluation_keys=self.keys.evaluation_for(
+                self.client_specs.message_bits))
         return return_tuple if len(return_tuple) != 1 else return_tuple[0]
 
     def decrypt(self, *results):

@@ -73,10 +73,25 @@ class Keys:
     @property
     def evaluation(self) -> tuple[kn.LimbKSK, kn.LimbBSK]:
         """Device-packed evaluation keys (limb KSK + banded limb BSK)."""
+        return self.evaluation_for(message_bits=None)
+
+    def evaluation_for(self, message_bits=None) -> tuple[kn.LimbKSK,
+                                                         kn.LimbBSK]:
+        """Packed keys with noise-budget-aware BSK limb truncation.
+
+        When `message_bits` is given, the largest provably-negligible
+        truncation is chosen (params.choose_truncate_limbs); else none.
+        """
         self._require()
-        if self._packed_ksk is None:
+        truncate = 0
+        if message_bits is not None:
+            from concrete_tpu.params import choose_truncate_limbs
+            truncate = choose_truncate_limbs(self.params, message_bits)
+        if (self._packed_ksk is None
+                or self._packed_bsk.truncate_limbs != truncate):
             self._packed_ksk = kn.pack_ksk(self._server.ksk, self.params)
-            self._packed_bsk = kn.pack_bsk(self._server.bsk, self.params)
+            self._packed_bsk = kn.pack_bsk(self._server.bsk, self.params,
+                                           truncate_limbs=truncate)
         return self._packed_ksk, self._packed_bsk
 
     def _require(self):

@@ -70,8 +70,9 @@ class FheFunction:
 
     def run(self, *args):
         self.client.keygen()
-        outs = self.server.run(*args,
-                               evaluation_keys=self.client.keys.evaluation)
+        outs = self.server.run(
+            *args, evaluation_keys=self.client.keys.evaluation_for(
+                self.client_specs.message_bits))
         return outs if len(outs) != 1 else outs[0]
 
     def decrypt(self, *results):

@@ -155,6 +155,27 @@ def variance_bsk_limb_truncation(in_lwe_dimension: int, glwe_dimension: int,
     return in_lwe_dimension * count * e_d2 * e_t2 / 2.0 ** (2 * q_log)
 
 
+def choose_truncate_limbs(params: "CryptoParams", message_bits: int,
+                          budget_fraction: float = 0.05,
+                          p_error: float = 6.3e-5) -> int:
+    """Largest BSK limb truncation whose added variance stays below
+    `budget_fraction` of the safe variance bound for `message_bits`.
+
+    Small gadget bases tolerate deep truncation (digits are tiny); e.g. the
+    TPU-optimizer's base-32 parameters allow dropping 4 of 8 limb planes at
+    ~2^-37 added variance."""
+    from concrete_tpu.optimizer.v0 import safe_variance_bound
+    budget = safe_variance_bound(message_bits, p_error) * budget_fraction
+    best = 0
+    for t in range(1, 7):
+        v = variance_bsk_limb_truncation(
+            params.n_small, params.glwe_dimension, params.polynomial_size,
+            params.pbs_base_log, params.pbs_level, t, params.q_log)
+        if v <= budget:
+            best = t
+    return best
+
+
 def variance_blind_rotate(in_lwe_dimension: int, glwe_dimension: int,
                           polynomial_size: int, log2_base: int, level: int,
                           variance_bsk: float, q_log: int = 64,
