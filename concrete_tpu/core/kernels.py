@@ -308,6 +308,12 @@ def keyswitch(ct, ksk: LimbKSK):
 # Blind rotation (batched scan over the small LWE dimension)
 # ---------------------------------------------------------------------------
 
+#: use the fused Pallas banded matmul inside the pallas blind rotate (the
+#: XLA banded matmul spends more time materializing band stacks than on the
+#: dots themselves)
+USE_FUSED_BANDED_MM = True
+
+
 def _use_pallas_default() -> bool:
     return jax.default_backend() not in ("cpu",)
 
@@ -367,7 +373,11 @@ def _blind_rotate_pallas(ct_small, bsk: LimbBSK, lut_poly,
                     [d_planes[lev * a_limbs_n + a].reshape(b_ct, kp1, n)
                      for lev in range(l)], axis=1).reshape(b_ct, l * kp1 * n)
             lhs_list.append(lhs)
-        planes = negacyclic_banded_matmul_planes(lhs_list, w_vv, block)
+        if USE_FUSED_BANDED_MM:
+            from concrete_tpu.ops.pallas_banded_mm import banded_matmul_fused
+            planes = banded_matmul_fused(lhs_list, w_vv, block)
+        else:
+            planes = negacyclic_banded_matmul_planes(lhs_list, w_vv, block)
         planes = planes[:, :, :keep, :].reshape(b_ct * kp1, keep, n)
         lo2, hi2 = ps.recombine_accumulate(
             planes, lo, hi, limb_offset=bsk.truncate_limbs)

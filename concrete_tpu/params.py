@@ -152,7 +152,12 @@ def variance_bsk_limb_truncation(in_lwe_dimension: int, glwe_dimension: int,
     count = (glwe_dimension + 1) * level * polynomial_size
     e_d2 = (2.0 ** (log2_base - 1)) ** 2 / 3.0
     e_t2 = (2.0 ** (8 * truncate_limbs)) ** 2 / 3.0
-    return in_lwe_dimension * count * e_d2 * e_t2 / 2.0 ** (2 * q_log)
+    per_coeff = in_lwe_dimension * count * e_d2 * e_t2 / 2.0 ** (2 * q_log)
+    # the error lands on every GLWE component; mask-coefficient errors are
+    # multiplied by the (binary) key at phase evaluation:
+    # Var + E^2 of key coeffs = 1/4 + 1/4 per mask coefficient
+    key_factor = 1.0 + glwe_dimension * polynomial_size / 2.0
+    return per_coeff * key_factor
 
 
 def choose_truncate_limbs(params: "CryptoParams", message_bits: int,

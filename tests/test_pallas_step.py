@@ -106,3 +106,19 @@ def test_blind_rotate_pallas_truncated():
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(K._blind_rotate_pallas(ct_small, bsk, lut_poly, P))
     assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("cin,cout,s_limbs,a_limbs,n", [
+    (2, 2, 6, 1, 256), (3, 3, 6, 3, 256), (2, 1, 3, 2, 128)])
+def test_banded_matmul_fused_matches_xla(cin, cout, s_limbs, a_limbs, n):
+    from concrete_tpu.ops.pallas_banded_mm import banded_matmul_fused
+    rng = np.random.default_rng(21)
+    B = 8
+    lhs_list = [jnp.asarray(rng.integers(-128, 128, (B, cin * n))
+                            .astype(np.int8)) for _ in range(a_limbs)]
+    vv = jnp.asarray(rng.integers(-128, 128, (cin, cout, s_limbs, 2 * n - 1))
+                     .astype(np.int8))
+    want = np.asarray(K.negacyclic_banded_matmul_planes(lhs_list, vv, 128))
+    got = np.asarray(banded_matmul_fused(lhs_list, vv, 128, interpret=True,
+                                         b_tile=8))
+    assert np.array_equal(got, want)
