@@ -23,6 +23,13 @@ from concrete_tpu.compilation.artifacts import DebugArtifacts
 from concrete_tpu.compilation import (Circuit, Client, Compiler,
                                       Configuration, Keys, Server, compiler,
                                       function, module)
+from concrete_tpu.compilation.compiler import circuit
+from concrete_tpu.tracing import typing as _typing
+import sys as _sys
+for _w in range(1, 17):
+    setattr(_sys.modules[__name__], f"uint{_w}", getattr(_typing, f"uint{_w}"))
+    setattr(_sys.modules[__name__], f"int{_w}", getattr(_typing, f"int{_w}"))
+tensor = _typing.tensor
 from concrete_tpu.compilation.configuration import ParameterSelectionStrategy
 from concrete_tpu.extensions import (AutoRounder, AutoTruncator, LookupTable,
                                      bits, constant, conv, hint, identity,
@@ -37,7 +44,8 @@ from concrete_tpu.tracing import Tracer
 __all__ = [
     "__version__",
     "Circuit", "Client", "Compiler", "Configuration", "Keys", "Server",
-    "compiler", "function", "module", "ParameterSelectionStrategy",
+    "compiler", "circuit", "function", "module",
+    "ParameterSelectionStrategy",
     "CryptoParams", "Tracer",
     "LookupTable", "univariate", "multivariate", "constant", "identity",
     "refresh", "zero", "zeros", "one", "ones",

@@ -121,6 +121,18 @@ class Circuit:
                    for v in self.client_specs.outputs if v.is_encrypted)
 
     @property
+    def programmable_bootstrap_count_per_tag(self) -> dict:
+        """PBS counts grouped by fhe.tag regions (reference circuit.py
+        per-tag statistics)."""
+        out: dict = {}
+        for n in self.graph.graph.nodes:
+            if n.name in ("tlu", "univariate", "multivariate"):
+                tag = n.properties.get("tag", "")
+                out[tag] = out.get(tag, 0) + max(
+                    int(np.prod(n.output.shape)), 1)
+        return out
+
+    @property
     def p_error(self) -> float:
         return self.client_specs.params.p_error(
             self.client_specs.message_bits)

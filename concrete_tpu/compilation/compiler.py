@@ -105,3 +105,33 @@ def compiler(parameter_encryption_statuses: dict[str, str]):
         return Compiler(function, parameter_encryption_statuses)
 
     return decoration
+
+
+def circuit(parameter_encryption_statuses: dict[str, str],
+            configuration: Optional[Configuration] = None, **kwargs):
+    """Direct circuits: ranges come from type annotations, no inputset.
+
+    Reference: @fhe.circuit with tracing/typing.py annotations.
+
+        @fhe.circuit({"x": "encrypted"})
+        def f(x: fhe.uint3):
+            return x + 1
+    """
+    import inspect
+
+    from concrete_tpu.tracing.typing import annotation_inputset
+
+    def decoration(function: Callable) -> Circuit:
+        sig = inspect.signature(function)
+        anns = []
+        for pname, param in sig.parameters.items():
+            if param.annotation is inspect.Parameter.empty:
+                raise ValueError(
+                    f"direct circuits need a type annotation for '{pname}' "
+                    "(e.g. fhe.uint3)")
+            anns.append(param.annotation)
+        inputset = annotation_inputset(anns)
+        comp = Compiler(function, parameter_encryption_statuses)
+        return comp.compile(inputset, configuration, **kwargs)
+
+    return decoration

@@ -42,6 +42,10 @@ class Tracer:
                  **kwargs) -> "Tracer":
         node = Node.generic(name, [t.node.output for t in operands], output,
                             evaluator, **kwargs)
+        from concrete_tpu.extensions.tag import current_tag
+        t = current_tag()
+        if t:
+            node.properties["tag"] = t
         return cls(node, operands)
 
     @staticmethod

@@ -363,3 +363,43 @@ def test_seeded_compression():
     assert enc.size_bytes < full_size / 4  # massive compression
     out = circuit.run(enc)
     assert circuit.decrypt(out) == 5
+
+
+def test_direct_circuit_annotations():
+    import concrete_tpu as fhe2
+
+    @fhe.circuit({"x": "encrypted"}, CFG)
+    def f(x: fhe2.uint3):
+        return x + 1
+
+    assert isinstance(f, fhe.Circuit)
+    assert f.client_specs.message_bits >= 4  # 7+1 needs 4 bits
+    for v in (0, 7):
+        got = f.encrypt_run_decrypt(v)
+        assert got == v + 1, (v, got)
+
+
+def test_direct_circuit_tensor_and_two_args():
+    import concrete_tpu as fhe2
+
+    @fhe.circuit({"x": "encrypted", "y": "encrypted"}, CFG)
+    def f(x: fhe2.uint2, y: fhe2.uint2):
+        return x - y
+
+    got = f.encrypt_run_decrypt(1, 3)
+    assert got == -2
+
+
+def test_per_tag_statistics():
+    table = fhe.LookupTable(list(range(4)))
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        with fhe.tag("layer1"):
+            a = table[x]
+        with fhe.tag("layer2"):
+            return table[a]
+
+    circuit = f.compile(range(4), CFG)
+    per_tag = circuit.programmable_bootstrap_count_per_tag
+    assert per_tag.get("layer1") == 1 and per_tag.get("layer2") == 1
