@@ -310,8 +310,10 @@ def keyswitch(ct, ksk: LimbKSK):
 
 #: use the fused Pallas banded matmul inside the pallas blind rotate (the
 #: XLA banded matmul spends more time materializing band stacks than on the
-#: dots themselves)
-USE_FUSED_BANDED_MM = True
+#: dots themselves).  Off by default: the kernel is bit-exact (tests) but
+#: its compile time on the remote-compile path is still being qualified.
+import os as _os
+USE_FUSED_BANDED_MM = _os.environ.get("CONCRETE_TPU_FUSED_MM", "0") == "1"
 
 
 def _use_pallas_default() -> bool:
