@@ -38,29 +38,24 @@ def _build_rhs(vv_ref, rhs_ref, j_blk, *, cin, cout, s_limbs, nb, block, n):
     """
     row_ids = lax.broadcasted_iota(jnp.int32, (block, 1, 1), 0)
     for ci in range(cin):
-        # segments: for each (I, cout, s): v[(j-I)*block - r + t] needs
-        # v indices in [(j-I)*block - 127, (j-I)*block + 127]; with
-        # vv index = v index + (N-1) (j_blk may be traced):
-        segs = []
         for i_blk in range(nb):
+            # segment: v[(j-I)*block - r + t] for r,t in [0, block); with
+            # vv index = v index + (N-1) (j_blk may be traced):
             base = (j_blk - i_blk) * block + (n - 1) - (block - 1)
             seg = vv_ref[ci, :, :, pl.ds(base, 2 * block)]  # (cout, s, 256)
-            segs.append(seg)
-        m0 = jnp.stack(segs, axis=0)                 # (nb, cout, s, 256)
-        m0 = m0.reshape(1, nb * cout * s_limbs, 2 * block)
-        m0 = jnp.broadcast_to(m0, (block, nb * cout * s_limbs, 2 * block))
-        # shear: row r shifted right by r -> m[r, :, c] = seg[c - r]
-        for k in range(int(block - 1).bit_length()):
-            rolled = pltpu.roll(m0, jnp.int32(1 << k), axis=2)
-            take = ((row_ids >> k) & 1) != 0
-            m0 = jnp.where(take, rolled, m0)
-        t_tiles = m0[:, :, block - 1:2 * block - 1]  # (block, nb*cout*s, block)
-        # scatter into rhs rows (ci, I, r), cols (cout, s, t)
-        t_tiles = t_tiles.reshape(block, nb, cout * s_limbs, block)
-        for i_blk in range(nb):
+            m0 = seg.reshape(1, cout * s_limbs, 2 * block)
+            m0 = jnp.broadcast_to(
+                m0, (block, cout * s_limbs, 2 * block)).astype(jnp.int32)
+            # shear: row r shifted right by r -> m[r, :, c] = seg[c - r]
+            # (mosaic rotates are 32-bit only, hence the i32 detour)
+            for k in range(int(block - 1).bit_length()):
+                rolled = pltpu.roll(m0, jnp.int32(1 << k), axis=2)
+                take = ((row_ids >> k) & 1) != 0
+                m0 = jnp.where(take, rolled, m0)
+            t_tile = m0[:, :, block - 1:2 * block - 1].astype(jnp.int8)
             row0 = (ci * nb + i_blk) * block
-            rhs_ref[pl.ds(row0, block), :] = (
-                t_tiles[:, i_blk].reshape(block, cout * s_limbs * block))
+            rhs_ref[pl.ds(row0, block), :] = t_tile.reshape(
+                block, cout * s_limbs * block)
 
 
 def _mm_kernel(vv_ref, *refs, cin, cout, s_limbs, a_limbs, nb, block, n,
@@ -76,17 +71,18 @@ def _mm_kernel(vv_ref, *refs, cin, cout, s_limbs, a_limbs, nb, block, n,
         _build_rhs(vv_ref, rhs_ref, j_blk, cin=cin, cout=cout,
                    s_limbs=s_limbs, nb=nb, block=block, n=n)
 
-    planes = None
+    if a_limbs > 1:
+        out_ref[...] = jnp.zeros_like(out_ref)
     for a in range(a_limbs):
         lhs = lhs_refs[a][...]                       # (b_tile, cin*N)
         prod = jnp.dot(lhs, rhs_ref[...],
                        preferred_element_type=jnp.int32)
         prod = prod.reshape(b_tile, cout, s_limbs, block)
-        pad_lo = a
-        pad_hi = (s_limbs + a_limbs - 1) - (a + s_limbs)
-        prod = jnp.pad(prod, ((0, 0), (0, 0), (pad_lo, pad_hi), (0, 0)))
-        planes = prod if planes is None else planes + prod
-    out_ref[...] = planes
+        if a_limbs == 1:
+            out_ref[...] = prod
+        else:
+            out_ref[:, :, a:a + s_limbs, :] = (
+                out_ref[:, :, a:a + s_limbs, :] + prod)
 
 
 def banded_matmul_fused(lhs_list, vv, block: int, *, interpret: bool = False,
@@ -115,11 +111,13 @@ def banded_matmul_fused(lhs_list, vv, block: int, *, interpret: bool = False,
     grid = (nb, b_ct // tile)
     lhs_spec = pl.BlockSpec((tile, cin * n), lambda j, b: (b, _I0),
                             memory_space=pltpu.VMEM)
+    vv_spec = pl.BlockSpec(tuple(vv.shape),
+                           lambda j, b: (_I0, _I0, _I0, _I0),
+                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]  # vv, whole
-                 + [lhs_spec] * a_limbs,
+        in_specs=[vv_spec] + [lhs_spec] * a_limbs,
         out_specs=pl.BlockSpec((tile, cout, s_planes, block),
                                lambda j, b: (b, _I0, _I0, j),
                                memory_space=pltpu.VMEM),
