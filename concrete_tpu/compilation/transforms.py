@@ -9,6 +9,7 @@ user node.
 
 from __future__ import annotations
 
+import networkx as nx
 import numpy as np
 
 from concrete_tpu.representation import Graph, Node, Operation
@@ -73,5 +74,117 @@ def lower_encrypted_multiplication(graph: Graph) -> None:
                 graph.output_nodes[pos] = out_n
 
 
+def fuse_float_subgraphs(graph: Graph) -> None:
+    """Collapse float subgraphs with a single integer source and a single
+    integer terminal into one univariate TLU node.
+
+    Reference: compilation/utils.py:208 `fuse` /
+    `find_float_subgraph_with_unique_terminal_node` — the mechanism that makes
+    arbitrary univariate float numpy code compilable.  Here the subgraph is
+    replayed through the nodes' own evaluators to build the fused function.
+    """
+    from concrete_tpu.dtypes import Float
+
+    g = graph.graph
+
+    def is_float(node):
+        return isinstance(node.output.dtype, Float)
+
+    # terminals: integer-valued nodes whose predecessors include float nodes
+    changed = True
+    while changed:
+        changed = False
+        for node in list(nx.topological_sort(g)):
+            preds = graph.ordered_preds_of(node)
+            if not preds or not any(is_float(p) for p in preds):
+                continue
+            if is_float(node):
+                continue
+            # walk the float region backwards to find integer sources
+            region = set()
+            sources = set()
+            stack = [p for p in preds if is_float(p)]
+            while stack:
+                cur = stack.pop()
+                if cur in region:
+                    continue
+                region.add(cur)
+                for q in graph.ordered_preds_of(cur):
+                    if is_float(q):
+                        stack.append(q)
+                    elif q.operation == Operation.Constant:
+                        region.add(q)
+                    else:
+                        sources.add(q)
+            int_preds = [p for p in preds
+                         if not is_float(p)
+                         and p.operation != Operation.Constant]
+            sources |= set(int_preds)
+            if len(sources) != 1:
+                raise RuntimeError(
+                    "cannot fuse float subgraph: it depends on "
+                    f"{len(sources)} integer sources (only single-source "
+                    "float subgraphs are fusable, like the reference)")
+            source = next(iter(sources))
+            # replay function: evaluate region + node with source value v
+            chain = [n for n in nx.topological_sort(g)
+                     if n in region or n is node]
+            pred_map = {n: graph.ordered_preds_of(n) for n in chain}
+
+            def fused(v, chain=chain, pred_map=pred_map, source=source):
+                values = {source: np.asarray(v)}
+                for n in chain:
+                    if n.operation == Operation.Constant:
+                        values[n] = n()
+                    else:
+                        args = [values[q] for q in pred_map[n]]
+                        values[n] = n(*args)
+                return values[chain[-1]]
+
+            new_node = Node.generic(
+                "univariate", [source.output], node.output, fused,
+                function=lambda s, fused=fused: int(np.rint(
+                    np.asarray(fused(s), dtype=np.float64))))
+            g.add_node(new_node)
+            g.add_edge(source, new_node, input_idx=0)
+            for _, succ, key, data in list(g.out_edges(node, keys=True,
+                                                       data=True)):
+                g.add_edge(new_node, succ, **data)
+            for pos, n2 in list(graph.output_nodes.items()):
+                if n2 is node:
+                    graph.output_nodes[pos] = new_node
+            g.remove_node(node)
+            # drop now-orphaned float nodes
+            for n in list(region):
+                if n in g and not any(True for _ in g.out_edges(n)):
+                    _prune_backwards(graph, n)
+            changed = True
+            break
+
+
+def _prune_backwards(graph: Graph, node) -> None:
+    g = graph.graph
+    preds = graph.ordered_preds_of(node)
+    if node in g and not any(True for _ in g.out_edges(node)) \
+            and node not in graph.output_nodes.values() \
+            and node not in graph.input_nodes.values():
+        g.remove_node(node)
+        for p in preds:
+            _prune_backwards(graph, p)
+
+
+def check_integer_only(graph: Graph) -> None:
+    """Post-fusing validation (reference CheckIntegerOnly processor)."""
+    from concrete_tpu.dtypes import Float
+    for node in graph.graph.nodes:
+        if isinstance(node.output.dtype, Float):
+            raise RuntimeError(
+                f"float operation '{node.name}' survives fusing; only float "
+                "subgraphs with one integer input and one integer output "
+                "can be compiled (wrap with .astype(np.int64))")
+
+
 def run_default_transforms(graph: Graph) -> None:
     lower_encrypted_multiplication(graph)
+    fuse_float_subgraphs(graph)
+    check_integer_only(graph)

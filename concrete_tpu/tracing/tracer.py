@@ -117,11 +117,32 @@ class Tracer:
         np.multiply: ("multiply", lambda x, y: x * y),
         np.negative: ("negative", lambda x: -x),
         np.matmul: ("matmul", lambda x, y: x @ y),
+        np.true_divide: ("divide", lambda x, y: x / y),
+        np.floor_divide: ("floor_divide", lambda x, y: x // y),
+        np.mod: ("mod", lambda x, y: x % y),
+        np.power: ("power", lambda x, y: x ** y),
+    }
+
+    # float pointwise ufuncs: traceable, must later fuse into a TLU
+    # (reference compilation/utils.py:208 float-subgraph fusing)
+    FLOAT_UFUNCS = {
+        np.sin, np.cos, np.tan, np.exp, np.log, np.log2, np.log10, np.sqrt,
+        np.tanh, np.sinh, np.cosh, np.arctan, np.arcsin, np.arccos,
+        np.floor, np.ceil, np.rint, np.abs, np.absolute, np.sign, np.cbrt,
+        np.expm1, np.log1p,
     }
 
     def __array_ufunc__(self, ufunc, method, *args, **kwargs):
         if method == "__call__" and ufunc in Tracer.UFUNC_BUILDERS:
             return Tracer.UFUNC_BUILDERS[ufunc](*args)
+        if method == "__call__" and ufunc in Tracer.FLOAT_UFUNCS:
+            fn = ufunc
+
+            def ev(x):
+                return fn(np.asarray(x, dtype=np.float64))
+            operands = [Tracer.sanitize(a) for a in args]
+            output = Tracer._infer_output(ufunc.__name__, ev, operands)
+            return Tracer._generic(ufunc.__name__, operands, ev, output)
         if method != "__call__" or ufunc not in Tracer.SUPPORTED_UFUNCS:
             raise RuntimeError(
                 f"numpy ufunc {ufunc.__name__} is not supported on encrypted "
@@ -140,6 +161,42 @@ class Tracer:
                 f"numpy function {func.__name__} is not supported on "
                 "encrypted values yet")
         return handler(*args, **kwargs)
+
+    def astype(self, dtype):
+        """Cast; float->int rounds to nearest (reference tracer semantics:
+        the cast terminates a float subgraph that fuse() collapses to a TLU).
+        """
+        np_dtype = np.dtype(dtype)
+        if np.issubdtype(np_dtype, np.integer) or np_dtype == np.bool_:
+            def ev(x):
+                return np.rint(np.asarray(x)).astype(np.int64)
+            output = Tracer._infer_output("astype", ev, [self])
+            return Tracer._generic("astype", [self], ev, output)
+
+        def ev(x):
+            return np.asarray(x, dtype=np.float64)
+        output = Tracer._infer_output("astype_float", ev, [self])
+        return Tracer._generic("astype_float", [self], ev, output)
+
+    def __truediv__(self, other):
+        return self._binary("divide", other, lambda x, y: x / y)
+
+    def __rtruediv__(self, other):
+        return self._binary("divide", other, lambda x, y: x / y,
+                            reflected=True)
+
+    def __floordiv__(self, other):
+        return self._binary("floor_divide", other, lambda x, y: x // y)
+
+    def __rfloordiv__(self, other):
+        return self._binary("floor_divide", other, lambda x, y: x // y,
+                            reflected=True)
+
+    def __mod__(self, other):
+        return self._binary("mod", other, lambda x, y: x % y)
+
+    def __pow__(self, other):
+        return self._binary("power", other, lambda x, y: x ** y)
 
     def sum(self, axis=None):
         ev = lambda x: np.sum(x, axis=axis)  # noqa: E731

@@ -403,3 +403,47 @@ def test_per_tag_statistics():
     circuit = f.compile(range(4), CFG)
     per_tag = circuit.programmable_bootstrap_count_per_tag
     assert per_tag.get("layer1") == 1 and per_tag.get("layer2") == 1
+
+
+def test_float_subgraph_fusing():
+    """Arbitrary univariate float numpy code compiles to one TLU."""
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return np.rint(np.sqrt(x * 2.0) + 0.5).astype(np.int64)
+
+    circuit = f.compile(range(8), CFG)
+    assert circuit.programmable_bootstrap_count == 1
+    import numpy as _np
+    for v in (0, 4, 7):
+        want = int(_np.rint(_np.rint(_np.sqrt(v * 2.0) + 0.5)))
+        for _ in range(3):
+            got = circuit.encrypt_run_decrypt(v)
+            if int(got) == want:
+                break
+        else:
+            raise AssertionError((v, got, want))
+
+
+def test_float_fusing_chain_with_offsets():
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return (np.cos(x / 2.0) * 3.0 + 3.0).astype(np.int64) + 1
+
+    circuit = f.compile(range(6), CFG)
+    v = 3
+    want = int(np.rint(np.cos(v / 2.0) * 3.0 + 3.0)) + 1
+    for _ in range(3):
+        got = circuit.encrypt_run_decrypt(v)
+        if int(got) == want:
+            break
+    else:
+        raise AssertionError((got, want))
+
+
+def test_unfusable_multi_source_rejected():
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def f(x, y):
+        return (np.sqrt(x) + np.sqrt(y)).astype(np.int64)
+
+    with pytest.raises(RuntimeError, match="fuse"):
+        f.compile([(i, j) for i in range(4) for j in range(4)], CFG)
