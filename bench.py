@@ -99,7 +99,8 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--quick", action="store_true",
                     help="small batch / tiny params smoke run")
-    ap.add_argument("--check", action="store_true",
+    ap.add_argument("--check", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="decrypt outputs and verify the LUT was applied")
     ap.add_argument("--params", choices=["4bit", "4bit-tpuopt", "6bit",
                                          "tiny"],
@@ -166,7 +167,9 @@ def main() -> None:
     times = []
     for _ in range(args.iters):
         t0 = time.time()
-        run(ct).block_until_ready()
+        # fetch one element: guarantees full execution even if the remote
+        # backend's block_until_ready is lazy (observed on axon)
+        int(run(ct)[0, -1])
         times.append(time.time() - t0)
     best = min(times)
     pbs_per_sec = batch / best
