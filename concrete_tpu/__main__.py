@@ -18,7 +18,6 @@ import importlib.util
 import json
 import sys
 
-import numpy as np
 
 
 def _load_compiler(path: str, function: str):

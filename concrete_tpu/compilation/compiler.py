@@ -14,8 +14,7 @@ from typing import Callable, Optional
 import numpy as np
 
 from concrete_tpu.compilation.circuit import Circuit
-from concrete_tpu.compilation.configuration import (Configuration,
-                                                    ParameterSelectionStrategy)
+from concrete_tpu.compilation.configuration import Configuration
 from concrete_tpu.compilation.specs import ClientSpecs
 from concrete_tpu.optimizer import optimize_v0
 from concrete_tpu.tracing import Tracer

@@ -17,12 +17,10 @@ shape (*S, n_big + 1) — LWE dimension last.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import numpy as np
 
 import concrete_tpu.jax_config  # noqa: F401
-import jax
 import jax.numpy as jnp
 
 from concrete_tpu.core import kernels as kn

@@ -12,9 +12,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
-import numpy as np
 
-from concrete_tpu.compilation.circuit import Circuit
 from concrete_tpu.compilation.client import Client
 from concrete_tpu.compilation.configuration import Configuration
 from concrete_tpu.compilation.keys import Keys

@@ -9,10 +9,8 @@ by GraphExecutor, compiled (and cached) by XLA on first run.
 
 from __future__ import annotations
 
-import os
 import pickle
 import zipfile
-from typing import Optional
 
 import numpy as np
 

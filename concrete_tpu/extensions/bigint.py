@@ -18,7 +18,6 @@ is radix_add/mul/lt with bit_width=16.
 
 from __future__ import annotations
 
-import numpy as np
 
 from concrete_tpu.extensions.multivariate import multivariate
 from concrete_tpu.extensions.univariate import univariate

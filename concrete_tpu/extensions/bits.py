@@ -8,9 +8,7 @@ optimization.
 
 from __future__ import annotations
 
-import numpy as np
 
-from concrete_tpu.tracing.tracer import Tracer
 
 
 class Bits:

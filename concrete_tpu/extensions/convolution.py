@@ -11,7 +11,6 @@ from __future__ import annotations
 import numpy as np
 
 from concrete_tpu.tracing.tracer import Tracer
-from concrete_tpu.values import ValueDescription
 
 
 def conv(x, weight, bias=None, strides=(1, 1), padding=(0, 0)):

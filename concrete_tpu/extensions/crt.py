@@ -11,7 +11,6 @@ today.
 
 from __future__ import annotations
 
-import math
 from functools import reduce
 
 import numpy as np

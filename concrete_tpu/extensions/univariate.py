@@ -10,7 +10,6 @@ from __future__ import annotations
 import numpy as np
 
 from concrete_tpu.tracing.tracer import Tracer
-from concrete_tpu.values import ValueDescription
 
 
 def univariate(function):

@@ -23,7 +23,6 @@ import numpy as np
 
 import concrete_tpu.jax_config  # noqa: F401
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from concrete_tpu.core import kernels as kn

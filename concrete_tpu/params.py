@@ -324,3 +324,10 @@ TEST_PARAMS_TINY = CryptoParams(
     n_small=16, glwe_dimension=2, polynomial_size=64,
     pbs_level=2, pbs_base_log=12, ks_level=2, ks_base_log=8,
     lwe_std=2.0 ** -25, glwe_std=2.0 ** -35, security_level=0)
+
+# Slightly wider tiny parameters: N=256 keeps the modulus-switch noise low
+# enough for 5-6-bit (e.g. packed multivariate) tests.  Still NOT SECURE.
+TEST_PARAMS_TINY_WIDE = CryptoParams(
+    n_small=32, glwe_dimension=1, polynomial_size=256,
+    pbs_level=2, pbs_base_log=12, ks_level=2, ks_base_log=8,
+    lwe_std=2.0 ** -30, glwe_std=2.0 ** -40, security_level=0)

@@ -11,7 +11,6 @@ partition max, which is what we compute).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import networkx as nx
 import numpy as np

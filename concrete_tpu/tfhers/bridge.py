@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from concrete_tpu.core import refimpl as ref
 from concrete_tpu.tfhers.dtypes import TFHERSIntegerType
 
 

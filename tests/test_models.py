@@ -6,9 +6,9 @@ import pytest
 import concrete_tpu as fhe
 from concrete_tpu.models import (GameOfLife, LevenshteinDistance,
                                  QuantizedMLP, StaticKeyValueDatabase)
-from concrete_tpu.params import TEST_PARAMS_TINY
+from concrete_tpu.params import TEST_PARAMS_TINY_WIDE
 
-CFG = fhe.Configuration(forced_parameters=TEST_PARAMS_TINY)
+CFG = fhe.Configuration(forced_parameters=TEST_PARAMS_TINY_WIDE)
 
 
 def test_quantized_mlp():
