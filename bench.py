@@ -37,6 +37,7 @@ def bench_quickstart() -> None:
     t0 = time.time()
     enc = circuit.encrypt(2, 3)
     t["encrypt"] = time.time() - t0
+    circuit.run(*enc)              # warmup: XLA compile
     t0 = time.time()
     out = circuit.run(*enc)
     t["run"] = time.time() - t0

@@ -305,7 +305,13 @@ class GraphExecutor:
                 values[node] = args[0]
             elif name == "index":
                 index = node.properties["kwargs"]["index"]
-                values[node] = args[0][index]
+                if is_ct(node):
+                    # the index addresses *data* dims; keep the trailing
+                    # ciphertext axis out of its reach (incl. Ellipsis)
+                    idx_t = index if isinstance(index, tuple) else (index,)
+                    values[node] = args[0][idx_t + (slice(None),)]
+                else:
+                    values[node] = args[0][index]
             elif name == "reshape":
                 shape = node.properties["kwargs"]["shape"]
                 ct = args[0]

@@ -447,3 +447,20 @@ def test_unfusable_multi_source_rejected():
 
     with pytest.raises(RuntimeError, match="fuse"):
         f.compile([(i, j) for i in range(4) for j in range(4)], CFG)
+
+
+def test_indexing_with_ellipsis_and_negative():
+    """Indexing encrypted tensors must not touch the ciphertext axis."""
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return x[..., 0] + x[..., -1] + x[1, 0]
+
+    inputset = [np.arange(4).reshape(2, 2) + i for i in range(3)]
+    circuit = f.compile(inputset, CFG)
+    sample = np.array([[1, 2], [3, 0]])
+    want = sample[..., 0] + sample[..., -1] + sample[1, 0]
+    for _ in range(3):
+        got = circuit.encrypt_run_decrypt(sample)
+        if np.array_equal(np.asarray(got), want):
+            return
+    raise AssertionError((got, want))
