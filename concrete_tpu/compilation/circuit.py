@@ -120,6 +120,28 @@ class Circuit:
         return sum(v.size * (p.n_big + 1) * 8
                    for v in self.client_specs.outputs if v.is_encrypted)
 
+    def memory_usage(self, batch_size: int = 1) -> dict:
+        """Estimated device-memory footprint in bytes (reference
+        computeMemoryUsage / memory-usage-per-location feedback).
+
+        Keys are HBM-resident once per keyset; ciphertext working set scales
+        with the batch."""
+        p = self.client_specs.params
+        ct_bytes = (p.n_big + 1) * 8
+        acc_bytes = (p.glwe_dimension + 1) * p.polynomial_size * 8
+        bsk_packed = (p.n_small * p.pbs_level * (p.glwe_dimension + 1) ** 2
+                      * 8 * (2 * p.polynomial_size - 1))  # int8 limb planes
+        ksk_packed = p.n_big * p.ks_level * (p.n_small + 1) * 8  # int8 limbs
+        return {
+            "bootstrap_keys": bsk_packed,
+            "keyswitch_keys": ksk_packed,
+            "ciphertexts": batch_size * ct_bytes * max(
+                len(self.client_specs.inputs), 1),
+            "accumulators": batch_size * acc_bytes,
+            "total": (bsk_packed + ksk_packed
+                      + batch_size * (ct_bytes + acc_bytes)),
+        }
+
     @property
     def programmable_bootstrap_count_per_tag(self) -> dict:
         """PBS counts grouped by fhe.tag regions (reference circuit.py

@@ -464,3 +464,15 @@ def test_indexing_with_ellipsis_and_negative():
         if np.array_equal(np.asarray(got), want):
             return
     raise AssertionError((got, want))
+
+
+def test_memory_usage_estimate():
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return fhe.LookupTable([0, 1, 2, 3])[x]
+
+    circuit = f.compile(range(4), CFG)
+    mem = circuit.memory_usage(batch_size=128)
+    assert mem["total"] > mem["bootstrap_keys"] > 0
+    assert mem["ciphertexts"] == 128 * (
+        circuit.client_specs.params.n_big + 1) * 8
