@@ -134,7 +134,7 @@ def _rotate_kernel(a_ref, lo_ref, hi_ref, *dl_refs,
 
 
 def rotate_decompose_limbs(acc_lo, acc_hi, a_rows, *, base_log: int,
-                           levels: int, a_limbs: int, row_tile: int = 256,
+                           levels: int, a_limbs: int, row_tile: int = None,
                            interpret: bool = False):
     """rows = B*(k+1) flattened; returns a tuple of levels*a_limbs int8
     planes of shape (rows, N), index = lev * a_limbs + limb.
@@ -142,6 +142,9 @@ def rotate_decompose_limbs(acc_lo, acc_hi, a_rows, *, base_log: int,
     acc planes: (rows, N) u32; a_rows: (rows,) int32.
     """
     rows, n = acc_lo.shape
+    if row_tile is None:
+        # the kernel keeps ~4 (tile, 2N) u32 arrays live; stay under ~8MB
+        row_tile = max(32, 1 << (int(8e6 / (32 * n)).bit_length() - 1))
     tile = min(row_tile, rows)
     while rows % tile:
         tile //= 2
@@ -198,13 +201,17 @@ def _recombine_kernel(planes_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref,
 
 
 def recombine_accumulate(planes, acc_lo, acc_hi, *, limb_offset: int = 0,
-                         row_tile: int = 128, interpret: bool = False):
+                         row_tile: int = None, interpret: bool = False):
     """planes: (rows, S, N) int32 (S = planes kept); acc: (rows, N) u32.
 
     Returns updated (acc_lo, acc_hi) with
     acc += sum_s planes[:, s] << 8*(s + limb_offset)  (mod 2^64).
     """
     rows, keep, n = planes.shape
+    if row_tile is None:
+        # live: planes (tile, keep, N) i32 + 4x (tile, N) u32 (~8MB budget)
+        row_tile = max(32, 1 << (int(8e6 / (4 * (keep + 4) * n))
+                                 .bit_length() - 1))
     tile = min(row_tile, rows)
     while rows % tile:
         tile //= 2
