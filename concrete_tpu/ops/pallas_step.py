@@ -144,7 +144,7 @@ def rotate_decompose_limbs(acc_lo, acc_hi, a_rows, *, base_log: int,
     rows, n = acc_lo.shape
     if row_tile is None:
         # the kernel keeps ~4 (tile, 2N) u32 arrays live; stay under ~8MB
-        row_tile = max(32, 1 << (int(8e6 / (32 * n)).bit_length() - 1))
+        row_tile = max(32, 1 << (int(12e6 / (32 * n)).bit_length() - 1))
     tile = min(row_tile, rows)
     while rows % tile:
         tile //= 2
@@ -210,7 +210,7 @@ def recombine_accumulate(planes, acc_lo, acc_hi, *, limb_offset: int = 0,
     rows, keep, n = planes.shape
     if row_tile is None:
         # live: planes (tile, keep, N) i32 + 4x (tile, N) u32 (~8MB budget)
-        row_tile = max(32, 1 << (int(8e6 / (4 * (keep + 4) * n))
+        row_tile = max(32, 1 << (int(12e6 / (4 * (keep + 4) * n))
                                  .bit_length() - 1))
     tile = min(row_tile, rows)
     while rows % tile:
