@@ -210,7 +210,7 @@ def recombine_accumulate(planes, acc_lo, acc_hi, *, limb_offset: int = 0,
     rows, keep, n = planes.shape
     if row_tile is None:
         # live: planes (tile, keep, N) i32 + 4x (tile, N) u32 (~8MB budget)
-        row_tile = max(32, 1 << (int(12e6 / (4 * (keep + 4) * n))
+        row_tile = max(32, 1 << (int(6e6 / (4 * (keep + 4) * n))
                                  .bit_length() - 1))
     tile = min(row_tile, rows)
     while rows % tile:
