@@ -56,3 +56,49 @@ def decompress(ct: SeededLweCiphertext) -> np.ndarray:
     count = int(np.prod(ct.bodies.shape)) if ct.bodies.shape else 1
     a = stream.random_u64((count, ct.n)).reshape(ct.bodies.shape + (ct.n,))
     return np.concatenate([a, ct.bodies[..., None]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Seeded evaluation keys (reference concrete_cpu_init_seeded_* + the
+# compress_evaluation_keys configuration)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class SeededServerKeys:
+    """BSK/KSK stored as PRG seed + body coefficients only.
+
+    The GLWE masks of every BSK row and the LWE masks of every KSK row are
+    regenerated from the seed on expansion — a (k+1)x / (n+1)x size
+    reduction for transport/storage.
+    """
+    seed: bytes
+    bsk_bodies: np.ndarray   # (n, l, k+1, N) u64
+    ksk_bodies: np.ndarray   # (n_big, ks_l) u64
+    n_small: int
+    glwe_dimension: int
+    polynomial_size: int
+    pbs_level: int
+    ks_level: int
+
+    @property
+    def size_bytes(self) -> int:
+        return (len(self.seed) + self.bsk_bodies.nbytes
+                + self.ksk_bodies.nbytes)
+
+    def expand(self):
+        """Regenerate the full ServerKeys (masks from the PRG stream).
+
+        Mask draw order: all BSK row masks first, then all KSK masks —
+        mirrors seeded generation in core/keygen.keygen_seeded.
+        """
+        from concrete_tpu.core.refimpl import ServerKeys
+        n, l, kp1, big_n = self.bsk_bodies.shape
+        k = kp1 - 1
+        stream = ChaCha20Stream(seed=self.seed)
+        bsk_masks = stream.random_u64((n, l, kp1, k, big_n))
+        bsk = np.concatenate([bsk_masks, self.bsk_bodies[..., None, :]],
+                             axis=-2)
+        n_big, ks_l = self.ksk_bodies.shape
+        ksk_masks = stream.random_u64((n_big, ks_l, self.n_small))
+        ksk = np.concatenate([ksk_masks, self.ksk_bodies[..., None]], axis=-1)
+        return ServerKeys(bsk=bsk, ksk=ksk)

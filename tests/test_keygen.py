@@ -48,3 +48,32 @@ def test_fast_ksk_works(rng):
     out = ref.keyswitch(ct, server.ksk, P.ks_base_log, P.ks_level)
     dec = ref.decode(ref.lwe_decrypt(sk.lwe_small, out), 3)
     assert np.array_equal(dec, msgs)
+
+
+def test_seeded_keygen_roundtrip(rng):
+    """Seeded keys: (k+1)x smaller, expand to a working keyset."""
+    import jax.numpy as jnp
+    from concrete_tpu.core import kernels as K2
+
+    sk, seeded = kg.keygen_seeded(rng, P, seed=b"\9" * 32)
+    full_bsk_bytes = (P.n_small * P.pbs_level * (P.glwe_dimension + 1) ** 2
+                      * P.polynomial_size * 8)
+    assert seeded.size_bytes < full_bsk_bytes / 2
+    server = seeded.expand()
+    p = 3
+    lut = np.arange(8, dtype=np.uint64)
+    ct = kg.encrypt_lwe_batch(rng, sk.lwe_big, ref.encode(np.arange(8), p),
+                              P.lwe_std / 256)
+    ksk = K2.pack_ksk(server.ksk, P)
+    bsk = K2.pack_bsk(server.bsk, P)
+    lut_poly = ref.encode_expand_lut(lut, P.polynomial_size, p)
+    out = np.asarray(K2.pbs_batch(jnp.asarray(ct), ksk, bsk,
+                                  jnp.asarray(lut_poly), P, p))
+    dec = ref.decode(ref.lwe_decrypt(sk.lwe_big, out), p)
+    assert np.array_equal(dec, np.arange(8))
+    # deterministic: same seed + same noise stream -> same bodies
+    rng2 = np.random.default_rng(42)
+    rng3 = np.random.default_rng(42)
+    _, s2 = kg.keygen_seeded(rng2, P, seed=b"\7" * 32)
+    _, s3 = kg.keygen_seeded(rng3, P, seed=b"\7" * 32)
+    assert np.array_equal(s2.bsk_bodies, s3.bsk_bodies)
