@@ -303,6 +303,32 @@ class GraphExecutor:
                 values[node] = out
             elif name == "hint":
                 values[node] = args[0]
+            elif name == "concatenate":
+                axis = node.properties["kwargs"]["axis"]
+                if is_ct(node):
+                    nd = len(node.output.shape)
+                    ax = axis % nd  # data axes only; ct axis stays last
+                    values[node] = jnp.concatenate(args, axis=ax)
+                else:
+                    values[node] = np.concatenate(args, axis=axis)
+            elif name == "transpose":
+                axes = node.properties["kwargs"]["axes"]
+                ct = args[0]
+                if is_ct(node):
+                    nd = ct.ndim - 1
+                    perm = tuple(axes) if axes is not None \
+                        else tuple(reversed(range(nd)))
+                    values[node] = jnp.transpose(ct, perm + (nd,))
+                else:
+                    values[node] = np.transpose(ct, axes)
+            elif name == "broadcast_to":
+                shape = node.properties["kwargs"]["shape"]
+                ct = args[0]
+                if is_ct(node):
+                    values[node] = jnp.broadcast_to(
+                        ct, tuple(shape) + (ct.shape[-1],))
+                else:
+                    values[node] = np.broadcast_to(ct, shape)
             elif name == "index":
                 index = node.properties["kwargs"]["index"]
                 if is_ct(node):

@@ -162,6 +162,15 @@ def _rebuild_evaluator(operation: Operation, properties: dict):
     if name == "index":
         index = kwargs["index"]
         return lambda x: x[index]
+    if name == "concatenate":
+        axis = kwargs["axis"]
+        return lambda *xs: np.concatenate(xs, axis=axis)
+    if name == "transpose":
+        axes = kwargs["axes"]
+        return lambda x: np.transpose(x, axes)
+    if name == "broadcast_to":
+        shape = kwargs["shape"]
+        return lambda x: np.broadcast_to(x, shape)
     if name == "tlu":
         table = kwargs["table"]
         return lambda x: table[np.asarray(x) % len(table)]

@@ -203,6 +203,26 @@ class Tracer:
         output = Tracer._infer_output("sum", ev, [self])
         return Tracer._generic("sum", [self], ev, output, axis=axis)
 
+    def transpose(self, axes=None):
+        ev = lambda x: np.transpose(x, axes)  # noqa: E731
+        output = Tracer._infer_output("transpose", ev, [self])
+        return Tracer._generic("transpose", [self], ev, output, axes=axes)
+
+    @property
+    def T(self):  # noqa: N802
+        return self.transpose()
+
+    def min(self, axis=None):
+        return _reduce_minmax(self, axis, is_max=False)
+
+    def max(self, axis=None):
+        return _reduce_minmax(self, axis, is_max=True)
+
+    def clip(self, lo, hi):
+        from concrete_tpu.extensions.univariate import univariate
+        return univariate(lambda v, lo=int(lo), hi=int(hi):
+                          min(max(int(v), lo), hi))(self)
+
     def reshape(self, *shape):
         if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
             shape = tuple(shape[0])
@@ -392,6 +412,59 @@ def _is_float(desc: ValueDescription) -> bool:
     return isinstance(desc.dtype, Float)
 
 
+def _reduce_minmax(t, axis, is_max: bool):
+    """min/max reduction as a tree of pairwise maximum/minimum (each pair =
+    one relu TLU, reference FHELinalg maxpool-style reduction)."""
+    combine = _np_maximum if is_max else _np_minimum
+    if t.ndim == 0:
+        return t
+    if axis is None:
+        flat = t.flatten()
+        items = [flat[i] for i in range(flat.shape[0])]
+    else:
+        items = [t[tuple([slice(None)] * axis + [i])]
+                 for i in range(t.shape[axis])]
+    while len(items) > 1:
+        nxt = []
+        for i in range(0, len(items) - 1, 2):
+            nxt.append(combine(items[i], items[i + 1]))
+        if len(items) % 2:
+            nxt.append(items[-1])
+        items = nxt
+    return items[0]
+
+
+def _np_concatenate(arrays, axis=0, **kw):
+    operands = [Tracer.sanitize(a) for a in arrays]
+    ev = lambda *xs: np.concatenate(xs, axis=axis)  # noqa: E731
+    output = Tracer._infer_output("concatenate", ev, operands)
+    return Tracer._generic("concatenate", operands, ev, output, axis=axis)
+
+
+def _np_transpose(a, axes=None, **kw):
+    return Tracer.sanitize(a).transpose(axes)
+
+
+def _np_broadcast_to(a, shape, **kw):
+    a = Tracer.sanitize(a)
+    ev = lambda x: np.broadcast_to(x, shape)  # noqa: E731
+    output = Tracer._infer_output("broadcast_to", ev, [a])
+    return Tracer._generic("broadcast_to", [a], ev, output,
+                           shape=tuple(shape))
+
+
+def _np_clip(a, lo, hi, **kw):
+    return Tracer.sanitize(a).clip(lo, hi)
+
+
+def _np_min(a, axis=None, **kw):
+    return _reduce_minmax(Tracer.sanitize(a), axis, is_max=False)
+
+
+def _np_max(a, axis=None, **kw):
+    return _reduce_minmax(Tracer.sanitize(a), axis, is_max=True)
+
+
 def _np_sum(a, axis=None, **kw):
     return a.sum(axis=axis)
 
@@ -445,4 +518,12 @@ Tracer.SUPPORTED_FUNCS = {
     np.reshape: _np_reshape,
     np.dot: _np_dot,
     np.matmul: lambda a, b, **kw: Tracer.sanitize(a).__matmul__(b),
+    np.concatenate: _np_concatenate,
+    np.transpose: _np_transpose,
+    np.broadcast_to: _np_broadcast_to,
+    np.clip: _np_clip,
+    np.min: _np_min,
+    np.max: _np_max,
+    np.amin: _np_min,
+    np.amax: _np_max,
 }

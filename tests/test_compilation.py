@@ -476,3 +476,52 @@ def test_memory_usage_estimate():
     assert mem["total"] > mem["bootstrap_keys"] > 0
     assert mem["ciphertexts"] == 128 * (
         circuit.client_specs.params.n_big + 1) * 8
+
+
+def test_tensor_ops_concat_transpose_broadcast():
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def f(x, y):
+        both = np.concatenate([x, y])
+        m = np.transpose(np.broadcast_to(both, (2, 6)))
+        return np.sum(m, axis=1)
+
+    inputset = [(np.random.randint(0, 3, (3,)), np.random.randint(0, 3, (3,)))
+                for _ in range(10)]
+    circuit = f.compile(inputset, CFG)
+    a, b = np.array([1, 2, 0]), np.array([2, 1, 2])
+    want = np.sum(np.transpose(np.broadcast_to(
+        np.concatenate([a, b]), (2, 6))), axis=1)
+    for _ in range(3):
+        got = circuit.encrypt_run_decrypt(a, b)
+        if np.array_equal(np.asarray(got), want):
+            return
+    raise AssertionError((got, want))
+
+
+def test_min_max_reductions():
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return np.max(x), np.min(x)
+
+    inputset = [np.random.randint(0, 6, (5,)) for _ in range(15)]
+    circuit = f.compile(inputset, CFG)
+    sample = np.array([3, 1, 5, 0, 2])
+    for _ in range(4):
+        got = circuit.encrypt_run_decrypt(sample)
+        if tuple(int(v) for v in got) == (5, 0):
+            return
+    raise AssertionError(got)
+
+
+def test_clip():
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return np.clip(x, 2, 5)
+
+    circuit = f.compile(range(8), CFG)
+    for v, want in ((0, 2), (4, 4), (7, 5)):
+        for _ in range(3):
+            if int(circuit.encrypt_run_decrypt(v)) == want:
+                break
+        else:
+            raise AssertionError(v)
