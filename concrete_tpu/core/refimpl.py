@@ -291,22 +291,30 @@ def modulus_switch(value: np.ndarray, log2_poly_size: int) -> np.ndarray:
 
 
 def encode_expand_lut(lut: np.ndarray, poly_size: int, message_bits: int,
-                      signed: bool = False) -> np.ndarray:
+                      signed: bool = False,
+                      out_bits: int = None) -> np.ndarray:
     """Expand a 2^p-entry LUT into an N-coefficient accumulator polynomial.
 
     wrappers.cpp:388-452: each entry occupies a mega-case of N/2^p slots,
     shifted so case boundaries are centered (first case half at the start,
     half negated at the end); signed LUTs are half-rotated.
+
+    `message_bits` is the *input* precision (the index domain); `out_bits`
+    (default: same) sets the output encoding scale — they differ when a TLU
+    crosses precision partitions (reference encode_expand uses
+    out_MESSAGE_BITS for the shift while the table length is the input's).
     """
     lut = np.asarray(lut, dtype=np.uint64)
     p_size = lut.shape[-1]
     assert p_size == 1 << message_bits
+    if out_bits is None:
+        out_bits = message_bits
     mega = poly_size // p_size
     assert mega % 2 == 0, "polynomial size must give even mega-cases"
     if signed:
         half = p_size // 2
         lut = np.concatenate([lut[..., half:], lut[..., :half]], axis=-1)
-    scaled = lut << U64(_Q_LOG - message_bits - 1)
+    scaled = lut << U64(_Q_LOG - out_bits - 1)
     naive = np.repeat(scaled, mega, axis=-1)
     return monomial_mul(naive, 2 * poly_size - mega // 2)  # X^{-mega/2}
 
