@@ -10,12 +10,14 @@ bit-for-bit; tests/test_kernels.py enforces that.  Design notes:
   computed over balanced int8 limb planes with int32 accumulation (MXU path),
   see core/limbs.py — replacing the reference's f64 FFT (wrappers.cpp:762,
   tfhe-rs fft path) with an exact integer convolution.
-- The bootstrap key is pre-processed at keygen time into flipped int8 limb
-  planes ("limb BSK"), the analog of the reference's Fourier-domain BSK cached
-  in RuntimeContext (include/concretelang/Runtime/context.h:63-72).
-- Elementwise u64 (decomposition, rotation gathers, recombination) relies on
-  XLA's 32-bit-pair emulation of x64; hot paths can later move into Pallas
-  u32-pair kernels (concrete_tpu/ops/).
+- The bootstrap key is pre-processed at keygen time into negacyclically
+  extended int8 limb planes ("banded limb BSK"), the analog of the
+  reference's Fourier-domain BSK cached in RuntimeContext
+  (include/concretelang/Runtime/context.h:63-72); the external product is a
+  set of banded Toeplitz int8 matmuls on the MXU.
+- Elementwise u64 work (rotation, decomposition, recombination) runs as
+  fused u32-pair Pallas kernels on TPU (concrete_tpu/ops/pallas_step.py)
+  and as XLA x64-emulated ops on CPU; both are bit-identical.
 
 Shapes use B = batch, n = small LWE dim, k = GLWE dim, N = poly size,
 l = decomposition levels.
