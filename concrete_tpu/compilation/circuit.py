@@ -45,9 +45,6 @@ class Circuit:
 
     def run(self, *args):
         self.keygen()
-        if len(self.client_specs.inputs) == 1 and not isinstance(args[0],
-                                                                 tuple):
-            pass
         return_tuple = self.server.run(
             *args, evaluation_keys=self.keys.evaluation_for(
                 self.client_specs.message_bits))

@@ -104,8 +104,8 @@ class FheModule:
         return list(self._functions)
 
     def keygen(self, force: bool = False, seed: Optional[int] = None):
-        self.keys.generate(seed) if (force or not self.keys.are_generated) \
-            else None
+        if force or not self.keys.are_generated:
+            self.keys.generate(seed)
 
 
 class ModuleCompiler:
