@@ -140,8 +140,24 @@ def main() -> None:
 
     rng = np.random.default_rng(2026)
     t0 = time.time()
-    sk, server = kg.keygen(rng, params)
-    print(f"# keygen: {time.time() - t0:.1f}s", file=sys.stderr)
+    # disk-cache the benchmark keyset: keygen wall time is dominated by the
+    # remote-compile round trip and varies 80-900s run to run
+    import hashlib
+    import os
+    import pickle
+    cache_dir = os.path.expanduser("~/.cache/concrete_tpu_bench")
+    os.makedirs(cache_dir, exist_ok=True)
+    tag = hashlib.sha256(repr(params).encode()).hexdigest()[:16]
+    cache_path = os.path.join(cache_dir, f"keys_{tag}.pkl")
+    if os.path.exists(cache_path):
+        with open(cache_path, "rb") as f:
+            sk, server = pickle.load(f)
+        print(f"# keygen: cached ({time.time() - t0:.1f}s)", file=sys.stderr)
+    else:
+        sk, server = kg.keygen(rng, params)
+        with open(cache_path, "wb") as f:
+            pickle.dump((sk, server), f)
+        print(f"# keygen: {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
     ksk = K.pack_ksk(server.ksk, params)
