@@ -94,6 +94,38 @@ def bench_radix16(batch: int = 512) -> None:
                       "vs_baseline": round(batch / dt / 100.0, 3)}))
 
 
+def bench_mlp(batch: int = 64) -> None:
+    """BASELINE config 5 (single chip): encrypted quantized-MLP inference
+    through the full compiler frontend."""
+    import numpy as np
+    from concrete_tpu.models import QuantizedMLP
+
+    mlp = QuantizedMLP(d_in=8, d_hidden=4, d_out=2, weight_bits=2,
+                       activation_bits=2)
+    t0 = time.time()
+    circuit = mlp.compile()
+    circuit.keygen()
+    print(f"# compile+keygen: {time.time() - t0:.1f}s "
+          f"(p={circuit.client_specs.message_bits} bits, "
+          f"{circuit.programmable_bootstrap_count} PBS/sample)",
+          file=sys.stderr)
+    rng = np.random.default_rng(3)
+    xs = rng.integers(0, 4, (batch, 8))
+    enc = circuit.encrypt(xs)
+    circuit.run(enc)                           # warmup/compile
+    t0 = time.time()
+    out = circuit.run(enc)
+    dt = time.time() - t0
+    got = np.asarray(circuit.decrypt(out))
+    want = np.stack([mlp.infer_clear(x) for x in xs])
+    errs = int((got != want).sum())
+    print(f"# correctness: {want.size - errs}/{want.size} outputs",
+          file=sys.stderr)
+    print(json.dumps({"metric": "mlp_inference_throughput",
+                      "value": round(batch / dt, 2), "unit": "inferences/s",
+                      "vs_baseline": round(batch / dt / 10.0, 3)}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16384)
@@ -106,7 +138,8 @@ def main() -> None:
     ap.add_argument("--params", choices=["4bit", "4bit-tpuopt", "6bit",
                                          "tiny"],
                     default="4bit-tpuopt")
-    ap.add_argument("--config", choices=["pbs", "quickstart", "radix16"],
+    ap.add_argument("--config", choices=["pbs", "quickstart", "radix16",
+                                         "mlp"],
                     default="pbs", help="BASELINE benchmark config")
     args = ap.parse_args()
 
@@ -115,6 +148,9 @@ def main() -> None:
         return
     if args.config == "radix16":
         bench_radix16()
+        return
+    if args.config == "mlp":
+        bench_mlp()
         return
 
     import concrete_tpu.jax_config  # noqa: F401

@@ -37,6 +37,10 @@ class Client:
         compress=True (Compression::SEED, reference Transformers.cpp:224).
         """
         self.keygen()
+        if len(args) != len(self.specs.inputs):
+            raise ValueError(
+                f"expected {len(self.specs.inputs)} argument(s), "
+                f"got {len(args)}")
         rng = np.random.default_rng()
         out = []
         for pos, arg in enumerate(args):

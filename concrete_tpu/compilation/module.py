@@ -85,6 +85,11 @@ class FheFunction:
             return self.decrypt(res)
         return self.decrypt(*res)
 
+    def simulate(self, *args):
+        """Noise-accurate plaintext simulation of this function."""
+        from concrete_tpu.simulation import simulate_graph
+        return simulate_graph(self.graph, self.client_specs, *args)
+
 
 class FheModule:
     """A set of compiled functions sharing one keyset (composable)."""
