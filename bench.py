@@ -103,7 +103,7 @@ def bench_mlp(batch: int = 64) -> None:
     mlp = QuantizedMLP(d_in=8, d_hidden=4, d_out=2, weight_bits=2,
                        activation_bits=2)
     t0 = time.time()
-    circuit = mlp.compile()
+    circuit = mlp.compile(batch_size=batch)
     circuit.keygen()
     print(f"# compile+keygen: {time.time() - t0:.1f}s "
           f"(p={circuit.client_specs.message_bits} bits, "

@@ -38,7 +38,8 @@ class QuantizedMLP:
         return h @ self.w2
 
     def compile(self, configuration=None, inputset_size: int = 30,
-                seed: int = 1):
+                seed: int = 1, batch_size: int = None):
+        """Compile for single samples (d_in,) or batches (batch_size, d_in)."""
         rng = np.random.default_rng(seed)
         a_max = (1 << self.activation_bits) - 1
         w1, w2, shift = self.w1, self.w2, self.shift
@@ -49,6 +50,8 @@ class QuantizedMLP:
             h = fhe.univariate(lambda v: max(int(v), 0) >> shift)(acc)
             return h @ w2
 
-        inputset = [rng.integers(0, a_max + 1, (self.d_in,))
+        shape = (self.d_in,) if batch_size is None \
+            else (batch_size, self.d_in)
+        inputset = [rng.integers(0, a_max + 1, shape)
                     for _ in range(inputset_size)]
         return forward.compile(inputset, configuration)
