@@ -218,25 +218,31 @@ class GraphExecutor:
             elif name == "negative":
                 values[node] = jnp.uint64(0) - args[0]
             elif name in ("matmul", "dot"):
+                # NOTE: contractions stay multiply+reduce-sum (not
+                # dot_general): XLA's x64-removal pass cannot rewrite a u64
+                # dot on TPU, but handles elementwise mul and add-reductions.
                 a, b = args
                 ea, eb = enc_flags
                 if ea and eb:
                     raise NotImplementedError("enc x enc matmul planned")
                 if ea:
                     ct, w = a, np.asarray(b, dtype=np.int64).astype(np.uint64)
-                    # ct: (..., M, K?, n+1); contract ct dims with w
                     if w.ndim == 1:
                         out = (ct * jnp.asarray(w)[..., None]).sum(axis=-2)
                     else:
-                        out = jnp.einsum("...kd,km->...md", ct,
-                                         jnp.asarray(w))
+                        # (..., K, d) x (K, M) -> (..., M, d)
+                        out = (ct[..., :, None, :]
+                               * jnp.asarray(w)[:, :, None]).sum(axis=-3)
                 else:
                     w = np.asarray(a, dtype=np.int64).astype(np.uint64)
                     ct = b
                     if w.ndim == 1:
                         out = (jnp.asarray(w)[:, None] * ct).sum(axis=-2)
                     else:
-                        out = jnp.einsum("mk,...kd->...md", jnp.asarray(w), ct)
+                        # (M, K) x (K, ..., d) -> (M, ..., d); common case is
+                        # ct (K, d)
+                        out = (jnp.asarray(w)[..., None]
+                               * ct[None, ...]).sum(axis=1)
                 values[node] = out
             elif name == "sum":
                 axis = node.properties["kwargs"].get("axis")
@@ -293,7 +299,9 @@ class GraphExecutor:
                     for xx in range(ow):
                         patch = ct[:, :, yy * sh:yy * sh + kh,
                                    xx * sw:xx * sw + kwid, :]
-                        cols.append(jnp.einsum("ncijd,ocij->nod", patch, w_j))
+                        # u64-safe contraction (no dot_general, see matmul)
+                        prod = (patch[:, None] * w_j[None, :, :, :, :, None])
+                        cols.append(prod.sum(axis=(2, 3, 4)))
                     rows.append(jnp.stack(cols, axis=2))
                 out = jnp.stack(rows, axis=2)    # (n, o, oh, ow, d)
                 if bias is not None:
