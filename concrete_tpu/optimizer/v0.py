@@ -43,10 +43,27 @@ def safe_variance_bound(precision: int, p_error: float) -> float:
     return (margin / kappa_of_p_error(p_error)) ** 2
 
 
-def cost_pbs_macs(n, k: int, big_n: int, br_l: int, br_b: int):
-    """int8 MACs of one PBS blind rotate with the banded-matmul kernel."""
+def cost_pbs_macs(n, k: int, big_n: int, br_l: int, br_b: int,
+                  precision: int = None, p_error: float = 6.3e-5):
+    """int8 MACs of one PBS blind rotate with the banded-matmul kernel.
+
+    When `precision` is given, the cost accounts for noise-budget-aware BSK
+    limb truncation (kept weight limb planes = 8 - t_max): small gadget
+    bases tolerate deep truncation, which is why the optimizer prefers them
+    on TPU (see params.choose_truncate_limbs)."""
+    from concrete_tpu import params as pp
     a_limbs = lb.num_digit_limbs(br_b)
-    return n * float((k + 1) * br_l * (k + 1) * a_limbs * 8) * big_n ** 2
+    keep = 8
+    if precision is not None:
+        budget = safe_variance_bound(precision, p_error) * 0.05
+        for t in range(1, 7):
+            v = pp.variance_bsk_limb_truncation(int(np.max(n)), k, big_n,
+                                                br_b, br_l, t)
+            if v <= budget:
+                keep = 8 - t
+            else:
+                break
+    return n * float((k + 1) * br_l * (k + 1) * a_limbs * keep) * big_n ** 2
 
 
 def cost_ks_macs(n_big: int, n_small, ks_l: int, ks_b: int):
@@ -95,7 +112,8 @@ def optimize_v0(precision: int, norm2: int = 1, p_error: float = 6.3e-5,
                 base_ok = v_br + v_ms < safe_var
                 if not base_ok.any():
                     continue
-                c_br = cost_pbs_macs(ns, k, big_n, br_l, br_b)
+                c_br = cost_pbs_macs(ns, k, big_n, br_l, br_b,
+                                     precision=precision, p_error=p_error)
                 if c_br[base_ok].min() >= best_cost:
                     continue
                 for (ks_l, ks_b), v_ks in v_ks_all.items():
