@@ -211,7 +211,12 @@ def main() -> None:
         rng, sk.lwe_big, ref.encode(msgs, p_bits), params.lwe_std / 4))
     print(f"# pack+encrypt: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    run = jax.jit(lambda c: K.pbs_batch(c, ksk, bsk, lut_poly, params, p_bits))
+    # K.pbs_batch is itself jitted; calling it directly keeps ksk/bsk as
+    # runtime arguments.  (Wrapping in another jax.jit(lambda ...) would
+    # close over the keys and embed ~100s of MB of constants in the compile
+    # payload — the remote compile server rejects that at N>=4096.)
+    def run(c):
+        return K.pbs_batch(c, ksk, bsk, lut_poly, params, p_bits)
     t0 = time.time()
     out = run(ct)
     out.block_until_ready()
