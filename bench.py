@@ -219,7 +219,7 @@ def main() -> None:
         return K.pbs_batch(c, ksk, bsk, lut_poly, params, p_bits)
     t0 = time.time()
     out = run(ct)
-    out.block_until_ready()
+    int(out[0, -1])  # element fetch: block_until_ready can return early here
     print(f"# compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
 
     times = []
