@@ -45,9 +45,11 @@ class Circuit:
 
     def run(self, *args):
         self.keygen()
+        if not hasattr(self, "_norm2"):
+            self._norm2 = self.graph.max_norm2()
         return_tuple = self.server.run(
             *args, evaluation_keys=self.keys.evaluation_for(
-                self.client_specs.message_bits))
+                self.client_specs.message_bits, norm2=self._norm2))
         return return_tuple if len(return_tuple) != 1 else return_tuple[0]
 
     def decrypt(self, *results):

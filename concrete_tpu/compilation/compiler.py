@@ -2,9 +2,9 @@
 
 Reference: frontends/concrete-python/concrete/fhe/compilation/compiler.py:165
 (Compiler.compile) and module_compiler.py:34-470 (FunctionDef.evaluate:
-trace + bounds + fuse).  The fusing of float subgraphs into TLUs
-(compilation/utils.py:208) is planned for a later pass; univariate/
-LookupTable cover the explicit-TLU path today.
+trace + bounds + fuse).  Float subgraphs are fused into TLUs by
+transforms.run_default_transforms (the analog of compilation/utils.py:208);
+univariate/LookupTable cover the explicit-TLU path.
 """
 
 from __future__ import annotations

@@ -238,20 +238,30 @@ class GraphExecutor:
                     ct = b
                     if w.ndim == 1:
                         out = (jnp.asarray(w)[:, None] * ct).sum(axis=-2)
-                    else:
-                        # (M, K) x (K, ..., d) -> (M, ..., d); common case is
-                        # ct (K, d)
+                    elif ct.ndim == 2:
+                        # (M, K) x (K, d) -> (M, d)
                         out = (jnp.asarray(w)[..., None]
                                * ct[None, ...]).sum(axis=1)
+                    else:
+                        # (M, K) x (..., K, P, d) -> (..., M, P, d):
+                        # numpy matmul broadcasts the clear matrix over the
+                        # encrypted stack, contracting the ct's axis -2
+                        # (axis -3 with the trailing ciphertext dim)
+                        out = (jnp.asarray(w)[:, :, None, None]
+                               * ct[..., None, :, :, :]).sum(axis=-3)
                 values[node] = out
             elif name == "sum":
                 axis = node.properties["kwargs"].get("axis")
                 ct = args[0]
+                nd = ct.ndim - 1  # data dims (ciphertext axis is last)
                 if axis is None:
-                    nd = ct.ndim - 1
                     out = ct.sum(axis=tuple(range(nd))) if nd else ct
                 else:
-                    out = ct.sum(axis=axis if axis >= 0 else axis - 1)
+                    axes = axis if isinstance(axis, tuple) else (axis,)
+                    # negative axes count from the last *data* dim, i.e. one
+                    # before the trailing ciphertext axis
+                    out = ct.sum(axis=tuple(a if a >= 0 else a - 1
+                                            for a in axes))
                 values[node] = out
             elif name in ("tlu", "univariate"):
                 ct = args[0]

@@ -75,18 +75,20 @@ class Keys:
         """Device-packed evaluation keys (limb KSK + banded limb BSK)."""
         return self.evaluation_for(message_bits=None)
 
-    def evaluation_for(self, message_bits=None) -> tuple[kn.LimbKSK,
-                                                         kn.LimbBSK]:
+    def evaluation_for(self, message_bits=None, norm2: int = 1
+                       ) -> tuple[kn.LimbKSK, kn.LimbBSK]:
         """Packed keys with noise-budget-aware BSK limb truncation.
 
         When `message_bits` is given, the largest provably-negligible
-        truncation is chosen (params.choose_truncate_limbs); else none.
+        truncation is chosen (params.choose_truncate_limbs, scaled by the
+        circuit's norm2 amplification); else none.
         """
         self._require()
         truncate = 0
         if message_bits is not None:
             from concrete_tpu.params import choose_truncate_limbs
-            truncate = choose_truncate_limbs(self.params, message_bits)
+            truncate = choose_truncate_limbs(self.params, message_bits,
+                                             norm2=norm2)
         if (self._packed_ksk is None
                 or self._packed_bsk.truncate_limbs != truncate):
             self._packed_ksk = kn.pack_ksk(self._server.ksk, self.params)

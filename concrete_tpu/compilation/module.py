@@ -68,9 +68,11 @@ class FheFunction:
 
     def run(self, *args):
         self.client.keygen()
+        if not hasattr(self, "_norm2"):
+            self._norm2 = self.graph.max_norm2()
         outs = self.server.run(
             *args, evaluation_keys=self.client.keys.evaluation_for(
-                self.client_specs.message_bits))
+                self.client_specs.message_bits, norm2=self._norm2))
         return outs if len(outs) != 1 else outs[0]
 
     def decrypt(self, *results):

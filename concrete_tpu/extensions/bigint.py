@@ -45,10 +45,8 @@ def radix_add(a_limbs, b_limbs, limb_bits: int):
         s = a_limbs[i] + b_limbs[i]
         if carry is not None:
             s = s + carry
-        if i == n - 1:
-            out.append(univariate(lambda v, m=mod: int(v) % m)(s))
-        else:
-            out.append(univariate(lambda v, m=mod: int(v) % m)(s))
+        out.append(univariate(lambda v, m=mod: int(v) % m)(s))
+        if i != n - 1:
             carry = univariate(lambda v, m=mod: int(v) // m)(s)
     return tuple(out)
 

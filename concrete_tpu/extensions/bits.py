@@ -30,9 +30,6 @@ class Bits:
             step = index.step or 1
             if stop is None:
                 raise ValueError("bit slices need an explicit stop")
-            shift = start
-            mask = 0
-            out_bit = 0
             # value of the sliced bits reassembled as an integer
             sel = list(range(start, stop, step))
 

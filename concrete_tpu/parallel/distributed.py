@@ -58,11 +58,14 @@ def local_batch_slice(global_batch: int) -> slice:
 
     With batch sharding, each host materializes only its local shard
     (jax.make_array_from_process_local_data handles the assembly).
+    A remainder of global_batch % processes is spread over the first hosts
+    so every element is covered.
     """
     n_proc = jax.process_count()
-    per = global_batch // n_proc
+    per, rem = divmod(global_batch, n_proc)
     i = jax.process_index()
-    return slice(i * per, (i + 1) * per)
+    start = i * per + min(i, rem)
+    return slice(start, start + per + (1 if i < rem else 0))
 
 
 def scaling_report(pbs_per_sec_one_chip: float,

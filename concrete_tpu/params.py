@@ -161,21 +161,27 @@ def variance_bsk_limb_truncation(in_lwe_dimension: int, glwe_dimension: int,
 
 
 def choose_truncate_limbs(params: "CryptoParams", message_bits: int,
+                          norm2: int = 1,
                           budget_fraction: float = 0.05,
                           p_error: float = 6.3e-5) -> int:
     """Largest BSK limb truncation whose added variance stays below
     `budget_fraction` of the safe variance bound for `message_bits`.
+
+    The truncation error rides the blind-rotate output, so like the BR
+    variance itself it is amplified by norm2^2 by downstream leveled ops
+    before the next decision point — the budget check scales it accordingly.
 
     Small gadget bases tolerate deep truncation (digits are tiny); e.g. the
     TPU-optimizer's base-32 parameters allow dropping 4 of 8 limb planes at
     ~2^-37 added variance."""
     from concrete_tpu.optimizer.v0 import safe_variance_bound
     budget = safe_variance_bound(message_bits, p_error) * budget_fraction
+    amp = float(norm2) ** 2
     best = 0
     for t in range(1, 7):
         v = variance_bsk_limb_truncation(
             params.n_small, params.glwe_dimension, params.polynomial_size,
-            params.pbs_base_log, params.pbs_level, t, params.q_log)
+            params.pbs_base_log, params.pbs_level, t, params.q_log) * amp
         if v <= budget:
             best = t
     return best

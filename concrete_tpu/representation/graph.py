@@ -175,8 +175,15 @@ class Graph:
                     const = cnode.properties.get("constant")
                     if const is not None:
                         w = np.asarray(const, dtype=np.int64)
-                        norm = int((w.astype(object) ** 2).sum(axis=0).max()) \
-                            if w.ndim == 2 else int((w.astype(object) ** 2).sum())
+                        if w.ndim == 2:
+                            # contraction axis follows the executor's
+                            # orientation: ct @ w contracts w's axis 0,
+                            # w @ ct (clear on the left) contracts axis 1
+                            axis = 1 if preds[0] is cnode else 0
+                            norm = int((w.astype(object) ** 2)
+                                       .sum(axis=axis).max())
+                        else:
+                            norm = int((w.astype(object) ** 2).sum())
                     else:
                         hi = max(abs(cnode.output.dtype.min),
                                  abs(cnode.output.dtype.max))

@@ -525,3 +525,62 @@ def test_clip():
                 break
         else:
             raise AssertionError(v)
+
+
+def test_clear_left_matmul_execution_and_norm2():
+    """w @ ct (clear weights on the left): execution must be correct and
+    max_norm2 must use the left-operand contraction axis (w's axis 1) —
+    round-1 advisor finding: sum(axis=0) underestimated it."""
+    w = np.array([[3, 3, 3, 3]])  # (1, 4): row norm2 = 36, col norm2 = 9
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return w @ x
+
+    inputset = [np.random.randint(0, 2, (4,)) for _ in range(20)]
+    circuit = f.compile(inputset, CFG)
+    assert circuit.graph.max_norm2() == 36  # contraction over axis 1
+    sample = np.array([1, 0, 1, 1])
+    check_execution(circuit, lambda x: w @ x, sample)
+
+
+def test_clear_right_matmul_norm2_axis0():
+    w = np.array([[3], [3], [3], [3]])  # (4, 1): ct @ w contracts axis 0
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return x @ w
+
+    inputset = [np.random.randint(0, 2, (2, 4)) for _ in range(20)]
+    circuit = f.compile(inputset, CFG)
+    assert circuit.graph.max_norm2() == 36
+    sample = np.array([[1, 0, 1, 1], [0, 1, 0, 0]])
+    check_execution(circuit, lambda x: x @ w, sample)
+
+
+def test_clear_left_matmul_higher_rank():
+    """w (M,K) @ ct (B,K,P): numpy broadcast semantics over the stack."""
+    w = np.array([[1, 2], [0, 1]])  # (2, 2)
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return w @ x
+
+    inputset = [np.random.randint(0, 3, (2, 2, 2)) for _ in range(20)]
+    circuit = f.compile(inputset, CFG)
+    sample = np.random.randint(0, 3, (2, 2, 2))
+    check_execution(circuit, lambda x: w @ x, sample)
+
+
+def test_sum_with_tuple_axis():
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return np.sum(x, axis=(0, 1)) + np.sum(x, axis=(0, -1))
+
+    inputset = [np.random.randint(0, 2, (2, 2, 2)) for _ in range(20)]
+    circuit = f.compile(inputset, CFG)
+    sample = np.random.randint(0, 2, (2, 2, 2))
+    check_execution(
+        circuit,
+        lambda x: np.sum(x, axis=(0, 1)) + np.sum(x, axis=(0, -1)),
+        sample)

@@ -39,3 +39,16 @@ def test_sharded_pbs_matches_unsharded(rng):
     assert np.array_equal(got, want)
     dec = ref.decode(ref.lwe_decrypt(sk.lwe_big, got), p)
     assert np.array_equal(dec, (msgs + 1) % 8)
+
+
+def test_local_batch_slice_covers_remainder(monkeypatch):
+    import jax
+    from concrete_tpu.parallel import distributed
+
+    monkeypatch.setattr(jax, "process_count", lambda: 3)
+    covered = []
+    for i in range(3):
+        monkeypatch.setattr(jax, "process_index", lambda i=i: i)
+        s = distributed.local_batch_slice(10)
+        covered.extend(range(s.start, s.stop))
+    assert covered == list(range(10))

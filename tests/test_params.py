@@ -85,3 +85,12 @@ def test_variance_keyswitch_properties():
     assert v2 == pytest.approx(2 * v1)
     v_more_levels = pp.variance_keyswitch(1024, 4, 5, 2.0 ** -33)
     assert v_more_levels < v1 * 2  # rounding term shrinks with levels
+
+
+def test_truncation_budget_scales_with_norm2():
+    """High-norm2 circuits must truncate less (the truncation error is
+    amplified by norm2^2 downstream of the blind rotate)."""
+    from concrete_tpu.params import BENCH_PARAMS_4BIT_TPUOPT, choose_truncate_limbs
+    t1 = choose_truncate_limbs(BENCH_PARAMS_4BIT_TPUOPT, 4, norm2=1)
+    t_hi = choose_truncate_limbs(BENCH_PARAMS_4BIT_TPUOPT, 4, norm2=1 << 20)
+    assert t_hi < t1
