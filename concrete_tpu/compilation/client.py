@@ -41,7 +41,10 @@ class Client:
             raise ValueError(
                 f"expected {len(self.specs.inputs)} argument(s), "
                 f"got {len(args)}")
-        rng = np.random.default_rng()
+        # encryption masks/noise from the ChaCha20 CSPRNG (the reference's
+        # dedicated *encryption* csprng, Csprng.h:18-61)
+        from concrete_tpu.utils.csprng import SecureGenerator
+        rng = SecureGenerator()
         out = []
         for pos, arg in enumerate(args):
             spec = self.specs.inputs[pos]

@@ -39,13 +39,20 @@ class Keys:
         return self._secret is not None
 
     def generate(self, seed: Optional[int] = None) -> None:
-        """Generate (or load from the insecure cache) all key material."""
+        """Generate (or load from the insecure cache) all key material.
+
+        All secret/noise randomness comes from the ChaCha20 CSPRNG
+        (utils/csprng.SecureGenerator; reference Csprng.h:18-61) — seeded
+        from os.urandom by default, deterministically from `seed` for
+        reproducible (test) keys.
+        """
         if self.cache_directory is not None:
             path = self._cache_path(seed)
             if os.path.exists(path):
                 self.load(path)
                 return
-        rng = np.random.default_rng(seed)
+        from concrete_tpu.utils.csprng import SecureGenerator
+        rng = SecureGenerator(seed)
         self._secret, self._server = kg.keygen(rng, self.params)
         self._packed_ksk = None
         self._packed_bsk = None

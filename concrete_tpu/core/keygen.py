@@ -9,10 +9,10 @@ computed with the same exact int8 limb convolution the server kernels use
 Reference analog: lib/Common/Keys.cpp:59,115,239 (concrete-cpu keygen calls,
 with rayon parallelism); here the batch axis is the vector axis.
 
-Randomness: numpy Generator (PCG64) by default — NOT cryptographically
-secure; a ChaCha20-based CSPRNG (reference: concrete-cpu c_api/csprng.rs)
-lives in concrete_tpu/utils/csprng.py and is used when a SecretCsprng is
-passed.
+Randomness: the functions take any numpy-Generator-compatible source; the
+production path (compilation/keys.py Keys.generate) passes the ChaCha20
+SecureGenerator (concrete_tpu/utils/csprng.py; reference: concrete-cpu
+c_api/csprng.rs).  numpy Generators appear only in tests/oracles.
 """
 
 from __future__ import annotations

@@ -80,27 +80,41 @@ class ChaCha20Stream:
 class SecureGenerator:
     """numpy-Generator-compatible adapter over the ChaCha20 stream.
 
-    Supports the subset the crypto core uses: `integers` with power-of-two
-    ranges and `normal`.
+    Supports the subset the crypto core uses: `integers` (any range;
+    power-of-two ranges are a single masked draw, others use unbiased
+    mask-and-reject sampling) and `normal`.
     """
 
-    def __init__(self, seed: Optional[bytes] = None):
+    def __init__(self, seed: Optional[bytes | int] = None):
+        if isinstance(seed, int):
+            seed = seed.to_bytes(32, "little", signed=False) \
+                if seed >= 0 else hashlib.sha256(str(seed).encode()).digest()
         self.stream = ChaCha20Stream(seed)
 
     def integers(self, low, high, size=None, dtype=np.int64):
         span = int(high) - int(low)
-        if span & (span - 1):
-            raise NotImplementedError(
-                "SecureGenerator only supports power-of-two ranges")
+        if span <= 0:
+            raise ValueError("high must be greater than low")
         shape = size if size is not None else ()
         if isinstance(shape, int):
             shape = (shape,)
-        u = self.stream.random_u64(shape if shape else (1,))
-        if span == 1 << 64:
-            out = u
+        n = int(np.prod(shape)) if shape else 1
+        if span & (span - 1) == 0:  # power of two: one masked draw
+            u = self.stream.random_u64((n,))
+            out = u if span == 1 << 64 else u & np.uint64(span - 1)
+        else:  # mask to the next power of two, reject out-of-range draws
+            mask = np.uint64((1 << (span - 1).bit_length()) - 1)
+            out = np.empty(n, dtype=np.uint64)
+            filled = 0
+            while filled < n:
+                draw = self.stream.random_u64((n - filled,)) & mask
+                good = draw[draw < span]
+                out[filled:filled + good.size] = good
+                filled += good.size
+        if int(low) != 0:
+            out = (out.astype(np.int64) + np.int64(low)).astype(dtype)
         else:
-            out = (u & np.uint64(span - 1)) + np.uint64(low)
-        out = out.astype(dtype)
+            out = out.astype(dtype)
         return out.reshape(shape) if shape else out[0]
 
     def normal(self, loc=0.0, scale=1.0, size=None):

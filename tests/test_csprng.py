@@ -47,3 +47,51 @@ def test_keygen_with_secure_generator():
                               P.lwe_std / 16)
     dec = ref.decode(ref.lwe_decrypt(sk.lwe_big, ct), 3)
     assert np.array_equal(dec, np.arange(4))
+
+
+def test_secure_integers_non_power_of_two():
+    from concrete_tpu.utils.csprng import SecureGenerator
+    g = SecureGenerator(b"range-test")
+    x = g.integers(0, 5, size=20000)
+    assert x.min() >= 0 and x.max() <= 4
+    counts = np.bincount(x, minlength=5)
+    # unbiased rejection sampling: each bucket within 10% of uniform
+    assert np.all(np.abs(counts - 4000) < 400), counts
+    y = g.integers(-3, 10, size=5000)
+    assert y.min() >= -3 and y.max() <= 9
+    assert set(np.unique(y)) == set(range(-3, 10))
+
+
+def test_secure_integers_int_seed_deterministic():
+    from concrete_tpu.utils.csprng import SecureGenerator
+    a = SecureGenerator(1234).integers(0, 1 << 64, size=16, dtype=np.uint64)
+    b = SecureGenerator(1234).integers(0, 1 << 64, size=16, dtype=np.uint64)
+    assert np.array_equal(a, b)
+
+
+def test_keys_generate_uses_chacha_and_is_seed_deterministic():
+    """Production keygen must draw from the ChaCha CSPRNG (round-1 advisor
+    finding: it silently used PCG64) and be reproducible from a seed."""
+    from concrete_tpu.compilation.keys import Keys
+    from concrete_tpu.params import TEST_PARAMS_TINY
+
+    k1 = Keys(TEST_PARAMS_TINY)
+    k1.generate(seed=7)
+    k2 = Keys(TEST_PARAMS_TINY)
+    k2.generate(seed=7)
+    assert np.array_equal(k1.secret.lwe_small, k2.secret.lwe_small)
+    assert np.array_equal(k1.secret.glwe, k2.secret.glwe)
+    assert np.array_equal(k1.server.bsk, k2.server.bsk)
+    k3 = Keys(TEST_PARAMS_TINY)
+    k3.generate(seed=8)
+    assert not np.array_equal(k1.secret.lwe_small, k3.secret.lwe_small)
+
+
+def test_no_default_rng_on_crypto_paths():
+    """Grep-level guarantee (VERDICT item 7): key generation and encryption
+    source must not reference numpy's default_rng."""
+    import inspect
+
+    from concrete_tpu.compilation import client, keys
+    for mod in (client, keys):
+        assert "default_rng" not in inspect.getsource(mod), mod.__name__
