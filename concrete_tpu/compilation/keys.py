@@ -7,9 +7,11 @@ lib/Common/Keysets.cpp (on-disk keyset cache keyed by parameter hash).
 
 from __future__ import annotations
 
+import dataclasses
 import hashlib
+import io
+import json
 import os
-import pickle
 from typing import Optional
 
 import numpy as np
@@ -61,9 +63,11 @@ class Keys:
             self.save(self._cache_path(seed))
 
     def _cache_path(self, seed) -> str:
+        # NOTE: cache files contain PLAINTEXT SECRET KEYS (hence the
+        # "insecure" in use_insecure_key_cache); they are data-only npz.
         h = hashlib.sha256(
             repr((self.params, seed)).encode()).hexdigest()[:24]
-        return os.path.join(self.cache_directory, f"keys_{h}.pkl")
+        return os.path.join(self.cache_directory, f"keys_{h}.npz")
 
     # -- accessors ---------------------------------------------------------
 
@@ -107,34 +111,56 @@ class Keys:
         if self._secret is None:
             raise RuntimeError("keys are not generated yet; call generate()")
 
-    # -- serialization -----------------------------------------------------
+    # -- serialization (data-only npz + JSON params; no pickle — loading a
+    # key blob must never execute code.  Reference ships capnp Keysets for
+    # the same reason, concrete-protocol.capnp) ------------------------------
 
-    def save(self, path: str) -> None:
+    _FORMAT_VERSION = 1
+
+    def _to_npz_dict(self) -> dict:
         self._require()
-        with open(path, "wb") as f:
-            pickle.dump({"params": self.params,
-                         "secret": self._secret,
-                         "server": self._server}, f)
+        header = {"version": self._FORMAT_VERSION,
+                  "params": dataclasses.asdict(self.params)}
+        return {
+            "header": np.frombuffer(json.dumps(header).encode(),
+                                    dtype=np.uint8),
+            "lwe_small": self._secret.lwe_small,
+            "glwe": self._secret.glwe,
+            "bsk": self._server.bsk,
+            "ksk": self._server.ksk,
+        }
 
-    def load(self, path: str) -> None:
-        with open(path, "rb") as f:
-            data = pickle.load(f)
-        if data["params"] != self.params:
+    def _from_npz(self, z) -> None:
+        header = json.loads(bytes(np.asarray(z["header"])).decode())
+        if header.get("version", 0) > self._FORMAT_VERSION:
+            raise ValueError("key file format is newer than this library")
+        params = CryptoParams(**header["params"])
+        if params != self.params:
             raise ValueError("key file was generated for other parameters")
-        self._secret = data["secret"]
-        self._server = data["server"]
+        self._secret = SecretKeys(lwe_small=np.asarray(z["lwe_small"]),
+                                  glwe=np.asarray(z["glwe"]))
+        self._server = ServerKeys(bsk=np.asarray(z["bsk"]),
+                                  ksk=np.asarray(z["ksk"]))
         self._packed_ksk = None
         self._packed_bsk = None
 
+    def save(self, path: str) -> None:
+        with open(path, "wb") as f:
+            np.savez(f, **self._to_npz_dict())
+
+    def load(self, path: str) -> None:
+        with np.load(path, allow_pickle=False) as z:
+            self._from_npz(z)
+
     def serialize(self) -> bytes:
-        self._require()
-        return pickle.dumps({"params": self.params, "secret": self._secret,
-                             "server": self._server})
+        buf = io.BytesIO()
+        np.savez(buf, **self._to_npz_dict())
+        return buf.getvalue()
 
     @classmethod
     def deserialize(cls, blob: bytes) -> "Keys":
-        data = pickle.loads(blob)
-        keys = cls(data["params"])
-        keys._secret = data["secret"]
-        keys._server = data["server"]
+        with np.load(io.BytesIO(blob), allow_pickle=False) as z:
+            header = json.loads(bytes(np.asarray(z["header"])).decode())
+            keys = cls(CryptoParams(**header["params"]))
+            keys._from_npz(z)
         return keys

@@ -9,7 +9,6 @@ by GraphExecutor, compiled (and cached) by XLA on first run.
 
 from __future__ import annotations
 
-import pickle
 import zipfile
 
 import numpy as np
@@ -65,14 +64,17 @@ class Server:
     # -- deployment (reference server.py:245-378) --------------------------
 
     def save(self, path: str) -> None:
-        """Save a deployment archive (graph + specs).
+        """Save a deployment archive (graph + specs) — data-only formats
+        (JSON + npz), so Server.load of an untrusted archive executes no
+        code (the reference ships capnp/MLIR for the same reason,
+        server.py:245, concrete-protocol.capnp).
 
         Univariate nodes are materialized into explicit tables first so the
-        archive contains no Python callables (the reference ships compiled
-        MLIR for the same reason, server.py:245).
+        archive contains no Python callables.
         """
         import networkx as nx
         from concrete_tpu.compilation.executor import raw_table
+        from concrete_tpu.compilation.graph_io import serialize_graph
         p = self.client_specs.message_bits
         mapping = {}
         for node in self.graph.graph.nodes:
@@ -85,16 +87,20 @@ class Server:
             {q: mapping.get(n, n) for q, n in self.graph.input_nodes.items()},
             {q: mapping.get(n, n) for q, n in self.graph.output_nodes.items()},
             self.graph.name)
+        graph_json, graph_npz = serialize_graph(graph2)
         with zipfile.ZipFile(path, "w") as z:
             z.writestr("client.specs.json", self.client_specs.serialize())
-            z.writestr("graph.pkl", pickle.dumps(graph2))
+            z.writestr("graph.json", graph_json)
+            z.writestr("graph_arrays.npz", graph_npz)
 
     @classmethod
     def load(cls, path: str) -> "Server":
+        from concrete_tpu.compilation.graph_io import deserialize_graph
         with zipfile.ZipFile(path) as z:
             specs = ClientSpecs.deserialize(
                 z.read("client.specs.json").decode())
-            graph = pickle.loads(z.read("graph.pkl"))
+            graph = deserialize_graph(z.read("graph.json").decode(),
+                                      z.read("graph_arrays.npz"))
         return cls(graph, specs)
 
     # -- introspection -----------------------------------------------------

@@ -74,6 +74,74 @@ def lower_encrypted_multiplication(graph: Graph) -> None:
                 graph.output_nodes[pos] = out_n
 
 
+_NONLINEAR_BINARY = ("mod", "floor_divide", "power")
+
+
+def lower_nonlinear_binary_ops(graph: Graph) -> None:
+    """Rewrite non-linear integer binary ops (mod, floor_divide, power) into
+    table lookups.
+
+    encrypted op clear-scalar-constant -> one univariate TLU (the constant is
+    baked into the table); encrypted op encrypted -> one packed multivariate
+    TLU.  Reference: these ops lower to `FHE.apply_lookup_table` /
+    multivariate packing in the MLIR converter (mlir/context.py mod/
+    floor_divide strategies); here it is a graph rewrite so the inserted
+    nodes get measured bounds like any user node.
+    """
+    from concrete_tpu.dtypes import Float
+
+    g = graph.graph
+    targets = [n for n in list(g.nodes)
+               if n.name in _NONLINEAR_BINARY
+               and not isinstance(n.output.dtype, Float)
+               and any(v.is_encrypted for v in n.inputs)]
+    for node in targets:
+        preds = graph.ordered_preds_of(node)
+        enc_flags = [p.output.is_encrypted for p in preds]
+        ev = node.evaluator
+        if all(enc_flags):
+            new_node = Node.generic(
+                "multivariate", [p.output for p in preds], node.output, ev,
+                function=lambda a, b, ev=ev: int(ev(np.int64(a),
+                                                    np.int64(b))))
+            sources = preds
+        else:
+            enc_idx = enc_flags.index(True)
+            const_node = preds[1 - enc_idx]
+            if const_node.operation != Operation.Constant:
+                raise RuntimeError(
+                    f"'{node.name}' between an encrypted value and a "
+                    "non-constant clear value is not supported; make the "
+                    "clear side a constant or encrypt it")
+            const = np.asarray(const_node.properties["constant"])
+            if const.size != 1:
+                raise RuntimeError(
+                    f"'{node.name}' with a non-scalar clear constant needs "
+                    "per-element tables; not supported yet")
+            c = const.reshape(()).item()
+            if enc_idx == 0:
+                fn = (lambda v, ev=ev, c=c: ev(v, c))
+            else:
+                fn = (lambda v, ev=ev, c=c: ev(c, v))
+            new_node = Node.generic(
+                "univariate", [preds[enc_idx].output], node.output, fn,
+                function=lambda v, fn=fn: int(fn(np.int64(v))))
+            sources = [preds[enc_idx]]
+
+        g.add_node(new_node)
+        for i, src in enumerate(sources):
+            g.add_edge(src, new_node, input_idx=i)
+        for _, succ, key, data in list(g.out_edges(node, keys=True,
+                                                   data=True)):
+            g.add_edge(new_node, succ, **data)
+        g.remove_node(node)
+        for pos, n2 in list(graph.output_nodes.items()):
+            if n2 is node:
+                graph.output_nodes[pos] = new_node
+        for pr in preds:
+            _prune_backwards(graph, pr)
+
+
 def fuse_float_subgraphs(graph: Graph) -> None:
     """Collapse float subgraphs with a single integer source and a single
     integer terminal into one univariate TLU node.
@@ -186,5 +254,6 @@ def check_integer_only(graph: Graph) -> None:
 
 def run_default_transforms(graph: Graph) -> None:
     lower_encrypted_multiplication(graph)
+    lower_nonlinear_binary_ops(graph)
     fuse_float_subgraphs(graph)
     check_integer_only(graph)

@@ -195,8 +195,16 @@ class Tracer:
     def __mod__(self, other):
         return self._binary("mod", other, lambda x, y: x % y)
 
+    def __rmod__(self, other):
+        return self._binary("mod", other, lambda x, y: x % y,
+                            reflected=True)
+
     def __pow__(self, other):
         return self._binary("power", other, lambda x, y: x ** y)
+
+    def __rpow__(self, other):
+        return self._binary("power", other, lambda x, y: x ** y,
+                            reflected=True)
 
     def sum(self, axis=None):
         ev = lambda x: np.sum(x, axis=axis)  # noqa: E731

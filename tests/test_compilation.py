@@ -584,3 +584,106 @@ def test_sum_with_tuple_axis():
         circuit,
         lambda x: np.sum(x, axis=(0, 1)) + np.sum(x, axis=(0, -1)),
         sample)
+
+
+def test_keys_serialization_is_data_only(tmp_path):
+    """Key files/blobs are npz + JSON (no pickle): loading executes no code
+    and np.load(allow_pickle=False) round-trips exactly."""
+    import zipfile
+
+    from concrete_tpu.compilation.keys import Keys
+    keys = Keys(TEST_PARAMS_TINY)
+    keys.generate(seed=5)
+    blob = keys.serialize()
+    back = Keys.deserialize(blob)
+    assert np.array_equal(back.secret.glwe, keys.secret.glwe)
+    assert np.array_equal(back.server.bsk, keys.server.bsk)
+    path = str(tmp_path / "keys.npz")
+    keys.save(path)
+    k2 = Keys(TEST_PARAMS_TINY)
+    k2.load(path)
+    assert np.array_equal(k2.server.ksk, keys.server.ksk)
+    # a zip bomb of pickles must not load
+    import pickle
+    evil = tmp_path / "evil.npz"
+    with open(evil, "wb") as f:
+        np.savez(f, header=np.frombuffer(b'{"version":1}', dtype=np.uint8),
+                 payload=np.array([pickle.dumps("x")], dtype=object))
+    with pytest.raises(Exception):
+        k3 = Keys(TEST_PARAMS_TINY)
+        k3.load(str(evil))
+
+
+def test_deployment_archive_is_data_only(tmp_path):
+    """Server.save archives contain only JSON + npz members, and round-trip
+    through Server.load with identical results (incl. tables, constants,
+    indexing kwargs)."""
+    import zipfile
+
+    table = fhe.LookupTable([(v * 3) % 4 for v in range(4)])
+    w = np.array([1, 2])
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return table[np.sum(x * w) % 4] + x[0]
+
+    inputset = [np.random.randint(0, 2, (2,)) for _ in range(20)]
+    circuit = f.compile(inputset, CFG)
+    path = str(tmp_path / "server.zip")
+    circuit.server.save(path)
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+    assert names == {"client.specs.json", "graph.json", "graph_arrays.npz"}
+
+    from concrete_tpu.compilation.server import Server
+    server2 = Server.load(path)
+    sample = np.array([1, 0])
+    enc = circuit.encrypt(sample)
+    keys = circuit.keys
+    for _ in range(4):
+        out = server2.run(enc, evaluation_keys=keys.evaluation)
+        got = circuit.decrypt(*out)
+        want = int(table.table[int(np.sum(sample * w)) % 4] + sample[0])
+        if int(got) == want:
+            return
+    raise AssertionError((got, want))
+
+
+def test_mod_floordiv_power_by_constant():
+    """Non-linear int ops with a clear scalar constant lower to one
+    univariate TLU each (transform lower_nonlinear_binary_ops)."""
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return (x % 3) + (x // 2) + (x ** 2) % 3
+
+    inputset = [np.random.randint(0, 3, ()) for _ in range(30)]
+    circuit = f.compile(inputset, CFG)
+    oracle = lambda x: (x % 3) + (x // 2) + (x ** 2) % 3  # noqa: E731
+    for v in (0, 1, 2):
+        check_execution(circuit, oracle, v, retries=3)
+
+
+def test_reflected_mod_and_floordiv():
+    """const % enc and const // enc (reflected orientation)."""
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return (7 % (x + 1)) + (6 // (x + 1))
+
+    inputset = [np.random.randint(0, 4, ()) for _ in range(30)]
+    circuit = f.compile(inputset, CFG)
+    oracle = lambda x: (7 % (x + 1)) + (6 // (x + 1))  # noqa: E731
+    for v in (0, 2, 3):
+        check_execution(circuit, oracle, v, retries=3)
+
+
+def test_mod_encrypted_by_encrypted():
+    """enc % enc lowers to one packed multivariate TLU."""
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def f(x, y):
+        return x % (y + 1)
+
+    inputset = [(np.random.randint(0, 4, ()), np.random.randint(0, 3, ()))
+                for _ in range(30)]
+    circuit = f.compile(inputset, CFG)
+    for vx, vy in ((3, 1), (2, 2), (0, 0)):
+        check_execution(circuit, lambda x, y: x % (y + 1), vx, vy, retries=3)
