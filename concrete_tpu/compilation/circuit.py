@@ -154,6 +154,21 @@ class Circuit:
         return out
 
     @property
+    def programmable_bootstrap_count_per_bit_width(self) -> dict:
+        """PBS counts keyed by each TLU's *input* encoding width — shows that
+        a mixed-precision circuit runs each PBS at its own width (reference
+        circuit.py programmable_bootstrap_count_per_parameter analog)."""
+        from concrete_tpu.compilation.widths import tlu_effective_input_width
+        out: dict = {}
+        default = self.client_specs.message_bits
+        for n in self.graph.graph.nodes:
+            if n.name in ("tlu", "univariate", "multivariate"):
+                w = tlu_effective_input_width(self.graph, n, default)
+                out[w] = out.get(w, 0) + max(
+                    int(np.prod(n.output.shape)), 1)
+        return out
+
+    @property
     def p_error(self) -> float:
         return self.client_specs.params.p_error(
             self.client_specs.message_bits)

@@ -53,7 +53,7 @@ class Client:
                 continue
             arr = np.asarray(arg, dtype=np.int64)
             self._validate(arr, spec, pos)
-            enc = ref.encode(arr, self.specs.message_bits)
+            enc = ref.encode(arr, self.specs.input_width(pos))
             if compress:
                 import os
                 from concrete_tpu.core import compression as cz
@@ -88,7 +88,8 @@ class Client:
             spec = self.specs.outputs[pos]
             phase = ref.lwe_decrypt(self.keys.secret.lwe_big, np.asarray(res))
             signed = isinstance(spec.dtype, Integer) and spec.dtype.is_signed
-            val = ref.decode(phase, self.specs.message_bits, signed=signed)
+            val = ref.decode(phase, self.specs.output_width(pos),
+                             signed=signed)
             out.append(val if spec.shape else val[()] if
                        np.ndim(val) == 0 else val)
         return tuple(out) if len(out) != 1 else out[0]

@@ -16,7 +16,7 @@ import numpy as np
 from concrete_tpu.compilation.circuit import Circuit
 from concrete_tpu.compilation.configuration import Configuration
 from concrete_tpu.compilation.specs import ClientSpecs
-from concrete_tpu.optimizer import optimize_v0
+from concrete_tpu.optimizer import optimize_v0_multi
 from concrete_tpu.tracing import Tracer
 
 
@@ -42,9 +42,13 @@ class Compiler:
                              self.parameter_encryption_statuses,
                              sample=sample, name=self.function.__name__)
         from concrete_tpu.compilation.transforms import run_default_transforms
+        from concrete_tpu.compilation.widths import (assign_encoding_widths,
+                                                     encoding_width,
+                                                     tlu_atomic_patterns)
         run_default_transforms(graph)
         graph.measure_bounds(inputset)
         graph.update_dtypes_from_bounds()
+        assign_encoding_widths(graph)
 
         p = graph.max_bit_width
         norm2 = graph.max_norm2()
@@ -61,13 +65,20 @@ class Compiler:
                     for n in graph.graph.nodes
                     if n.name in ("tlu", "univariate")), 1)
                 p_error = config.global_p_error / n_pbs
-            params = optimize_v0(p, norm2=norm2, p_error=p_error,
-                                 security_level=config.security_level)
+            # one (precision, norm2) constraint per TLU/output — each PBS
+            # runs at its own width (multi-precision mono)
+            params = optimize_v0_multi(
+                tuple(tlu_atomic_patterns(graph)), p_error=p_error,
+                security_level=config.security_level)
 
         specs = ClientSpecs(
             params=params, message_bits=p,
             inputs=[n.output for n in graph.ordered_inputs],
-            outputs=[n.output for n in graph.ordered_outputs])
+            outputs=[n.output for n in graph.ordered_outputs],
+            input_widths=[encoding_width(n, p)
+                          for n in graph.ordered_inputs],
+            output_widths=[encoding_width(n, p)
+                           for n in graph.ordered_outputs])
 
         if config.verbose or config.show_graph:
             print(graph.format())

@@ -38,45 +38,55 @@ class TluSpec:
     node_uid: int
     lut_poly: np.ndarray      # (N,) u64 accumulator polynomial
     signed_input: bool
+    message_bits: int         # input encoding width (LUT index domain)
 
 
-def raw_table(node: Node, p: int) -> np.ndarray:
+def raw_table(node: Node, p: int, shift: int = 0) -> np.ndarray:
     """The 2^p-entry integer table of a tlu/univariate node.
 
     Index semantics follow the reference (extensions/table.py): index =
-    value mod 2^p (so signed values use negative indexing).
+    value mod 2^p (so signed values use negative indexing).  `shift` is the
+    fused-rounding scale (ProcessRounding): entry j represents the rounded
+    value j << shift.
     """
     in_node_signed = node.inputs[0].dtype.is_signed if isinstance(
         node.inputs[0].dtype, Integer) else False
     idx = np.arange(1 << p)
-    if node.name == "tlu":
-        table = np.asarray(node.properties["kwargs"]["table"], dtype=np.int64)
-        return table[idx % len(table)]
-    fn = node.properties["kwargs"]["function"]
     if in_node_signed:
         vals = np.where(idx < (1 << (p - 1)), idx, idx - (1 << p))
     else:
         vals = idx
+    vals = vals << shift
+    if node.name == "tlu":
+        table = np.asarray(node.properties["kwargs"]["table"], dtype=np.int64)
+        return table[vals % len(table)]
+    fn = node.properties["kwargs"]["function"]
     return np.vectorize(fn, otypes=[np.int64])(vals)
 
 
-def _materialize_table(node: Node, p: int, params: CryptoParams) -> TluSpec:
-    """Build the 2^p-entry LUT for a tlu/univariate node, then expand it.
+def _materialize_table(node: Node, p_in: int, p_out: int,
+                       params: CryptoParams, lsbs: int = 0) -> TluSpec:
+    """Build the LUT for a tlu/univariate node, then expand it.
 
     Table semantics follow the reference (extensions/table.py /
-    wrappers.cpp:388): index = value mod 2^p, signed handled by half-rotation
-    + offset in the kernels.
+    wrappers.cpp:388): index = value mod 2^p_in, signed handled by
+    half-rotation + offset in the kernels.  p_in is the input partition's
+    encoding width, p_out the output's — they differ when the TLU crosses
+    precision partitions (multi-precision mono, assign_bit_widths.py:18).
+
+    `lsbs` > 0 is fused rounding (ProcessRounding): the LUT index domain is
+    p_in - lsbs and the PBS modulus switch rounds the low bits for free.
     """
     in_node_signed = node.inputs[0].dtype.is_signed if isinstance(
         node.inputs[0].dtype, Integer) else False
-    out_bits = p
-    lut_vals = raw_table(node, p)
-    lut_enc = lut_vals & ((1 << (out_bits + 1)) - 1)  # mod 2^(p+1) wrap
+    p_eff = max(p_in - lsbs, 1)
+    lut_vals = raw_table(node, p_eff, shift=lsbs)
+    lut_enc = lut_vals & ((1 << (p_out + 1)) - 1)  # mod 2^(p_out+1) wrap
     lut_poly = ref.encode_expand_lut(
-        lut_enc.astype(np.uint64), params.polynomial_size, out_bits,
-        signed=in_node_signed)
+        lut_enc.astype(np.uint64), params.polynomial_size, p_eff,
+        signed=in_node_signed, out_bits=p_out)
     return TluSpec(node_uid=node.uid, lut_poly=lut_poly,
-                   signed_input=in_node_signed)
+                   signed_input=in_node_signed, message_bits=p_eff)
 
 
 @dataclasses.dataclass
@@ -91,6 +101,7 @@ class MultivariateSpec:
     offsets: list[int]
     widths: list[int]
     lut_poly: np.ndarray
+    message_bits: int         # packed-operand encoding width
 
 
 def packed_layout(graph: Graph, node: Node):
@@ -111,46 +122,59 @@ def packed_layout(graph: Graph, node: Node):
     return mins, widths, offsets
 
 
-def _materialize_multivariate(graph: Graph, node: Node, p: int,
+def _materialize_multivariate(graph: Graph, node: Node, p_in: int,
+                              p_out: int,
                               params: CryptoParams) -> MultivariateSpec:
     fn = node.properties["kwargs"]["function"]
     mins, widths, offsets = packed_layout(graph, node)
-    idx = np.arange(1 << p)
+    idx = np.arange(1 << p_in)
     operands = []
     for mn, w, off in zip(mins, widths, offsets):
         operands.append(((idx >> off) & ((1 << w) - 1)) + mn)
     lut_vals = np.vectorize(fn, otypes=[np.int64])(*operands)
-    lut_enc = lut_vals & ((1 << (p + 1)) - 1)
+    lut_enc = lut_vals & ((1 << (p_out + 1)) - 1)
     lut_poly = ref.encode_expand_lut(
-        lut_enc.astype(np.uint64), params.polynomial_size, p, signed=False)
+        lut_enc.astype(np.uint64), params.polynomial_size, p_in,
+        signed=False, out_bits=p_out)
     return MultivariateSpec(node_uid=node.uid, mins=mins, offsets=offsets,
-                            widths=widths, lut_poly=lut_poly)
+                            widths=widths, lut_poly=lut_poly,
+                            message_bits=p_in)
 
 
 class GraphExecutor:
     """Compile-time lowering of a Graph to a jittable evaluation function."""
 
     def __init__(self, graph: Graph, params: CryptoParams, p: int):
+        from concrete_tpu.compilation.widths import (encoding_width,
+                                                     tlu_fused_lsbs)
         self.graph = graph
         self.params = params
-        self.p = p
+        self.p = p  # circuit-wide max width (fallback for old archives)
+        self.width_of = lambda node: encoding_width(node, p)
         self.tlu_specs: dict[int, TluSpec] = {}
         self.multivariate_specs: dict[int, MultivariateSpec] = {}
         for node in graph.topological_order():
             if node.name in ("tlu", "univariate"):
-                self.tlu_specs[node.uid] = _materialize_table(node, p, params)
+                preds = graph.ordered_preds_of(node)
+                p_in = self.width_of(preds[0]) if preds else p
+                self.tlu_specs[node.uid] = _materialize_table(
+                    node, p_in, self.width_of(node), params,
+                    lsbs=tlu_fused_lsbs(graph, node))
             elif node.name == "multivariate":
+                preds = [q for q in graph.ordered_preds_of(node)
+                         if q.output.is_encrypted]
+                p_in = max((self.width_of(q) for q in preds), default=p)
                 self.multivariate_specs[node.uid] = _materialize_multivariate(
-                    graph, node, p, params)
+                    graph, node, p_in, self.width_of(node), params)
 
     # -- helpers -----------------------------------------------------------
 
-    def _encode_clear(self, value) -> jnp.ndarray:
-        return jnp.asarray(ref.encode(np.asarray(value), self.p))
+    def _encode_clear(self, value, width: int) -> jnp.ndarray:
+        return jnp.asarray(ref.encode(np.asarray(value), width))
 
-    def _trivial(self, value) -> jnp.ndarray:
+    def _trivial(self, value, width: int) -> jnp.ndarray:
         """Trivial LWE encryption of clear values (mask zeros)."""
-        enc = ref.encode(np.asarray(value), self.p)
+        enc = ref.encode(np.asarray(value), width)
         out = np.zeros(enc.shape + (self.params.n_big + 1,), dtype=np.uint64)
         out[..., -1] = enc
         return jnp.asarray(out)
@@ -180,7 +204,8 @@ class GraphExecutor:
                 values[node] = node()
                 continue
             if name == "encrypted_constant":
-                values[node] = self._trivial(node.properties["kwargs"]["value"])
+                values[node] = self._trivial(
+                    node.properties["kwargs"]["value"], self.width_of(node))
                 continue
 
             args = [values[pr] for pr in preds]
@@ -192,13 +217,13 @@ class GraphExecutor:
                 if ea and eb:
                     out = a + b if name == "add" else a - b
                 elif ea and not eb:
-                    enc_b = self._encode_clear(b)
+                    enc_b = self._encode_clear(b, self.width_of(node))
                     if name == "add":
                         out = a.at[..., -1].add(enc_b)
                     else:
                         out = a.at[..., -1].add(jnp.uint64(0) - enc_b)
                 else:  # clear - encrypted (or clear + encrypted)
-                    enc_a = self._encode_clear(a)
+                    enc_a = self._encode_clear(a, self.width_of(node))
                     if name == "add":
                         out = b.at[..., -1].add(enc_a)
                     else:
@@ -269,7 +294,8 @@ class GraphExecutor:
                 lut_poly = lut_polys[node.uid]
                 shape = ct.shape[:-1]
                 flat = ct.reshape((-1, ct.shape[-1]))
-                out = kn.pbs_batch(flat, ksk, bsk, lut_poly, params, self.p,
+                out = kn.pbs_batch(flat, ksk, bsk, lut_poly, params,
+                                   spec.message_bits,
                                    signed=spec.signed_input)
                 values[node] = out.reshape(shape + (out.shape[-1],))
             elif name == "multivariate":
@@ -281,14 +307,20 @@ class GraphExecutor:
                     packed = term if packed is None else packed + term
                     bias += mn << off
                 packed = packed.at[..., -1].add(
-                    jnp.uint64(0) - self._encode_clear(bias))
+                    jnp.uint64(0) - self._encode_clear(
+                        bias, spec.message_bits))
                 lut_poly = lut_polys[node.uid]
                 shape = packed.shape[:-1]
                 flat = packed.reshape((-1, packed.shape[-1]))
-                out = kn.pbs_batch(flat, ksk, bsk, lut_poly, params, self.p,
-                                   signed=False)
+                out = kn.pbs_batch(flat, ksk, bsk, lut_poly, params,
+                                   spec.message_bits, signed=False)
                 values[node] = out.reshape(shape + (out.shape[-1],))
             elif name == "conv":
+                # contraction looped over the kh*kw KERNEL positions (small,
+                # static), not the oh*ow output pixels: each term is one big
+                # strided-slice + u64-safe multiply-reduce that XLA tiles
+                # well, and the jaxpr stays O(kh*kw) regardless of image
+                # size (per-pixel unrolling blew up MNIST-size graphs).
                 kw = node.properties["kwargs"]
                 w = np.asarray(kw["weight"], dtype=np.int64).astype(np.uint64)
                 bias = kw.get("bias")
@@ -302,23 +334,37 @@ class GraphExecutor:
                                       (0, 0)))
                 oh = (h + 2 * ph - kh) // sh + 1
                 ow = (wdt + 2 * pw - kwid) // sw + 1
-                w_j = jnp.asarray(w)
-                rows = []
-                for yy in range(oh):
-                    cols = []
-                    for xx in range(ow):
-                        patch = ct[:, :, yy * sh:yy * sh + kh,
-                                   xx * sw:xx * sw + kwid, :]
-                        # u64-safe contraction (no dot_general, see matmul)
-                        prod = (patch[:, None] * w_j[None, :, :, :, :, None])
-                        cols.append(prod.sum(axis=(2, 3, 4)))
-                    rows.append(jnp.stack(cols, axis=2))
-                out = jnp.stack(rows, axis=2)    # (n, o, oh, ow, d)
+                w_j = jnp.asarray(w)             # (o, c, kh, kw)
+                out = None
+                for ki in range(kh):
+                    for kj in range(kwid):
+                        # (n, c, oh, ow, d) strided window at (ki, kj)
+                        win = ct[:, :, ki:ki + sh * (oh - 1) + 1:sh,
+                                 kj:kj + sw * (ow - 1) + 1:sw, :]
+                        # contract c (u64-safe: multiply + add-reduce)
+                        term = (win[:, None]
+                                * w_j[None, :, :, ki, kj, None, None, None]
+                                ).sum(axis=2)
+                        out = term if out is None else out + term
                 if bias is not None:
                     enc_b = self._encode_clear(
-                        np.asarray(bias, dtype=np.int64))
+                        np.asarray(bias, dtype=np.int64),
+                        self.width_of(node))
                     out = out.at[..., -1].add(enc_b[None, :, None, None])
                 values[node] = out
+            elif name in ("round_bit_pattern", "truncate_bit_pattern"):
+                # fused rounding (ProcessRounding): the consumer TLU's LUT
+                # is built at the reduced width, so the modulus switch does
+                # the rounding — the ciphertext passes through untouched.
+                # Truncation (floor) additionally biases by a half step so
+                # the round-to-nearest of the modswitch becomes a floor.
+                ct = args[0]
+                if name == "truncate_bit_pattern":
+                    lsbs = int(node.properties["kwargs"]["lsbs_to_remove"])
+                    half = 1 << (lsbs - 1)
+                    bias = self._encode_clear(half, self.width_of(node))
+                    ct = ct.at[..., -1].add(jnp.uint64(0) - bias)
+                values[node] = ct
             elif name == "hint":
                 values[node] = args[0]
             elif name == "concatenate":
@@ -356,6 +402,24 @@ class GraphExecutor:
                     values[node] = args[0][idx_t + (slice(None),)]
                 else:
                     values[node] = args[0][index]
+            elif name == "assign":
+                # x[index] = v (static or fancy assignment,
+                # FHELinalgOps.td fancy_assign)
+                index = node.properties["kwargs"]["index"]
+                x, v = args
+                ex, ev_ = enc_flags
+                if is_ct(node):
+                    w = self.width_of(node)
+                    if not ex:
+                        x = self._trivial(x, w)
+                    if not ev_:
+                        v = self._trivial(v, w)
+                    idx_t = index if isinstance(index, tuple) else (index,)
+                    values[node] = x.at[idx_t + (slice(None),)].set(v)
+                else:
+                    out = np.array(x)
+                    out[index] = v
+                    values[node] = out
             elif name == "reshape":
                 shape = node.properties["kwargs"]["shape"]
                 ct = args[0]
@@ -372,6 +436,6 @@ class GraphExecutor:
         for out_node in graph.ordered_outputs:
             v = values[out_node]
             if not is_ct(out_node):
-                v = self._trivial(v)
+                v = self._trivial(v, self.width_of(out_node))
             outs.append(v)
         return tuple(outs)

@@ -100,6 +100,7 @@ def graph_to_records(graph: Graph) -> tuple[dict, dict[str, np.ndarray]]:
             "bounds": list(node.bounds) if node.bounds is not None else None,
             "uid": node.uid,
             "tag": node.properties.get("tag"),
+            "encoding_width": node.properties.get("encoding_width"),
         }
         if node.operation == Operation.Constant:
             rec["constant"] = _encode_value(
@@ -135,6 +136,8 @@ def graph_from_records(record: dict, arrays) -> Graph:
         properties: dict = {"name": rec["name"]}
         if rec.get("tag"):
             properties["tag"] = rec["tag"]
+        if rec.get("encoding_width") is not None:
+            properties["encoding_width"] = int(rec["encoding_width"])
         if operation == Operation.Constant:
             properties["constant"] = _decode_value(rec["constant"], arrays)
         if "kwargs" in rec:

@@ -40,25 +40,30 @@ class Keys:
     def are_generated(self) -> bool:
         return self._secret is not None
 
-    def generate(self, seed: Optional[int] = None) -> None:
+    def generate(self, seed: Optional[int] = None,
+                 glwe_key: Optional[np.ndarray] = None) -> None:
         """Generate (or load from the insecure cache) all key material.
 
         All secret/noise randomness comes from the ChaCha20 CSPRNG
         (utils/csprng.SecureGenerator; reference Csprng.h:18-61) — seeded
         from os.urandom by default, deterministically from `seed` for
         reproducible (test) keys.
+
+        `glwe_key` injects an externally shared big secret key (TFHE-rs
+        bridge); such keysets are never cached.
         """
-        if self.cache_directory is not None:
+        if self.cache_directory is not None and glwe_key is None:
             path = self._cache_path(seed)
             if os.path.exists(path):
                 self.load(path)
                 return
         from concrete_tpu.utils.csprng import SecureGenerator
         rng = SecureGenerator(seed)
-        self._secret, self._server = kg.keygen(rng, self.params)
+        self._secret, self._server = kg.keygen(rng, self.params,
+                                               glwe_key=glwe_key)
         self._packed_ksk = None
         self._packed_bsk = None
-        if self.cache_directory is not None:
+        if self.cache_directory is not None and glwe_key is None:
             os.makedirs(self.cache_directory, exist_ok=True)
             self.save(self._cache_path(seed))
 

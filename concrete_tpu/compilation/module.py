@@ -141,6 +141,14 @@ class ModuleCompiler:
             graphs[name] = g
             p = max(p, g.max_bit_width)
             norm2 = max(norm2, g.max_norm2())
+        # composition (any output -> any input) requires one shared encoding
+        # across the module, so every value is pinned to the module-wide
+        # width (the reference's AllComposable policy has the same effect on
+        # partition unification)
+        for g in graphs.values():
+            for node in g.graph.nodes:
+                if node.output.is_encrypted:
+                    node.properties["encoding_width"] = p
         if config.forced_parameters is not None:
             params = config.forced_parameters
         else:

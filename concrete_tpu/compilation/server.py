@@ -75,11 +75,15 @@ class Server:
         import networkx as nx
         from concrete_tpu.compilation.executor import raw_table
         from concrete_tpu.compilation.graph_io import serialize_graph
+        from concrete_tpu.compilation.widths import encoding_width
         p = self.client_specs.message_bits
         mapping = {}
         for node in self.graph.graph.nodes:
             if node.name == "univariate":
-                mapping[node] = node.materialized_as_tlu(raw_table(node, p))
+                preds = self.graph.ordered_preds_of(node)
+                p_in = encoding_width(preds[0], p) if preds else p
+                mapping[node] = node.materialized_as_tlu(
+                    raw_table(node, p_in))
         g2 = nx.relabel_nodes(self.graph.graph, mapping, copy=True) \
             if mapping else self.graph.graph
         graph2 = Graph(

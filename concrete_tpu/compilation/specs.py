@@ -23,6 +23,20 @@ class ClientSpecs:
     message_bits: int
     inputs: list[ValueDescription]
     outputs: list[ValueDescription]
+    # per-position encoding widths (multi-precision mono,
+    # assign_bit_widths.py); None -> every value at message_bits
+    input_widths: list[int] = None
+    output_widths: list[int] = None
+
+    def input_width(self, pos: int) -> int:
+        if self.input_widths is None:
+            return self.message_bits
+        return self.input_widths[pos]
+
+    def output_width(self, pos: int) -> int:
+        if self.output_widths is None:
+            return self.message_bits
+        return self.output_widths[pos]
 
     def serialize(self) -> str:
         def vd(v: ValueDescription):
@@ -35,6 +49,8 @@ class ClientSpecs:
             "message_bits": self.message_bits,
             "inputs": [vd(v) for v in self.inputs],
             "outputs": [vd(v) for v in self.outputs],
+            "input_widths": self.input_widths,
+            "output_widths": self.output_widths,
         })
 
     @classmethod
@@ -48,4 +64,6 @@ class ClientSpecs:
         return cls(params=CryptoParams(**data["params"]),
                    message_bits=data["message_bits"],
                    inputs=[vd(d) for d in data["inputs"]],
-                   outputs=[vd(d) for d in data["outputs"]])
+                   outputs=[vd(d) for d in data["outputs"]],
+                   input_widths=data.get("input_widths"),
+                   output_widths=data.get("output_widths"))

@@ -241,6 +241,35 @@ def _prune_backwards(graph: Graph, node) -> None:
             _prune_backwards(graph, p)
 
 
+ROUNDING_OPS = ("round_bit_pattern", "truncate_bit_pattern")
+
+
+def process_rounding(graph: Graph) -> None:
+    """Decide fusion for round/truncate_bit_pattern nodes.
+
+    Reference: mlir/processors/process_rounding.py:17.  A pattern node whose
+    consumers are ALL table lookups survives as-is: the executor lowers it to
+    (at most) a ciphertext bias and each consumer TLU is built at the reduced
+    width p - lsbs, so the PBS's modulus switch performs the rounding for
+    free.  Any other use (arithmetic, output, packing) needs the rounded
+    *value*, which costs one explicit TLU — demote those to univariate.
+    """
+    g = graph.graph
+    for node in list(g.nodes):
+        if node.name not in ROUNDING_OPS:
+            continue
+        consumers = [v for _, v in g.out_edges(node)]
+        fusable = (consumers
+                   and all(c.name in ("tlu", "univariate")
+                           for c in consumers)
+                   and node not in graph.output_nodes.values())
+        if fusable:
+            continue
+        fn = node.properties["kwargs"]["function"]
+        node.properties["name"] = "univariate"
+        node.properties["kwargs"] = {"function": fn}
+
+
 def check_integer_only(graph: Graph) -> None:
     """Post-fusing validation (reference CheckIntegerOnly processor)."""
     from concrete_tpu.dtypes import Float
@@ -256,4 +285,5 @@ def run_default_transforms(graph: Graph) -> None:
     lower_encrypted_multiplication(graph)
     lower_nonlinear_binary_ops(graph)
     fuse_float_subgraphs(graph)
+    process_rounding(graph)
     check_integer_only(graph)

@@ -96,11 +96,22 @@ def make_ksk(rng: np.random.Generator, sk_in: np.ndarray, sk_out: np.ndarray,
     return np.concatenate([a, body[..., None]], axis=-1)
 
 
-def keygen(rng: np.random.Generator, params: CryptoParams
-           ) -> tuple[SecretKeys, ServerKeys]:
-    """Full (client, server) key generation; fast path for real parameters."""
+def keygen(rng: np.random.Generator, params: CryptoParams,
+           glwe_key: np.ndarray = None) -> tuple[SecretKeys, ServerKeys]:
+    """Full (client, server) key generation; fast path for real parameters.
+
+    `glwe_key` injects an externally shared big/GLWE secret key (TFHE-rs
+    interop, reference bridge.py:237 keygen_with_initial_keys): the BSK and
+    KSK are then generated *from* that key, so ciphertexts imported under it
+    bootstrap correctly.
+    """
     sk_small = sample_binary_key(rng, (params.n_small,))
-    gsk = sample_binary_key(rng, (params.glwe_dimension, params.polynomial_size))
+    if glwe_key is None:
+        gsk = sample_binary_key(
+            rng, (params.glwe_dimension, params.polynomial_size))
+    else:
+        gsk = np.asarray(glwe_key, dtype=np.uint64).reshape(
+            params.glwe_dimension, params.polynomial_size)
     sk = SecretKeys(lwe_small=sk_small, glwe=gsk)
     bsk = make_bsk(rng, sk_small, gsk, params)
     ksk = make_ksk(rng, sk.lwe_big, sk_small, params.ks_base_log,

@@ -4,10 +4,14 @@ Reference: frontends/concrete-python/concrete/fhe/extensions/
 round_bit_pattern.py:42,159 and truncate_bit_pattern.py:41,173.
 
 Semantics: clear the `lsbs_to_remove` low bits (rounding to nearest for
-round_bit_pattern, toward zero for truncate).  Today both lower to a single
-TLU (univariate); fusing the rounding into the *consumer* TLU's modulus
-switch (the reference's ProcessRounding optimization) is planned — the API
-and semantics are stable either way.
+round_bit_pattern, toward the floor for truncate).  When every consumer is a
+table lookup, the rounding FUSES into the consumer PBS (the reference's
+ProcessRounding, mlir/processors/process_rounding.py:17): the LUT is built
+at the reduced width p - lsbs and the PBS's modulus switch performs the
+rounding for free — making the TLU *cheaper* than unrounded, instead of
+costing an extra full-precision PBS.  Non-fusable uses (arithmetic on the
+rounded value, or returning it) fall back to one explicit TLU
+(transforms.process_rounding demotes them).
 """
 
 from __future__ import annotations
@@ -45,6 +49,15 @@ def _resolve_lsbs(lsbs_to_remove) -> int:
     return int(lsbs_to_remove)
 
 
+def _pattern_node(x, name: str, fn, lsbs: int):
+    def evaluator(v):
+        return np.vectorize(fn, otypes=[np.int64])(np.asarray(v))
+
+    output = Tracer._infer_output(name, evaluator, [x])
+    return Tracer._generic(name, [x], evaluator, output,
+                           function=fn, lsbs_to_remove=lsbs)
+
+
 def round_bit_pattern(x, lsbs_to_remove):
     """Round to the nearest multiple of 2^lsbs_to_remove."""
     lsbs = _resolve_lsbs(lsbs_to_remove)
@@ -58,8 +71,7 @@ def round_bit_pattern(x, lsbs_to_remove):
 
     if not isinstance(x, Tracer):
         return np.vectorize(fn, otypes=[np.int64])(np.asarray(x))
-    from concrete_tpu.extensions.univariate import univariate
-    return univariate(fn)(x)
+    return _pattern_node(x, "round_bit_pattern", fn, lsbs)
 
 
 def truncate_bit_pattern(x, lsbs_to_remove):
@@ -74,5 +86,4 @@ def truncate_bit_pattern(x, lsbs_to_remove):
 
     if not isinstance(x, Tracer):
         return np.vectorize(fn, otypes=[np.int64])(np.asarray(x))
-    from concrete_tpu.extensions.univariate import univariate
-    return univariate(fn)(x)
+    return _pattern_node(x, "truncate_bit_pattern", fn, lsbs)

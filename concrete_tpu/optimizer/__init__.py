@@ -1,3 +1,3 @@
-from concrete_tpu.optimizer.v0 import optimize_v0
+from concrete_tpu.optimizer.v0 import optimize_v0, optimize_v0_multi
 
-__all__ = ["optimize_v0"]
+__all__ = ["optimize_v0", "optimize_v0_multi"]

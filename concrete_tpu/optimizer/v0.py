@@ -71,18 +71,49 @@ def cost_ks_macs(n_big: int, n_small, ks_l: int, ks_b: int):
     return float(n_big) * ks_l * a_limbs * 8 * (n_small + 1)
 
 
-@functools.lru_cache(maxsize=None)
 def optimize_v0(precision: int, norm2: int = 1, p_error: float = 6.3e-5,
                 security_level: int = 128) -> pp.CryptoParams:
     """Minimal-cost feasible CryptoParams for (precision, norm2, p_error)."""
-    safe_var = safe_variance_bound(precision, p_error)
+    return optimize_v0_multi(((precision, norm2),), p_error=p_error,
+                             security_level=security_level)
+
+
+def pareto_patterns(patterns) -> tuple[tuple[int, int], ...]:
+    """Drop (p, norm2) patterns dominated by another (both smaller-or-equal):
+    a dominated pattern's feasibility constraint is implied."""
+    pats = sorted(set((int(p), int(n)) for p, n in patterns))
+    keep = []
+    for p, n in pats:
+        if not any(p2 >= p and n2 >= n and (p2, n2) != (p, n)
+                   for p2, n2 in pats):
+            keep.append((p, n))
+    return tuple(keep)
+
+
+@functools.lru_cache(maxsize=None)
+def optimize_v0_multi(patterns: tuple, p_error: float = 6.3e-5,
+                      security_level: int = 128) -> pp.CryptoParams:
+    """Minimal-cost CryptoParams feasible for EVERY (precision, norm2)
+    atomic pattern simultaneously.
+
+    The multi-precision analog of the reference's DAG-mono optimization
+    (dag/solo_key/optimize.rs:405): each TLU and each output contributes a
+    constraint  v_br*norm2_i^2 + v_ks + v_ms < safe_variance(p_i); params
+    must satisfy the intersection, and cost is the per-PBS cost (identical
+    across patterns under one keyset, so the cheapest feasible point wins).
+    """
+    patterns = pareto_patterns(patterns)
+    p_max = max(p for p, _ in patterns)
+    safe_vars = [safe_variance_bound(p, p_error) for p, _ in patterns]
+    norm2_sqs = [float(n) ** 2 for _, n in patterns]
+    # the BSK-truncation budget in the cost model must hold for every
+    # pattern: use the tightest precision
     best = None
     best_cost = math.inf
 
     ns = np.arange(450, 1400, 2, dtype=np.float64)
     var_lwe = np.array([pp.minimal_variance_lwe(int(n), security_level)
                         for n in ns])
-    norm2_sq = float(norm2) ** 2
 
     ks_candidates = [(l, b) for l in (1, 2, 3, 4, 5, 6, 8)
                      for b in range(2, 9) if l * b <= 40]
@@ -91,9 +122,11 @@ def optimize_v0(precision: int, norm2: int = 1, p_error: float = 6.3e-5,
 
     for log_n in range(8, 16):
         big_n = 1 << log_n
+        if big_n < (1 << (p_max + 1)):
+            continue  # LUT mega-cases must be even: N >= 2^(p+1)
         v_ms = ((1.0 / 12.0 + ns / 24.0) / (2.0 ** (log_n + 1)) ** 2
                 + (-1.0 / 12.0 + ns / 48.0) / 2.0 ** 128)
-        if v_ms.min() > safe_var:
+        if any(v_ms.min() > sv for sv in safe_vars):
             continue
         for k in range(1, 7):
             n_big = k * big_n
@@ -108,16 +141,20 @@ def optimize_v0(precision: int, norm2: int = 1, p_error: float = 6.3e-5,
             for br_l, br_b in br_candidates:
                 v_cmux = pp.variance_external_product(k, big_n, br_b, br_l,
                                                       var_bsk)
-                v_br = ns * v_cmux * norm2_sq
-                base_ok = v_br + v_ms < safe_var
+                v_br_unit = ns * v_cmux
+                base_ok = np.ones_like(ns, dtype=bool)
+                for sv, n2sq in zip(safe_vars, norm2_sqs):
+                    base_ok &= v_br_unit * n2sq + v_ms < sv
                 if not base_ok.any():
                     continue
                 c_br = cost_pbs_macs(ns, k, big_n, br_l, br_b,
-                                     precision=precision, p_error=p_error)
+                                     precision=p_max, p_error=p_error)
                 if c_br[base_ok].min() >= best_cost:
                     continue
                 for (ks_l, ks_b), v_ks in v_ks_all.items():
-                    feasible = v_br + v_ks + v_ms < safe_var
+                    feasible = np.ones_like(ns, dtype=bool)
+                    for sv, n2sq in zip(safe_vars, norm2_sqs):
+                        feasible &= v_br_unit * n2sq + v_ks + v_ms < sv
                     if not feasible.any():
                         continue
                     cost = c_br + cost_ks_macs(n_big, ns, ks_l, ks_b)
@@ -135,8 +172,8 @@ def optimize_v0(precision: int, norm2: int = 1, p_error: float = 6.3e-5,
                             security_level=security_level)
     if best is None:
         raise ValueError(
-            f"no feasible parameters for precision={precision}, "
-            f"norm2={norm2}, p_error={p_error}")
+            f"no feasible parameters for patterns={patterns}, "
+            f"p_error={p_error}")
     return best
 
 

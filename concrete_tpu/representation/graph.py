@@ -130,16 +130,32 @@ class Graph:
         analysis (lib/Dialect/FHE/Analysis/MANP.cpp:55) used to pick the
         optimizer's noise factor.
         """
+        manp, boundary = self.manp_map()
+        worst = max(boundary.values(), default=1)
+        for node in self.ordered_outputs:
+            worst = max(worst, manp.get(node, 1))
+        return max(worst, 1)
+
+    def manp_map(self) -> tuple[dict[Node, int], dict[Node, int]]:
+        """Per-node MANP plus per-TLU boundary norms.
+
+        Returns (manp, boundary): manp[node] is the squared 2-norm
+        accumulated on the node's value since the last TLU; boundary[tlu]
+        is the norm entering that TLU (the packed norm for multivariate
+        nodes).  Used per-pattern by the multi-precision optimizer
+        (compilation/widths.tlu_atomic_patterns).
+        """
         manp: dict[Node, int] = {}
-        worst = 1
+        boundary: dict[Node, int] = {}
         for node in self.topological_order():
             preds = self.ordered_preds_of(node)
             name = node.name
             if node.operation in (Operation.Input, Operation.Constant):
                 manp[node] = 1
             elif name in ("tlu", "univariate"):
-                worst = max(worst, *(manp[p] for p in preds if
-                                     p.output.is_encrypted), 1)
+                boundary[node] = max(
+                    (manp[p] for p in preds if p.output.is_encrypted),
+                    default=1)
                 manp[node] = 1
             elif name == "multivariate":
                 # packed = sum (x_i - min_i) << off_i: scaled norms add
@@ -149,7 +165,7 @@ class Graph:
                     lo, hi = pr.bounds
                     packed_manp += manp[pr] * (1 << acc_off) ** 2
                     acc_off += max(int(hi - lo).bit_length(), 1)
-                worst = max(worst, packed_manp)
+                boundary[node] = max(packed_manp, 1)
                 manp[node] = 1
             elif name in ("add", "subtract"):
                 s = sum(manp[p] for p in preds if p.output.is_encrypted)
@@ -197,9 +213,7 @@ class Graph:
                 manp[node] = manp[preds[0]] * size
             else:
                 manp[node] = max((manp[p] for p in preds), default=1)
-        for node in self.ordered_outputs:
-            worst = max(worst, manp.get(node, 1))
-        return worst
+        return manp, boundary
 
     # -- formatting --------------------------------------------------------
 

@@ -113,9 +113,11 @@ class Node:
     def materialized_as_tlu(self, table: np.ndarray) -> "Node":
         """Return a copy of this univariate/tlu node with an explicit table
         (used before deployment serialization)."""
+        props = {k: v for k, v in self.properties.items() if k != "kwargs"}
+        props.update({"name": "tlu", "kwargs": {"table": table}})
         node = Node(self.operation, self.inputs, self.output,
                     evaluator=lambda x: table[np.asarray(x) % len(table)],
-                    properties={"name": "tlu", "kwargs": {"table": table}})
+                    properties=props)
         node.bounds = self.bounds
         node.uid = self.uid
         return node
@@ -162,6 +164,14 @@ def _rebuild_evaluator(operation: Operation, properties: dict):
     if name == "index":
         index = kwargs["index"]
         return lambda x: x[index]
+    if name == "assign":
+        index = kwargs["index"]
+
+        def _assign(x, v, index=index):
+            out = np.array(x)
+            out[index] = v
+            return out
+        return _assign
     if name == "concatenate":
         axis = kwargs["axis"]
         return lambda *xs: np.concatenate(xs, axis=axis)
@@ -177,4 +187,12 @@ def _rebuild_evaluator(operation: Operation, properties: dict):
     if name == "encrypted_constant":
         value = kwargs["value"]
         return lambda: value
+    if name == "round_bit_pattern":
+        lsbs = kwargs["lsbs_to_remove"]
+        half, step = 1 << (lsbs - 1), 1 << lsbs
+        return lambda x: ((np.asarray(x, dtype=np.int64) + half)
+                          // step) * step
+    if name == "truncate_bit_pattern":
+        lsbs = kwargs["lsbs_to_remove"]
+        return lambda x: (np.asarray(x, dtype=np.int64) >> lsbs) << lsbs
     return None  # univariate without materialized table: not executable

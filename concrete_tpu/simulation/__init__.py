@@ -20,10 +20,10 @@ __all__ = ["simulate_graph"]
 
 def simulate_graph(graph, specs, *inputs, rng=None):
     """Evaluate with simulated noise; returns outputs like the real circuit."""
+    from concrete_tpu.compilation.widths import encoding_width
     rng = rng or np.random.default_rng()
     params = specs.params
-    p = specs.message_bits
-    step = 2.0 ** -(p + 1)          # torus width of one encoded step
+    p_default = specs.message_bits
 
     fresh_var = params.lwe_std ** 2
     br_var = pp.variance_blind_rotate(
@@ -52,12 +52,20 @@ def simulate_graph(graph, specs, *inputs, rng=None):
             continue
         args = [values[q] for q in preds]
         if name in ("tlu", "univariate"):
+            from concrete_tpu.compilation.widths import tlu_fused_lsbs
             x = np.asarray(args[0])
-            # sample the decision noise at the TLU boundary
+            # sample the decision noise at the TLU boundary, at the input
+            # partition's encoding width (multi-precision mono); fused
+            # rounding enlarges the decision step by 2^lsbs
+            p_in = encoding_width(preds[0], p_default)
+            lsbs = tlu_fused_lsbs(graph, node)
+            step = 2.0 ** -(p_in + 1)   # torus width of one encoded step
             total_var = variances[preds[0]] + ks_var + ms_var
             noise = rng.normal(0.0, np.sqrt(total_var), x.shape)
-            shifted = x + np.round(noise / step).astype(np.int64)
-            domain = 1 << p
+            quantum = 1 << lsbs
+            shifted = x + quantum * np.round(
+                noise / (step * quantum)).astype(np.int64)
+            domain = 1 << p_in
             shifted = ((shifted % domain) + domain) % domain
             if node.inputs[0].dtype.is_signed:
                 half = domain // 2

@@ -32,20 +32,30 @@ class Bridge:
         """Generate circuit keys reusing a TFHE-rs secret key for the bridged
         inputs (the shared-key model of reference bridge.py:237).
 
-        The shared key must equal the circuit's big LWE key dimension; full
-        key-exchange across differing dimensions needs the multi-keyset
-        partition machinery (planned with MULTI parameter selection).
+        The BSK/KSK are generated *from* the shared key (core.keygen
+        glwe_key injection), so imported ciphertexts bootstrap and decrypt
+        correctly.  The shared key must equal the circuit's big LWE key
+        dimension; full key-exchange across differing dimensions needs the
+        multi-keyset partition machinery (core/partitions.py).
         """
-        key = next(iter(input_idx_to_key.values()))
+        keys_in = {int(i): np.asarray(k, dtype=np.uint64)
+                   for i, k in input_idx_to_key.items()}
+        key = next(iter(keys_in.values()))
+        for other in keys_in.values():
+            if not np.array_equal(other, key):
+                raise NotImplementedError(
+                    "all bridged inputs must share one TFHE-rs secret key "
+                    "(per-input keys need the multi-keyset partitions)")
         params = self.circuit.client_specs.params
-        if key.shape[0] != params.n_big:
+        if key.size != params.n_big:
             raise NotImplementedError(
                 "shared TFHE-rs key dimension differs from the circuit's big "
                 "key; cross-partition key exchange is not implemented yet")
-        self.circuit.keygen(force=force)
-        # overwrite the GLWE key with the shared key material
-        sk = self.circuit.keys.secret
-        sk.glwe[...] = key.reshape(sk.glwe.shape)
+        keys = self.circuit.keys
+        if (not force and keys.are_generated
+                and np.array_equal(keys.secret.lwe_big, key.ravel())):
+            return  # already generated from this exact shared key
+        keys.generate(glwe_key=key)
 
     # -- values ------------------------------------------------------------
 
@@ -56,7 +66,7 @@ class Bridge:
         native scale by a plaintext multiply (both are powers of two).
         """
         dtype = self.input_types[input_idx]
-        circuit_bits = self.circuit.client_specs.message_bits
+        circuit_bits = self.circuit.client_specs.input_width(input_idx)
         native_delta_log2 = 64 - circuit_bits - 1
         blocks = np.asarray(blocks, dtype=np.uint64)
         if native_delta_log2 == dtype.delta_log2:

@@ -42,6 +42,9 @@ class Tracer:
                  **kwargs) -> "Tracer":
         node = Node.generic(name, [t.node.output for t in operands], output,
                             evaluator, **kwargs)
+        # snapshot the producing nodes NOW: a later __setitem__ rebinds the
+        # operand tracers, but this node must keep its pre-assignment inputs
+        node._pred_nodes = [t.node for t in operands]
         from concrete_tpu.extensions.tag import current_tag
         t = current_tag()
         if t:
@@ -91,9 +94,17 @@ class Tracer:
                             reflected=True)
 
     def __matmul__(self, other):
+        other = Tracer.sanitize(other)
+        if (self.node.output.is_encrypted
+                and other.node.output.is_encrypted):
+            return _encrypted_matmul(self, other)
         return self._binary("matmul", other, lambda x, y: x @ y)
 
     def __rmatmul__(self, other):
+        other = Tracer.sanitize(other)
+        if (self.node.output.is_encrypted
+                and other.node.output.is_encrypted):
+            return _encrypted_matmul(other, self)
         return self._binary("matmul", other, lambda x, y: x @ y,
                             reflected=True)
 
@@ -108,6 +119,25 @@ class Tracer:
         ev = lambda x: x[index]  # noqa: E731
         output = Tracer._infer_output("index", ev, [self])
         return Tracer._generic("index", [self], ev, output, index=index)
+
+    def __setitem__(self, index, value):
+        """x[index] = value inside a traced function (static or fancy
+        assignment, reference FHELinalgOps.td fancy_assign): creates an
+        `assign` node and rebinds this tracer to it — nodes created
+        *before* the assignment keep the pre-assignment value (they
+        snapshotted the producing node at creation)."""
+        value = Tracer.sanitize(value)
+
+        def ev(x, v):
+            out = np.array(x)
+            out[index] = v
+            return out
+
+        output = Tracer._infer_output("assign", ev, [self, value])
+        new = Tracer._generic("assign", [self, value], ev, output,
+                              index=index)
+        self.node = new.node
+        self.predecessors = new.predecessors
 
     # numpy ufunc/function protocol so np.* works on tracers ---------------
 
@@ -373,7 +403,7 @@ class Tracer:
                 f"encryption status not specified for parameter(s) {missing}")
         if sample is not None and not isinstance(sample, tuple):
             sample = (sample,)
-        input_tracers: dict[int, Tracer] = {}
+        input_nodes: dict[int, Node] = {}
         arg_list = []
         for pos, pname in enumerate(params):
             status = encryption_statuses[pname]
@@ -384,9 +414,10 @@ class Tracer:
                 desc = ValueDescription(dtype=None, shape=(),
                                         is_encrypted=(status == "encrypted"))
             node = Node.input(pname, desc)
-            t = Tracer(node, [])
-            input_tracers[pos] = t
-            arg_list.append(t)
+            # snapshot: __setitem__ may rebind the tracer, but the circuit
+            # input stays this Input node
+            input_nodes[pos] = node
+            arg_list.append(Tracer(node, []))
         result = function(*arg_list)
         outputs = result if isinstance(result, tuple) else (result,)
         outputs = tuple(Tracer.sanitize(o) for o in outputs)
@@ -394,23 +425,23 @@ class Tracer:
         g = nx.MultiDiGraph()
         visited = set()
 
-        def add(t: Tracer):
-            if id(t) in visited:
+        def add(node: Node):
+            if node in visited:
                 return
-            visited.add(id(t))
-            g.add_node(t.node)
-            for idx, p in enumerate(t.predecessors):
-                add(p)
-                g.add_edge(p.node, t.node, input_idx=idx)
+            visited.add(node)
+            g.add_node(node)
+            for idx, pn in enumerate(getattr(node, "_pred_nodes", ())):
+                add(pn)
+                g.add_edge(pn, node, input_idx=idx)
 
         for t in outputs:
-            add(t)
-        for t in input_tracers.values():
-            g.add_node(t.node)
+            add(t.node)
+        for node in input_nodes.values():
+            g.add_node(node)
 
         return Graph(
             g,
-            input_nodes={p: t.node for p, t in input_tracers.items()},
+            input_nodes=input_nodes,
             output_nodes={i: t.node for i, t in enumerate(outputs)},
             name=name or function.__name__)
 
@@ -484,9 +515,34 @@ def _np_reshape(a, shape, **kw):
 def _np_dot(a, b, **kw):
     a = Tracer.sanitize(a)
     b = Tracer.sanitize(b)
+    if a.node.output.is_encrypted and b.node.output.is_encrypted:
+        return _encrypted_matmul(a, b)
     ev = lambda x, y: np.dot(x, y)  # noqa: E731
     output = Tracer._infer_output("dot", ev, [a, b])
     return Tracer._generic("dot", [a, b], ev, output)
+
+
+def _encrypted_matmul(a: "Tracer", b: "Tracer"):
+    """encrypted @ encrypted: decompose into broadcast enc*enc products
+    (each 2 TLUs via EncryptedMulToDoubleTLU) plus a leveled sum.
+
+    Reference: FHELinalg eint x eint matmul variants (FHELinalgOps.td
+    matmul_eint_eint) lower the same way — per-pair multiplication TLUs and
+    a leveled accumulation.
+    """
+    an = len(a.node.output.shape)
+    bn = len(b.node.output.shape)
+    if an == 1 and bn == 1:
+        return (a * b).sum()
+    if an == 2 and bn == 2:
+        return (a[:, :, None] * b[None, :, :]).sum(axis=1)
+    if an == 1 and bn == 2:
+        return (a[:, None] * b).sum(axis=0)
+    if an == 2 and bn == 1:
+        return (a * b[None, :]).sum(axis=1)
+    raise RuntimeError(
+        "encrypted @ encrypted matmul supports 1-D and 2-D operands "
+        f"(got {an}-D @ {bn}-D)")
 
 
 def _relu_diff(x, y):
@@ -508,6 +564,7 @@ def _np_minimum(x, y):
 
 
 Tracer.UFUNC_BUILDERS = {
+    np.matmul: lambda x, y: Tracer.sanitize(x).__matmul__(y),
     np.maximum: _np_maximum,
     np.minimum: _np_minimum,
     np.greater: lambda x, y: Tracer.sanitize(x).__gt__(y),

@@ -686,4 +686,193 @@ def test_mod_encrypted_by_encrypted():
                 for _ in range(30)]
     circuit = f.compile(inputset, CFG)
     for vx, vy in ((3, 1), (2, 2), (0, 0)):
-        check_execution(circuit, lambda x, y: x % (y + 1), vx, vy, retries=3)
+        check_execution(circuit, lambda x, y: x % (y + 1), vx, vy, retries=6)
+
+
+# -- multi-precision mono (per-value encoding widths) ------------------------
+
+def test_multi_precision_mixed_width_tlus():
+    """A circuit mixing 2-bit and 4-bit TLUs runs each PBS at its own width
+    (per-width stats) and encrypts each input at its own width."""
+    t2 = fhe.LookupTable([3, 0, 2, 1])
+    t4 = fhe.LookupTable([(v * 7) % 16 for v in range(16)])
+
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def f(x, y):
+        return t4[x] + t2[y]
+
+    inputset = [(np.random.randint(0, 16, ()), np.random.randint(0, 4, ()))
+                for _ in range(40)] + [(15, 3)]
+    circuit = f.compile(inputset, CFG)
+    per_width = circuit.programmable_bootstrap_count_per_bit_width
+    assert per_width == {4: 1, 2: 1}, per_width
+    assert circuit.client_specs.input_widths[0] == 4
+    assert circuit.client_specs.input_widths[1] == 2
+    for vx, vy in ((15, 3), (4, 0), (9, 2)):
+        check_execution(circuit, lambda x, y: t4.table[x] + t2.table[y],
+                        vx, vy, retries=4)
+
+
+def test_multi_precision_signed_mixed():
+    """Signed low-width TLU beside an unsigned wider one."""
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def f(x, y):
+        s = x - 2               # signed, small
+        a = fhe.univariate(lambda v: abs(int(v)))(s)
+        b = (y // 3)            # wider path
+        return a + b
+
+    inputset = [(np.random.randint(0, 4, ()), np.random.randint(0, 16, ()))
+                for _ in range(40)] + [(0, 15), (3, 0)]
+    circuit = f.compile(inputset, CFG)
+    for vx, vy in ((0, 15), (3, 7), (2, 0)):
+        check_execution(circuit, lambda x, y: abs(x - 2) + y // 3,
+                        vx, vy, retries=4)
+
+
+def test_multi_precision_optimizer_beats_mono():
+    """The per-pattern optimizer must be at least as cheap as global-max
+    mono, and strictly cheaper when the high norm2 rides a low-width TLU."""
+    from concrete_tpu.optimizer.v0 import (cost_ks_macs, cost_pbs_macs,
+                                           optimize_v0, optimize_v0_multi)
+
+    def cost(p, prec):
+        return (cost_pbs_macs(p.n_small, p.glwe_dimension,
+                              p.polynomial_size, p.pbs_level,
+                              p.pbs_base_log, precision=prec)
+                + cost_ks_macs(p.n_big, p.n_small, p.ks_level, p.ks_base_log))
+
+    mono = optimize_v0(8, norm2=225)
+    multi = optimize_v0_multi(((4, 225), (8, 1)))
+    assert cost(multi, 8) < cost(mono, 8)
+
+
+def test_multi_precision_archive_roundtrip(tmp_path):
+    """Widths survive Server.save/load: the loaded server still runs each
+    TLU at its own width."""
+    t2 = fhe.LookupTable([1, 2, 0, 3])
+
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def f(x, y):
+        return (x // 5) + t2[y]
+
+    inputset = [(np.random.randint(0, 16, ()), np.random.randint(0, 4, ()))
+                for _ in range(40)] + [(15, 3)]
+    circuit = f.compile(inputset, CFG)
+    path = str(tmp_path / "srv.zip")
+    circuit.server.save(path)
+    from concrete_tpu.compilation.server import Server
+    server2 = Server.load(path)
+    for uid, spec in server2._executor.tlu_specs.items():
+        assert spec.message_bits in (2, 4)
+    enc = circuit.encrypt(9, 2)
+    for _ in range(4):
+        out = server2.run(*enc, evaluation_keys=circuit.keys.evaluation)
+        if int(circuit.decrypt(*out)) == 9 // 5 + 0:
+            return
+    raise AssertionError("archive multi-precision run mismatch")
+
+
+# -- enc x enc matmul, fancy indexing/assignment ------------------------------
+
+def test_encrypted_matmul_1d_dot():
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def f(x, y):
+        return x @ y
+
+    inputset = [(np.random.randint(0, 3, (2,)), np.random.randint(0, 3, (2,)))
+                for _ in range(30)]
+    circuit = f.compile(inputset, CFG)
+    a, b = np.array([1, 2]), np.array([2, 1])
+    check_execution(circuit, lambda x, y: x @ y, a, b, retries=4)
+
+
+def test_encrypted_matmul_2d():
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def f(x, y):
+        return x @ y
+
+    inputset = [(np.random.randint(0, 2, (2, 2)),
+                 np.random.randint(0, 2, (2, 2))) for _ in range(30)]
+    circuit = f.compile(inputset, CFG)
+    a = np.array([[1, 0], [1, 1]])
+    b = np.array([[1, 1], [0, 1]])
+    check_execution(circuit, lambda x, y: x @ y, a, b, retries=4)
+
+
+def test_encrypted_np_dot():
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def f(x, y):
+        return np.dot(x, y)
+
+    inputset = [(np.random.randint(0, 3, (2,)), np.random.randint(0, 3, (2,)))
+                for _ in range(30)]
+    circuit = f.compile(inputset, CFG)
+    check_execution(circuit, lambda x, y: np.dot(x, y),
+                    np.array([2, 1]), np.array([1, 2]), retries=4)
+
+
+def test_fancy_indexing():
+    idx = np.array([2, 0, 1])
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return x[idx] + 1
+
+    inputset = [np.random.randint(0, 4, (3,)) for _ in range(20)]
+    circuit = f.compile(inputset, CFG)
+    sample = np.array([3, 1, 2])
+    check_execution(circuit, lambda x: x[idx] + 1, sample)
+
+
+def test_fancy_indexing_2d():
+    rows = np.array([1, 0])
+    cols = np.array([0, 1])
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return x[rows, cols]
+
+    inputset = [np.random.randint(0, 4, (2, 2)) for _ in range(20)]
+    circuit = f.compile(inputset, CFG)
+    sample = np.array([[1, 2], [3, 0]])
+    check_execution(circuit, lambda x: x[rows, cols], sample)
+
+
+def test_static_assignment():
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        y = x + 1
+        x[0] = 3          # pre-assignment consumer y must keep old value
+        return x + y
+
+    inputset = [np.random.randint(0, 4, (3,)) for _ in range(20)]
+    circuit = f.compile(inputset, CFG)
+
+    def oracle(x):
+        y = x + 1
+        x = np.array(x)
+        x[0] = 3
+        return x + y
+
+    check_execution(circuit, oracle, np.array([1, 2, 0]))
+
+
+def test_fancy_assignment_encrypted_value():
+    idx = np.array([0, 2])
+
+    @fhe.compiler({"x": "encrypted", "v": "encrypted"})
+    def f(x, v):
+        x[idx] = v
+        return x
+
+    inputset = [(np.random.randint(0, 4, (3,)),
+                 np.random.randint(0, 4, (2,))) for _ in range(20)]
+    circuit = f.compile(inputset, CFG)
+
+    def oracle(x, v):
+        x = np.array(x)
+        x[idx] = v
+        return x
+
+    check_execution(circuit, oracle, np.array([1, 2, 3]), np.array([0, 2]))

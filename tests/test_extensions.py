@@ -163,3 +163,92 @@ def test_run_async():
     fut = circuit.run_async(enc)
     out = fut.result(timeout=120)
     assert circuit.decrypt(out) == 4
+
+
+# -- fused rounding (ProcessRounding) ----------------------------------------
+
+def test_round_fused_into_consumer_tlu():
+    """round_bit_pattern feeding a TLU costs NO extra PBS: the consumer PBS
+    runs at the reduced width (modulus-switch rounding)."""
+    table = fhe.LookupTable([(v // 4) % 4 for v in range(16)])
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return table[fhe.round_bit_pattern(x, lsbs_to_remove=2)]
+
+    circuit = f.compile(range(16), CFG)
+    assert circuit.programmable_bootstrap_count == 1
+    per_width = circuit.programmable_bootstrap_count_per_bit_width
+    # rounding can carry up to 16 (5 bits), minus 2 fused lsbs -> 3-bit PBS
+    assert per_width == {3: 1}, per_width
+    oracle = lambda x: table.table[(((x + 2) // 4) * 4) % 16]  # noqa: E731
+    for v in (0, 5, 9, 13):
+        check(circuit, oracle, v, retries=4)
+
+
+def test_truncate_fused_into_consumer_tlu():
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        t = fhe.truncate_bit_pattern(x, lsbs_to_remove=2)
+        return fhe.univariate(lambda v: int(v) // 4 + 1)(t)
+
+    circuit = f.compile(range(16), CFG)
+    assert circuit.programmable_bootstrap_count == 1
+    for v in (0, 3, 7, 12, 15):
+        check(circuit, lambda x: (x // 4) * 4 // 4 + 1, v, retries=4)
+
+
+def test_round_fused_signed_input():
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        s = x - 8  # signed
+        r = fhe.round_bit_pattern(s, lsbs_to_remove=2)
+        return fhe.univariate(lambda v: abs(int(v)) // 4)(r)
+
+    circuit = f.compile(range(16), CFG)
+    assert circuit.programmable_bootstrap_count == 1
+    oracle = lambda x: abs(((x - 8 + 2) // 4) * 4) // 4  # noqa: E731
+    for v in (0, 3, 8, 15):
+        check(circuit, oracle, v, retries=4)
+
+
+def test_rounding_makes_tlu_cheaper():
+    """An 8-bit value rounded to 4 bits must compile to cheaper params than
+    the unrounded 8-bit TLU (the whole point of ProcessRounding)."""
+    from concrete_tpu.optimizer.v0 import (cost_ks_macs, cost_pbs_macs,
+                                           optimize_v0_multi)
+
+    def mac_cost(p):
+        return (cost_pbs_macs(p.n_small, p.glwe_dimension,
+                              p.polynomial_size, p.pbs_level, p.pbs_base_log)
+                + cost_ks_macs(p.n_big, p.n_small, p.ks_level, p.ks_base_log))
+
+    table = fhe.LookupTable([v // 16 for v in range(256)])
+
+    @fhe.compiler({"x": "encrypted"})
+    def rounded(x):
+        return table[fhe.round_bit_pattern(x, lsbs_to_remove=4)]
+
+    @fhe.compiler({"x": "encrypted"})
+    def unrounded(x):
+        return table[x]
+
+    # cap the inputset so rounding cannot carry past 8 bits (255 -> 256)
+    cr = rounded.compile(range(248))
+    cu = unrounded.compile(range(248))
+    assert cr.programmable_bootstrap_count_per_bit_width == {4: 1}
+    assert cu.programmable_bootstrap_count_per_bit_width == {8: 1}
+    assert mac_cost(cr.client_specs.params) < mac_cost(cu.client_specs.params)
+
+
+def test_round_not_fused_when_used_arithmetically():
+    """A rounded value used outside a TLU still requires the explicit
+    rounding PBS (demoted path)."""
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        r = fhe.round_bit_pattern(x, lsbs_to_remove=1)
+        return r + 1
+
+    circuit = f.compile(range(8), CFG)
+    assert circuit.programmable_bootstrap_count == 1  # the explicit round
+    check(circuit, lambda x: ((x + 1) // 2) * 2 + 1, 5, retries=4)

@@ -92,3 +92,47 @@ def test_bridge_import_shared_key():
     # secret key serialization round-trip
     raw = bridge.serialize_input_secret_key(0)
     assert np.array_equal(np.frombuffer(raw, dtype=np.uint64), sk)
+
+
+def test_keygen_with_initial_keys_foreign_key():
+    """The circuit's BSK/KSK are generated FROM a foreign shared key: blocks
+    encrypted under the foreign key import, run a TLU (a real bootstrap
+    under the shared key), and decrypt correctly."""
+    t = tfhers.TFHERSIntegerType(False, 4, 2, 2, tfhers.uint8_2_2().params)
+    table = fhe.LookupTable([(3 * v) % 16 for v in range(16)])
+
+    @fhe.compiler({"blocks": "encrypted"})
+    def f(blocks):
+        return table[tfhers.to_native(blocks, t)]
+
+    inputset = [np.array(t.encode_blocks(v)) for v in range(16)]
+    circuit = f.compile(inputset, CFG)
+
+    # the "tfhe-rs side" key is generated independently of the circuit
+    foreign_rng = np.random.default_rng(123)
+    foreign_key = ref.sample_binary_key(
+        foreign_rng, (TEST_PARAMS_TINY.n_big,))
+
+    bridge = tfhers.new_bridge(circuit, {0: t})
+    bridge.keygen_with_initial_keys({0: foreign_key})
+    # circuit's big key IS the foreign key now
+    assert np.array_equal(circuit.keys.secret.lwe_big, foreign_key)
+
+    v = 11
+    blocks = np.array(t.encode_blocks(v), dtype=np.uint64)
+    delta = np.uint64(1) << np.uint64(t.delta_log2)
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        cts = kg.encrypt_lwe_batch(rng, foreign_key, blocks * delta,
+                                   TEST_PARAMS_TINY.lwe_std / 64)
+        imported = bridge.import_value(cts, 0)
+        out = circuit.run(imported)
+        if int(circuit.decrypt(out)) == (3 * v) % 16:
+            break
+    else:
+        raise AssertionError(circuit.decrypt(out))
+
+    # idempotent: same shared key does not regenerate
+    bsk_before = circuit.keys.server.bsk.copy()
+    bridge.keygen_with_initial_keys({0: foreign_key})
+    assert np.array_equal(circuit.keys.server.bsk, bsk_before)
