@@ -339,6 +339,14 @@ def blind_rotate(ct_small, bsk: LimbBSK, lut_poly, params: CryptoParams,
     return _blind_rotate_xla(ct_small, bsk, lut_poly, params)
 
 
+def _lut_rows(lut_poly, b_ct: int, n: int):
+    """Broadcast a shared (N,) or per-batch (B, N) LUT poly to (B, 1, N)."""
+    lut_poly = jnp.asarray(lut_poly)
+    if lut_poly.ndim == 1:
+        return jnp.broadcast_to(lut_poly, (b_ct, 1, n))
+    return lut_poly.reshape(b_ct, 1, n)
+
+
 def _blind_rotate_pallas(ct_small, bsk: LimbBSK, lut_poly,
                          params: CryptoParams):
     from concrete_tpu.ops import pallas_step as ps
@@ -351,7 +359,7 @@ def _blind_rotate_pallas(ct_small, bsk: LimbBSK, lut_poly,
     a_t = switched[:, :-1]
     b_t = switched[:, -1]
     body0 = monomial_mul_rolls(
-        jnp.broadcast_to(lut_poly, (b_ct, 1, n)), (2 * n - b_t) % (2 * n))
+        _lut_rows(lut_poly, b_ct, n), (2 * n - b_t) % (2 * n))
     acc0 = jnp.zeros((b_ct, kp1, n), dtype=U64).at[:, k, :].set(
         body0[:, 0, :])
     lo0, hi0 = ps.split_u64(acc0.reshape(b_ct * kp1, n))
@@ -402,7 +410,7 @@ def _blind_rotate_xla(ct_small, bsk: LimbBSK, lut_poly, params: CryptoParams):
     b_t = switched[:, -1]                                    # (B,)
     # acc = trivial GLWE of X^{-b~} * LUT
     body0 = monomial_mul_rolls(
-        jnp.broadcast_to(lut_poly, (b_ct, 1, n)), (2 * n - b_t) % (2 * n))
+        _lut_rows(lut_poly, b_ct, n), (2 * n - b_t) % (2 * n))
     acc0 = jnp.zeros((b_ct, k + 1, n), dtype=U64).at[:, k, :].set(
         body0[:, 0, :])
 
