@@ -47,9 +47,12 @@ class Circuit:
         self.keygen()
         if not hasattr(self, "_norm2"):
             self._norm2 = self.graph.max_norm2()
-        return_tuple = self.server.run(
-            *args, evaluation_keys=self.keys.evaluation_for(
-                self.client_specs.message_bits, norm2=self._norm2))
+        eval_keys = self.keys.evaluation_for(
+            self.client_specs.message_bits, norm2=self._norm2)
+        wp = self.client_specs.wop_params()
+        if wp is not None:
+            eval_keys = eval_keys + (self.keys.wop_evaluation(wp),)
+        return_tuple = self.server.run(*args, evaluation_keys=eval_keys)
         return return_tuple if len(return_tuple) != 1 else return_tuple[0]
 
     def decrypt(self, *results):
@@ -90,6 +93,17 @@ class Circuit:
     @property
     def programmable_bootstrap_count(self) -> int:
         return self.server.programmable_bootstrap_count()
+
+    @property
+    def wop_pbs_count(self) -> int:
+        """Number of WoP-PBS (wide TLU) evaluations per run (reference
+        ExtractStatistics wop op counting)."""
+        ex = self.server._executor
+        return sum(
+            max(int(np.prod(n.output.shape)), 1)
+            for n in self.graph.graph.nodes
+            if n.name in ("tlu", "univariate", "multivariate")
+            and n.uid in ex.wop_specs)
 
     @property
     def size_of_secret_keys(self) -> int:

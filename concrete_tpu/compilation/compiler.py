@@ -44,7 +44,7 @@ class Compiler:
         from concrete_tpu.compilation.transforms import run_default_transforms
         from concrete_tpu.compilation.widths import (assign_encoding_widths,
                                                      encoding_width,
-                                                     tlu_atomic_patterns)
+                                                     tlu_pattern_split)
         run_default_transforms(graph)
         graph.measure_bounds(inputset)
         graph.update_dtypes_from_bounds()
@@ -52,7 +52,9 @@ class Compiler:
 
         p = graph.max_bit_width
         norm2 = graph.max_norm2()
+        native_patterns, wide_inputs, wop_triples = tlu_pattern_split(graph)
 
+        wop_gadgets = config.forced_wop_parameters
         if config.forced_parameters is not None:
             params = config.forced_parameters
         else:
@@ -66,10 +68,26 @@ class Compiler:
                     if n.name in ("tlu", "univariate")), 1)
                 p_error = config.global_p_error / n_pbs
             # one (precision, norm2) constraint per TLU/output — each PBS
-            # runs at its own width (multi-precision mono)
+            # runs at its own width (multi-precision mono); >8-bit TLUs add
+            # noise-only input + WoP-output constraints (the CRT/WoP path)
             params = optimize_v0_multi(
-                tuple(tlu_atomic_patterns(graph)), p_error=p_error,
-                security_level=config.security_level)
+                native_patterns, p_error=p_error,
+                security_level=config.security_level,
+                noise_only=wide_inputs, wop_patterns=wop_triples)
+            if wop_triples and wop_gadgets is None:
+                from concrete_tpu.optimizer.v0 import choose_wop_gadgets
+                nb_max = max(nb for nb, _, _ in wop_triples)
+                out_cons = tuple(sorted({(w, n2)
+                                         for _, w, n2 in wop_triples}))
+                wp = choose_wop_gadgets(params, nb_max, out_cons,
+                                        p_error=p_error)
+                wop_gadgets = (wp.cbs_level, wp.cbs_base_log,
+                               wp.pfks_level, wp.pfks_base_log)
+        if wop_triples and wop_gadgets is None:
+            raise ValueError(
+                "circuit contains >8-bit table lookups; forced_parameters "
+                "compilation also needs forced_wop_parameters "
+                "(cbs_level, cbs_base_log, pfks_level, pfks_base_log)")
 
         specs = ClientSpecs(
             params=params, message_bits=p,
@@ -78,7 +96,8 @@ class Compiler:
             input_widths=[encoding_width(n, p)
                           for n in graph.ordered_inputs],
             output_widths=[encoding_width(n, p)
-                           for n in graph.ordered_outputs])
+                           for n in graph.ordered_outputs],
+            wop_gadgets=wop_gadgets if wop_triples else None)
 
         if config.verbose or config.show_graph:
             print(graph.format())

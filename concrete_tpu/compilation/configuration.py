@@ -40,6 +40,9 @@ class Configuration:
     mesh_shape: Optional[tuple] = None         # multi-chip sharding mesh
     # forced crypto parameters (bypass the optimizer; e.g. for benches)
     forced_parameters: Optional[object] = None
+    # forced WoP-PBS gadgets (cbs_level, cbs_base_log, pfks_level,
+    # pfks_base_log) — bypass choose_wop_gadgets (tests/benches)
+    forced_wop_parameters: Optional[tuple] = None
 
     def __post_init__(self):
         if self.p_error is None and self.global_p_error is None:

@@ -41,6 +41,51 @@ class TluSpec:
     message_bits: int         # input encoding width (LUT index domain)
 
 
+@dataclasses.dataclass
+class WopTluSpec:
+    """A wide (>8-bit) table lookup lowered to WoP-PBS.
+
+    `table` holds 2^nb_bits raw integer entries indexed by the extracted
+    bit pattern of the encoding (signed inputs extract p+1 bits, negative
+    values indexing the wrapped top range).  Reference: the FHEToTFHECrt
+    lowering's wop_pbs path (wrappers.cpp:855)."""
+    node_uid: int
+    table: np.ndarray         # (2^nb,) int64 raw entries
+    nb_bits: int
+    delta_log: int            # bit position of the extraction LSB
+    out_bits: int             # output encoding width
+    # multivariate packing layout (None for univariate wide TLUs)
+    mins: list = None
+    offsets: list = None
+
+
+def _materialize_wop_table(node: Node, p_in: int, p_out: int) -> WopTluSpec:
+    """Build the bit-indexed table for a wide TLU.
+
+    Unsigned p-bit input: nb = p, index = value.  Signed: nb = p+1 (the
+    encoding's p+1-bit pattern, sign wrap at the top), index =
+    value mod 2^(p+1) — entries in the unused middle range are don't-care
+    (filled with f of the wrapped value)."""
+    signed = isinstance(node.inputs[0].dtype, Integer) \
+        and node.inputs[0].dtype.is_signed
+    nb = p_in + (1 if signed else 0)
+    idx = np.arange(1 << nb)
+    if signed:
+        dom = 1 << nb
+        sval = np.where(idx < (1 << p_in), idx, idx - dom)
+    else:
+        sval = idx
+    if node.name == "tlu":
+        table = np.asarray(node.properties["kwargs"]["table"],
+                           dtype=np.int64)
+        vals = table[sval % len(table)]
+    else:
+        fn = node.properties["kwargs"]["function"]
+        vals = np.vectorize(fn, otypes=[np.int64])(sval)
+    return WopTluSpec(node_uid=node.uid, table=vals.astype(np.int64),
+                      nb_bits=nb, delta_log=63 - p_in, out_bits=p_out)
+
+
 def raw_table(node: Node, p: int, shift: int = 0) -> np.ndarray:
     """The 2^p-entry integer table of a tlu/univariate node.
 
@@ -144,28 +189,66 @@ def _materialize_multivariate(graph: Graph, node: Node, p_in: int,
 class GraphExecutor:
     """Compile-time lowering of a Graph to a jittable evaluation function."""
 
-    def __init__(self, graph: Graph, params: CryptoParams, p: int):
+    def __init__(self, graph: Graph, params: CryptoParams, p: int,
+                 wop_gadgets: tuple = None):
         from concrete_tpu.compilation.widths import (encoding_width,
                                                      tlu_fused_lsbs)
         self.graph = graph
         self.params = params
         self.p = p  # circuit-wide max width (fallback for old archives)
         self.width_of = lambda node: encoding_width(node, p)
+        self.wop_params = None
+        if wop_gadgets is not None:
+            from concrete_tpu.core.wop import WopParams
+            cbs_l, cbs_b, pfks_l, pfks_b = wop_gadgets
+            self.wop_params = WopParams(
+                base=params, cbs_level=cbs_l, cbs_base_log=cbs_b,
+                pfks_level=pfks_l, pfks_base_log=pfks_b)
+        # widest TLU one blind rotate serves under these params
+        self.max_native_bits = min(
+            8, params.polynomial_size.bit_length() - 2)
         self.tlu_specs: dict[int, TluSpec] = {}
+        self.wop_specs: dict[int, WopTluSpec] = {}
         self.multivariate_specs: dict[int, MultivariateSpec] = {}
         for node in graph.topological_order():
             if node.name in ("tlu", "univariate"):
                 preds = graph.ordered_preds_of(node)
                 p_in = self.width_of(preds[0]) if preds else p
-                self.tlu_specs[node.uid] = _materialize_table(
-                    node, p_in, self.width_of(node), params,
-                    lsbs=tlu_fused_lsbs(graph, node))
+                lsbs = tlu_fused_lsbs(graph, node)
+                if max(p_in - lsbs, 1) > self.max_native_bits:
+                    self._require_wop(node)
+                    self.wop_specs[node.uid] = _materialize_wop_table(
+                        node, p_in, self.width_of(node))
+                else:
+                    self.tlu_specs[node.uid] = _materialize_table(
+                        node, p_in, self.width_of(node), params, lsbs=lsbs)
             elif node.name == "multivariate":
                 preds = [q for q in graph.ordered_preds_of(node)
                          if q.output.is_encrypted]
                 p_in = max((self.width_of(q) for q in preds), default=p)
-                self.multivariate_specs[node.uid] = _materialize_multivariate(
-                    graph, node, p_in, self.width_of(node), params)
+                if p_in > self.max_native_bits:
+                    self._require_wop(node)
+                    fn = node.properties["kwargs"]["function"]
+                    mins, mwidths, offsets = packed_layout(graph, node)
+                    idx = np.arange(1 << p_in)
+                    operands = [((idx >> off) & ((1 << w) - 1)) + mn
+                                for mn, w, off in zip(mins, mwidths, offsets)]
+                    vals = np.vectorize(fn, otypes=[np.int64])(*operands)
+                    self.wop_specs[node.uid] = WopTluSpec(
+                        node_uid=node.uid, table=vals, nb_bits=p_in,
+                        delta_log=63 - p_in, out_bits=self.width_of(node),
+                        mins=mins, offsets=offsets)
+                else:
+                    self.multivariate_specs[node.uid] = \
+                        _materialize_multivariate(
+                            graph, node, p_in, self.width_of(node), params)
+
+    def _require_wop(self, node: Node):
+        if self.wop_params is None:
+            raise ValueError(
+                f"node '{node.name}' needs a {node and ''}WoP-PBS lowering "
+                "(input wider than the native LUT) but the circuit was "
+                "compiled without WoP gadget parameters")
 
     # -- helpers -----------------------------------------------------------
 
@@ -182,12 +265,23 @@ class GraphExecutor:
     # -- the lowered evaluation -------------------------------------------
 
     def run(self, enc_inputs: dict[int, jnp.ndarray], ksk: kn.LimbKSK,
-            bsk: kn.LimbBSK, lut_polys: dict[int, jnp.ndarray]):
+            bsk: kn.LimbBSK, lut_polys: dict[int, jnp.ndarray],
+            wop_tables: dict[int, jnp.ndarray] = None, pfpksk=None):
         """Evaluate the graph.  enc_inputs maps input position ->
-        u64 ciphertext array (or clear np array for clear inputs)."""
+        u64 ciphertext array (or clear np array for clear inputs).
+        wop_tables/pfpksk serve the WoP-PBS path of >8-bit TLUs."""
         graph = self.graph
         params = self.params
         values: dict[Node, object] = {}
+
+        def run_wop(ct, spec: WopTluSpec, table):
+            from concrete_tpu.core import kernels_wop as kw
+            shape = ct.shape[:-1]
+            flat = ct.reshape((-1, ct.shape[-1]))
+            out = kw.wop_pbs_batch(
+                flat, table, spec.nb_bits, spec.delta_log, spec.out_bits,
+                ksk, bsk, pfpksk, self.wop_params)
+            return out.reshape(shape + (out.shape[-1],))
 
         def is_ct(node: Node) -> bool:
             return node.output.is_encrypted
@@ -290,6 +384,10 @@ class GraphExecutor:
                 values[node] = out
             elif name in ("tlu", "univariate"):
                 ct = args[0]
+                if node.uid in self.wop_specs:
+                    values[node] = run_wop(ct, self.wop_specs[node.uid],
+                                           wop_tables[node.uid])
+                    continue
                 spec = self.tlu_specs[node.uid]
                 lut_poly = lut_polys[node.uid]
                 shape = ct.shape[:-1]
@@ -299,13 +397,21 @@ class GraphExecutor:
                                    signed=spec.signed_input)
                 values[node] = out.reshape(shape + (out.shape[-1],))
             elif name == "multivariate":
-                spec = self.multivariate_specs[node.uid]
+                spec = self.wop_specs.get(node.uid) \
+                    or self.multivariate_specs[node.uid]
                 packed = None
                 bias = 0
                 for ct, mn, off in zip(args, spec.mins, spec.offsets):
                     term = ct * jnp.uint64(1 << off)
                     packed = term if packed is None else packed + term
                     bias += mn << off
+                if node.uid in self.wop_specs:
+                    packed = packed.at[..., -1].add(
+                        jnp.uint64(0) - self._encode_clear(
+                            bias, spec.nb_bits))
+                    values[node] = run_wop(packed, spec,
+                                           wop_tables[node.uid])
+                    continue
                 packed = packed.at[..., -1].add(
                     jnp.uint64(0) - self._encode_clear(
                         bias, spec.message_bits))

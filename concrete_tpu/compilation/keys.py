@@ -33,6 +33,10 @@ class Keys:
         self._server: Optional[ServerKeys] = None
         self._packed_ksk: Optional[kn.LimbKSK] = None
         self._packed_bsk: Optional[kn.LimbBSK] = None
+        # WoP-PBS private functional packing keyswitch keys, keyed by the
+        # pfks gadget (level, base_log): raw u64 + packed limb planes
+        self._pfpksk: dict[tuple, np.ndarray] = {}
+        self._packed_pfpksk: dict[tuple, object] = {}
 
     # -- generation --------------------------------------------------------
 
@@ -52,6 +56,7 @@ class Keys:
         `glwe_key` injects an externally shared big secret key (TFHE-rs
         bridge); such keysets are never cached.
         """
+        self._seed = seed
         if self.cache_directory is not None and glwe_key is None:
             path = self._cache_path(seed)
             if os.path.exists(path):
@@ -59,6 +64,7 @@ class Keys:
                 return
         from concrete_tpu.utils.csprng import SecureGenerator
         rng = SecureGenerator(seed)
+        self._seed = seed
         self._secret, self._server = kg.keygen(rng, self.params,
                                                glwe_key=glwe_key)
         self._packed_ksk = None
@@ -112,6 +118,28 @@ class Keys:
                                            truncate_limbs=truncate)
         return self._packed_ksk, self._packed_bsk
 
+    def wop_evaluation(self, wop_params):
+        """Device-packed PFPKSK for WoP-PBS (generated lazily per pfks
+        gadget; reference PackingKeyswitchKey keygen, Keys.cpp:365)."""
+        from concrete_tpu.core import kernels_wop as kw
+        from concrete_tpu.core import wop
+        self._require()
+        key = (wop_params.pfks_level, wop_params.pfks_base_log)
+        if key not in self._pfpksk:
+            from concrete_tpu.utils.csprng import SecureGenerator
+            rng = SecureGenerator()
+            self._pfpksk[key] = wop.pfpksk_gen(
+                rng, self._secret, wop_params).pfpksk
+            if self.cache_directory is not None:
+                # refresh the cache so the PFPKSK is not regenerated
+                path = self._cache_path(getattr(self, "_seed", None))
+                if os.path.exists(path):
+                    self.save(path)
+        if key not in self._packed_pfpksk:
+            self._packed_pfpksk[key] = kw.pack_pfpksk(
+                self._pfpksk[key], wop_params)
+        return self._packed_pfpksk[key]
+
     def _require(self):
         if self._secret is None:
             raise RuntimeError("keys are not generated yet; call generate()")
@@ -126,7 +154,7 @@ class Keys:
         self._require()
         header = {"version": self._FORMAT_VERSION,
                   "params": dataclasses.asdict(self.params)}
-        return {
+        out = {
             "header": np.frombuffer(json.dumps(header).encode(),
                                     dtype=np.uint8),
             "lwe_small": self._secret.lwe_small,
@@ -134,6 +162,9 @@ class Keys:
             "bsk": self._server.bsk,
             "ksk": self._server.ksk,
         }
+        for (lev, base), pfpksk in self._pfpksk.items():
+            out[f"pfpksk_{lev}_{base}"] = pfpksk
+        return out
 
     def _from_npz(self, z) -> None:
         header = json.loads(bytes(np.asarray(z["header"])).decode())
@@ -148,6 +179,12 @@ class Keys:
                                   ksk=np.asarray(z["ksk"]))
         self._packed_ksk = None
         self._packed_bsk = None
+        self._pfpksk = {}
+        self._packed_pfpksk = {}
+        for name in getattr(z, "files", []):
+            if name.startswith("pfpksk_"):
+                _, lev, base = name.split("_")
+                self._pfpksk[(int(lev), int(base))] = np.asarray(z[name])
 
     def save(self, path: str) -> None:
         with open(path, "wb") as f:

@@ -27,7 +27,8 @@ class Server:
         self.graph = graph
         self.client_specs = specs
         self._executor = GraphExecutor(graph, specs.params,
-                                       specs.message_bits)
+                                       specs.message_bits,
+                                       wop_gadgets=specs.wop_gadgets)
         self._jitted = None
 
     # -- execution ---------------------------------------------------------
@@ -35,11 +36,13 @@ class Server:
     def run(self, *args, evaluation_keys) -> tuple:
         """Run the circuit on encrypted/clear arguments.
 
-        evaluation_keys: (LimbKSK, LimbBSK) from Keys.evaluation.
+        evaluation_keys: (LimbKSK, LimbBSK) from Keys.evaluation, plus the
+        packed PFPKSK as a third element when the circuit has WoP TLUs.
         """
         from concrete_tpu.core.compression import (SeededLweCiphertext,
                                                    decompress)
-        ksk, bsk = evaluation_keys
+        ksk, bsk, *rest = evaluation_keys
+        pfpksk = rest[0] if rest else None
         enc_inputs = {}
         for pos, arg in enumerate(args):
             spec = self.client_specs.inputs[pos]
@@ -52,13 +55,21 @@ class Server:
         lut_polys.update({uid: jnp.asarray(s.lut_poly)
                           for uid, s in
                           self._executor.multivariate_specs.items()})
+        wop_tables = {uid: jnp.asarray(s.table)
+                      for uid, s in self._executor.wop_specs.items()}
+        if self._executor.wop_specs and pfpksk is None:
+            raise ValueError(
+                "circuit contains WoP-PBS table lookups; pass the packed "
+                "PFPKSK as evaluation_keys[2] (Keys.wop_evaluation)")
         if self._jitted is None:
             ex = self._executor
 
-            def fn(enc_inputs, ksk, bsk, lut_polys):
-                return ex.run(enc_inputs, ksk, bsk, lut_polys)
+            def fn(enc_inputs, ksk, bsk, lut_polys, wop_tables, pfpksk):
+                return ex.run(enc_inputs, ksk, bsk, lut_polys,
+                              wop_tables, pfpksk)
             self._jitted = jax.jit(fn)
-        outs = self._jitted(enc_inputs, ksk, bsk, lut_polys)
+        outs = self._jitted(enc_inputs, ksk, bsk, lut_polys, wop_tables,
+                            pfpksk)
         return tuple(np.asarray(o) for o in outs)
 
     # -- deployment (reference server.py:245-378) --------------------------
@@ -112,17 +123,27 @@ class Server:
     @property
     def complexity(self) -> float:
         """Estimated cost in int8 MACs (our optimizer's cost model)."""
-        from concrete_tpu.optimizer.v0 import cost_pbs_macs, cost_ks_macs
+        from concrete_tpu.optimizer.v0 import (cost_ks_macs, cost_pbs_macs,
+                                               cost_wop_macs)
         p = self.client_specs.params
-        n_pbs = len(self._executor.tlu_specs)
-        sizes = sum(
-            max(int(np.prod(n.output.shape)), 1)
-            for n in self.graph.graph.nodes
-            if n.name in ("tlu", "univariate"))
+        ex = self._executor
         per = (cost_pbs_macs(p.n_small, p.glwe_dimension, p.polynomial_size,
                              p.pbs_level, p.pbs_base_log)
                + cost_ks_macs(p.n_big, p.n_small, p.ks_level, p.ks_base_log))
-        return per * max(sizes, n_pbs)
+        total = 0.0
+        for n in self.graph.graph.nodes:
+            if n.name not in ("tlu", "univariate", "multivariate"):
+                continue
+            size = max(int(np.prod(n.output.shape)), 1)
+            spec = ex.wop_specs.get(n.uid)
+            if spec is not None and ex.wop_params is not None:
+                wp = ex.wop_params
+                total += size * cost_wop_macs(
+                    p, spec.nb_bits, wp.cbs_level, wp.pfks_level,
+                    wp.cbs_base_log, wp.pfks_base_log)
+            else:
+                total += size * per
+        return total
 
     def programmable_bootstrap_count(self) -> int:
         return sum(

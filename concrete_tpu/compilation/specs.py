@@ -27,6 +27,18 @@ class ClientSpecs:
     # assign_bit_widths.py); None -> every value at message_bits
     input_widths: list[int] = None
     output_widths: list[int] = None
+    # WoP-PBS gadget parameters (cbs_level, cbs_base_log, pfks_level,
+    # pfks_base_log) when the circuit contains >8-bit TLUs; None otherwise
+    wop_gadgets: tuple = None
+
+    def wop_params(self):
+        """The WopParams for this circuit's wide TLUs (None if none)."""
+        if self.wop_gadgets is None:
+            return None
+        from concrete_tpu.core.wop import WopParams
+        cbs_l, cbs_b, pfks_l, pfks_b = self.wop_gadgets
+        return WopParams(base=self.params, cbs_level=cbs_l, cbs_base_log=cbs_b,
+                         pfks_level=pfks_l, pfks_base_log=pfks_b)
 
     def input_width(self, pos: int) -> int:
         if self.input_widths is None:
@@ -51,6 +63,8 @@ class ClientSpecs:
             "outputs": [vd(v) for v in self.outputs],
             "input_widths": self.input_widths,
             "output_widths": self.output_widths,
+            "wop_gadgets": list(self.wop_gadgets)
+            if self.wop_gadgets is not None else None,
         })
 
     @classmethod
@@ -66,4 +80,6 @@ class ClientSpecs:
                    inputs=[vd(d) for d in data["inputs"]],
                    outputs=[vd(d) for d in data["outputs"]],
                    input_widths=data.get("input_widths"),
-                   output_widths=data.get("output_widths"))
+                   output_widths=data.get("output_widths"),
+                   wop_gadgets=tuple(data["wop_gadgets"])
+                   if data.get("wop_gadgets") else None)

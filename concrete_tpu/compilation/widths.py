@@ -138,6 +138,105 @@ def tlu_effective_input_width(graph: Graph, node: Node, default: int) -> int:
     return max(p_in - tlu_fused_lsbs(graph, node), 1)
 
 
+#: widest TLU the native KS->BR path runs (the reference lowers >8-bit TLUs
+#: through the CRT/WoP pipeline for the same reason: mega-case LUTs need
+#: N >= 2^(p+1), FHEToTFHECrt.cpp); wider TLUs lower to WoP-PBS here.
+MAX_NATIVE_TLU_BITS = 8
+
+
+def tlu_input_width(graph: Graph, node: Node, default: int) -> int:
+    """The (pre-rounding-fusion) input partition width of a TLU node."""
+    preds = [p for p in graph.ordered_preds_of(node)
+             if p.output.is_encrypted]
+    if not preds:
+        return default
+    return max(encoding_width(p, default) for p in preds)
+
+
+def is_wide_tlu(graph: Graph, node: Node, default: int,
+                max_native: int = MAX_NATIVE_TLU_BITS) -> bool:
+    """True if this TLU must lower to WoP-PBS (input too wide for one
+    blind-rotate LUT)."""
+    if node.name not in TLU_OPS:
+        return False
+    return tlu_effective_input_width(graph, node, default) > max_native
+
+
+def wop_nb_bits(graph: Graph, node: Node, default: int) -> int:
+    """Bits to extract for a wide TLU: the effective width, plus one for
+    the sign position of signed inputs (the encoding's p+1-bit pattern)."""
+    p_eff = tlu_effective_input_width(graph, node, default)
+    signed = node.inputs and isinstance(node.inputs[0].dtype, Integer) \
+        and node.inputs[0].dtype.is_signed
+    return p_eff + (1 if signed else 0)
+
+
+def decision_constraints_after(graph: Graph, node: Node,
+                               default: int) -> list[tuple[int, int]]:
+    """(width, norm2) decision points consuming `node`'s output: successor
+    TLU inputs (walked through leveled ops) and circuit outputs."""
+    manp, boundary = graph.manp_map()
+    out: list[tuple[int, int]] = []
+    seen = {node}
+    frontier = [node]
+    while frontier:
+        cur = frontier.pop()
+        for succ in graph.graph.successors(cur):
+            if succ in seen:
+                continue
+            seen.add(succ)
+            if succ.name in TLU_OPS:
+                out.append((tlu_effective_input_width(graph, succ, default),
+                            max(boundary.get(succ, 1), 1)))
+            else:
+                frontier.append(succ)
+    for out_node in graph.ordered_outputs:
+        if out_node in seen and out_node.output.is_encrypted:
+            out.append((encoding_width(out_node, default),
+                        max(manp.get(out_node, 1), 1)))
+    if node in graph.ordered_outputs and node.output.is_encrypted:
+        out.append((encoding_width(node, default),
+                    max(manp.get(node, 1), 1)))
+    return out or [(1, 1)]
+
+
+def tlu_pattern_split(graph: Graph):
+    """Split the graph's PBS constraints for the optimizer.
+
+    Returns (native_patterns, wide_input_patterns, wop_triples):
+      native_patterns:      (p, norm2) for <=8-bit TLUs + encrypted outputs
+                            (full atomic patterns: N >= 2^(p+1) required);
+      wide_input_patterns:  (p_in, norm2) for WoP TLU inputs (noise-only);
+      wop_triples:          (nb_bits, out_width, out_norm2) per WoP TLU.
+    """
+    manp, boundary = graph.manp_map()
+    default = graph.max_bit_width
+    native: list[tuple[int, int]] = []
+    wide_in: list[tuple[int, int]] = []
+    wop: list[tuple[int, int, int]] = []
+    for node in graph.topological_order():
+        if node.name in TLU_OPS:
+            preds = [p for p in graph.ordered_preds_of(node)
+                     if p.output.is_encrypted]
+            if not preds:
+                continue
+            p_in = tlu_effective_input_width(graph, node, default)
+            n2 = max(boundary.get(node, 1), 1)
+            if p_in > MAX_NATIVE_TLU_BITS:
+                wide_in.append((p_in, n2))
+                nb = wop_nb_bits(graph, node, default)
+                for w, n2o in decision_constraints_after(graph, node,
+                                                         default):
+                    wop.append((nb, w, n2o))
+            else:
+                native.append((p_in, n2))
+    for node in graph.ordered_outputs:
+        if node.output.is_encrypted:
+            native.append((encoding_width(node, default),
+                           max(manp.get(node, 1), 1)))
+    return (tuple(native) or ((1, 1),), tuple(wide_in), tuple(wop))
+
+
 def tlu_atomic_patterns(graph: Graph) -> list[tuple[int, int]]:
     """(precision, norm2) pairs the crypto parameters must satisfy.
 

@@ -90,9 +90,18 @@ def pareto_patterns(patterns) -> tuple[tuple[int, int], ...]:
     return tuple(keep)
 
 
+#: deep WoP gadget used as the feasibility probe inside the base search:
+#: if the WoP output constraint fails with THIS gadget, no gadget fixes it
+#: (choose_wop_gadgets later picks the *cheapest* feasible one).
+_WOP_PROBE_CBS = (12, 3)     # (level, base_log)
+_WOP_PROBE_PFKS = (10, 4)
+
+
 @functools.lru_cache(maxsize=None)
 def optimize_v0_multi(patterns: tuple, p_error: float = 6.3e-5,
-                      security_level: int = 128) -> pp.CryptoParams:
+                      security_level: int = 128,
+                      noise_only: tuple = (),
+                      wop_patterns: tuple = ()) -> pp.CryptoParams:
     """Minimal-cost CryptoParams feasible for EVERY (precision, norm2)
     atomic pattern simultaneously.
 
@@ -101,11 +110,29 @@ def optimize_v0_multi(patterns: tuple, p_error: float = 6.3e-5,
     constraint  v_br*norm2_i^2 + v_ks + v_ms < safe_variance(p_i); params
     must satisfy the intersection, and cost is the per-PBS cost (identical
     across patterns under one keyset, so the cheapest feasible point wins).
+
+    `noise_only` patterns constrain the noise like `patterns` but do NOT
+    force a native LUT (no N >= 2^(p+1) requirement): they come from
+    WoP-PBS TLU inputs.  Bit extraction shifts the value UP by 63-pos
+    before its sign-PBS, so the accumulated noise v_br*norm2^2 must be
+    decodable at width p, while the sign-PBS's own keyswitch/modswitch
+    noise is added *after* the shift and compares to the quarter-torus
+    margin — i.e. enters the constraint scaled by 4^-p.
+
+    `wop_patterns` are (nb_bits, out_width, out_norm2) triples, one per
+    WoP TLU: the vertical-packing output noise (driven by the base BR
+    gadget through the circuit-bootstrap sign-PBS) must satisfy the
+    consumers' decision margins.  Probed with the deep _WOP_PROBE gadget;
+    the actual gadget is chosen afterwards by choose_wop_gadgets.
     """
     patterns = pareto_patterns(patterns)
+    noise_only = pareto_patterns(noise_only) if noise_only else ()
     p_max = max(p for p, _ in patterns)
-    safe_vars = [safe_variance_bound(p, p_error) for p, _ in patterns]
-    norm2_sqs = [float(n) ** 2 for _, n in patterns]
+    all_patterns = patterns + noise_only
+    safe_vars = [safe_variance_bound(p, p_error) for p, _ in all_patterns]
+    norm2_sqs = [float(n) ** 2 for _, n in all_patterns]
+    # weight of the (v_ks + v_ms) term per pattern (see noise_only above)
+    ks_ms_w = [1.0] * len(patterns) + [4.0 ** -p for p, _ in noise_only]
     # the BSK-truncation budget in the cost model must hold for every
     # pattern: use the tightest precision
     best = None
@@ -126,7 +153,8 @@ def optimize_v0_multi(patterns: tuple, p_error: float = 6.3e-5,
             continue  # LUT mega-cases must be even: N >= 2^(p+1)
         v_ms = ((1.0 / 12.0 + ns / 24.0) / (2.0 ** (log_n + 1)) ** 2
                 + (-1.0 / 12.0 + ns / 48.0) / 2.0 ** 128)
-        if any(v_ms.min() > sv for sv in safe_vars):
+        if any(w * v_ms.min() > sv
+               for sv, w in zip(safe_vars, ks_ms_w)):
             continue
         for k in range(1, 7):
             n_big = k * big_n
@@ -143,18 +171,39 @@ def optimize_v0_multi(patterns: tuple, p_error: float = 6.3e-5,
                                                       var_bsk)
                 v_br_unit = ns * v_cmux
                 base_ok = np.ones_like(ns, dtype=bool)
-                for sv, n2sq in zip(safe_vars, norm2_sqs):
-                    base_ok &= v_br_unit * n2sq + v_ms < sv
+                for sv, n2sq, w in zip(safe_vars, norm2_sqs, ks_ms_w):
+                    base_ok &= v_br_unit * n2sq + w * v_ms < sv
                 if not base_ok.any():
                     continue
                 c_br = cost_pbs_macs(ns, k, big_n, br_l, br_b,
-                                     precision=p_max, p_error=p_error)
+                                     precision=max(p for p, _ in all_patterns),
+                                     p_error=p_error)
                 if c_br[base_ok].min() >= best_cost:
                     continue
+                if wop_patterns:
+                    # WoP output noise with the probe gadgets (vector in ns
+                    # through the sign-PBS BR output variance v_br_unit)
+                    cbs_l_p, cbs_b_p = _WOP_PROBE_CBS
+                    pfks_l_p, pfks_b_p = _WOP_PROBE_PFKS
+                    v_pfks = pp.variance_private_packing_keyswitch(
+                        n_big, k, big_n, pfks_b_p, pfks_l_p, var_bsk)
+                    v_ggsw = v_br_unit * 0.5 + v_pfks
+                    # external product variance is affine in var_ggsw
+                    ep0 = pp.variance_external_product(
+                        k, big_n, cbs_b_p, cbs_l_p, 0.0)
+                    ep1 = pp.variance_external_product(
+                        k, big_n, cbs_b_p, cbs_l_p, 1.0) - ep0
+                    wop_outs = [
+                        (float(nb) * (ep1 * v_ggsw + ep0), float(n2o) ** 2,
+                         safe_variance_bound(po, p_error))
+                        for nb, po, n2o in wop_patterns]
                 for (ks_l, ks_b), v_ks in v_ks_all.items():
                     feasible = np.ones_like(ns, dtype=bool)
-                    for sv, n2sq in zip(safe_vars, norm2_sqs):
-                        feasible &= v_br_unit * n2sq + v_ks + v_ms < sv
+                    for sv, n2sq, w in zip(safe_vars, norm2_sqs, ks_ms_w):
+                        feasible &= v_br_unit * n2sq + w * (v_ks + v_ms) < sv
+                    if wop_patterns:
+                        for v_out, n2sq_o, sv_o in wop_outs:
+                            feasible &= v_out * n2sq_o + v_ks + v_ms < sv_o
                     if not feasible.any():
                         continue
                     cost = c_br + cost_ks_macs(n_big, ns, ks_l, ks_b)
@@ -189,3 +238,81 @@ def _variance_keyswitch_vec(n_big: int, log2_base: int, level: int,
     res_3 = 0.25 * var_key
     res_4 = level * variance_ksk * (base ** 2 + 2.0) / 12.0
     return n_big * (res_2 + res_3 + res_4)
+
+
+# ---------------------------------------------------------------------------
+# WoP-PBS gadget selection (the WoP atomic pattern)
+# ---------------------------------------------------------------------------
+
+def cost_wop_macs(params: pp.CryptoParams, nb_bits: int, cbs_level: int,
+                  pfks_level: int, cbs_base_log: int = 0,
+                  pfks_base_log: int = 0) -> float:
+    """int8 MACs of one WoP-PBS TLU with our batched kernels.
+
+    extract: ~2 sign-PBS per bit; CBS: cbs_level sign-PBS + one PFPKSK
+    matmul per bit; vertical packing: nb CMUXes of the grouped limb conv.
+    """
+    p = params
+    per_pbs = (cost_pbs_macs(p.n_small, p.glwe_dimension, p.polynomial_size,
+                             p.pbs_level, p.pbs_base_log)
+               + cost_ks_macs(p.n_big, p.n_small, p.ks_level, p.ks_base_log))
+    n_sign_pbs = 2 * nb_bits - 1 + nb_bits * cbs_level
+    a_pfks = lb.num_digit_limbs(pfks_base_log) if pfks_base_log else 1
+    c_pfks = ((p.n_big + 1) * pfks_level
+              * (p.glwe_dimension + 1) ** 2 * p.polynomial_size * 8 * a_pfks)
+    kp1 = p.glwe_dimension + 1
+    a_cbs = 2  # runtime conv uses 2 digit limbs
+    c_cmux = (cbs_level * kp1 * kp1 * a_cbs * 8
+              * float(p.polynomial_size) ** 2)
+    return (n_sign_pbs * per_pbs + nb_bits * cbs_level * c_pfks
+            + nb_bits * c_cmux)
+
+
+@functools.lru_cache(maxsize=None)
+def choose_wop_gadgets(params: pp.CryptoParams, nb_bits_max: int,
+                       out_constraints: tuple, p_error: float = 6.3e-5):
+    """Pick (cbs, pfks) gadget parameters for WoP-PBS on top of `params`.
+
+    out_constraints: ((width, norm2), ...) decision points the WoP output
+    noise must satisfy (its consumers' TLU inputs / circuit outputs):
+    var_wop * norm2^2 + v_ks + v_ms < safe_variance(width).  Minimizes the
+    kernel MAC cost.  The reference analog is the WoP atomic-pattern search
+    (concrete-optimizer/src/optimization/wop_atomic_pattern/optimize.rs).
+    """
+    from concrete_tpu.core.wop import WopParams
+    out_constraints = pareto_patterns(out_constraints) or ((1, 1),)
+    v_ks = pp.variance_keyswitch(params.n_big, params.ks_base_log,
+                                 params.ks_level, params.lwe_std ** 2)
+    v_ms = pp.variance_modulus_switch(params.n_small,
+                                      params.log2_polynomial_size)
+    best = None
+    best_cost = math.inf
+    for cbs_l in (1, 2, 3, 4, 5, 6, 8, 10, 12, 14):
+        for cbs_b in range(2, 17):
+            if cbs_l * cbs_b > 63:
+                continue
+            for pfks_l in (1, 2, 3, 4, 5, 6, 8, 10):
+                for pfks_b in range(2, 11):
+                    if pfks_l * pfks_b > 40:
+                        continue
+                    v_wop = pp.wop_output_variance(
+                        params, nb_bits_max, cbs_b, cbs_l, pfks_b, pfks_l)
+                    ok = all(
+                        v_wop * float(n2) ** 2 + v_ks + v_ms
+                        < safe_variance_bound(w, p_error)
+                        for w, n2 in out_constraints)
+                    if not ok:
+                        continue
+                    cost = cost_wop_macs(params, nb_bits_max, cbs_l, pfks_l,
+                                         cbs_b, pfks_b)
+                    if cost < best_cost:
+                        best_cost = cost
+                        best = WopParams(base=params, cbs_level=cbs_l,
+                                         cbs_base_log=cbs_b,
+                                         pfks_level=pfks_l,
+                                         pfks_base_log=pfks_b)
+    if best is None:
+        raise ValueError(
+            f"no feasible WoP gadgets for nb_bits={nb_bits_max}, "
+            f"constraints={out_constraints} on {params}")
+    return best

@@ -214,6 +214,67 @@ def variance_modulus_switch(internal_lwe_dimension: int,
             + _mod_var_to_var(-1.0 / 12.0 + n / 48.0, q_log))
 
 
+def variance_private_packing_keyswitch(n_big: int, glwe_dimension: int,
+                                       polynomial_size: int, log2_base: int,
+                                       level: int, variance_glwe: float,
+                                       q_log: int = 64) -> float:
+    """Per-coefficient variance added by one private functional packing
+    keyswitch (LWE -> GLWE with the message multiplied by the key's secret
+    function v_r, wop.private_packing_keyswitch).
+
+    Same derivation shape as variance_keyswitch (reference noise-model
+    private packing keyswitch): decomposition rounding of each input
+    coefficient couples to the binary key AND the binary key polynomial
+    v_r; encryption noise of the (n_big+1) * level GLWE rows rides the
+    gadget digits.  Validated empirically in tests/test_wop_frontend.py.
+    """
+    var_key = _mod_var_to_var(1.0 / 4.0, q_log)
+    sq_exp_key = _mod_var_to_var((1.0 / 2.0) ** 2, q_log)
+    base = 2.0 ** log2_base
+    b2l = 2.0 ** (2 * log2_base * level)
+    q_sq = 2.0 ** (2 * q_log)
+    # rounding error of each input coeff x binary s_i x binary v_r coeff
+    rho = (q_sq / (12.0 * b2l) - 1.0 / 12.0)
+    res_round = n_big * rho * (var_key + sq_exp_key) * (0.25 + 0.25) \
+        + rho * _mod_var_to_var(1.0, q_log)  # body row (v = 1)
+    res_enc = (n_big + 1) * level * variance_glwe * (base ** 2 + 2.0) / 12.0
+    return res_round + res_enc
+
+
+def wop_ggsw_variance(params: "CryptoParams", cbs_base_log: int,
+                      cbs_level: int, pfks_base_log: int,
+                      pfks_level: int) -> float:
+    """Per-coefficient noise variance of a circuit-bootstrapped GGSW.
+
+    The sign-PBS output noise (fresh blind rotate) passes through the
+    PFPKSK, where it is multiplied by the binary key polynomial v_r; plus
+    the packing keyswitch's own noise."""
+    var_bit = variance_blind_rotate(
+        params.n_small, params.glwe_dimension, params.polynomial_size,
+        params.pbs_base_log, params.pbs_level, params.glwe_std ** 2,
+        params.q_log)
+    v_pfks = variance_private_packing_keyswitch(
+        params.n_big, params.glwe_dimension, params.polynomial_size,
+        pfks_base_log, pfks_level, params.glwe_std ** 2, params.q_log)
+    return var_bit * 0.5 + v_pfks
+
+
+def wop_output_variance(params: "CryptoParams", nb_bits: int,
+                        cbs_base_log: int, cbs_level: int,
+                        pfks_base_log: int, pfks_level: int) -> float:
+    """Output noise variance of a WoP-PBS TLU over nb_bits extracted bits.
+
+    Vertical packing = nb_bits CMUXes on the accumulator path (tree depth +
+    in-chunk rotations), each an external product with the
+    circuit-bootstrapped GGSW noise."""
+    var_ggsw = wop_ggsw_variance(params, cbs_base_log, cbs_level,
+                                 pfks_base_log, pfks_level)
+    v_cmux = variance_external_product(
+        params.glwe_dimension, params.polynomial_size, cbs_base_log,
+        cbs_level, var_ggsw, params.q_log)
+    return nb_bits * v_cmux
+
+
 def p_error_from_variance(variance: float, message_bits: int,
                           norm2: int = 1, q_log: int = 64) -> float:
     """Probability that accumulated noise flips the (p+1)-bit encoded message.

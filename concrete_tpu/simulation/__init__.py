@@ -29,6 +29,8 @@ def simulate_graph(graph, specs, *inputs, rng=None):
     br_var = pp.variance_blind_rotate(
         params.n_small, params.glwe_dimension, params.polynomial_size,
         params.pbs_base_log, params.pbs_level, params.glwe_std ** 2)
+    max_native_bits = min(8, params.polynomial_size.bit_length() - 2)
+    wop_gadgets = getattr(specs, "wop_gadgets", None)
     ks_var = pp.variance_keyswitch(
         params.n_big, params.ks_base_log, params.ks_level,
         params.lwe_std ** 2)
@@ -71,7 +73,15 @@ def simulate_graph(graph, specs, *inputs, rng=None):
                 half = domain // 2
                 shifted = np.where(shifted >= half, shifted - domain, shifted)
             values[node] = np.asarray(node(shifted))
-            variances[node] = br_var
+            if max(p_in - lsbs, 1) > max_native_bits \
+                    and wop_gadgets is not None:
+                # wide TLU: output noise is the vertical-packing variance
+                cbs_l, cbs_b, pfks_l, pfks_b = wop_gadgets
+                nb = p_in + (1 if node.inputs[0].dtype.is_signed else 0)
+                variances[node] = pp.wop_output_variance(
+                    params, nb, cbs_b, cbs_l, pfks_b, pfks_l)
+            else:
+                variances[node] = br_var
         else:
             values[node] = np.asarray(node(*args))
             # propagate variance through leveled ops (MANP-style)

@@ -1,0 +1,119 @@
+"""Frontend integration of WoP-PBS: >8-bit TLUs through compile/run.
+
+Reference coverage analog: compiler end-to-end multi_precision / CRT TLU
+tests (FHEToTFHECrt lowering) — here the wide-TLU path lowers to
+extract-bits -> circuit-bootstrap -> vertical-packing on the batched JAX
+kernels.
+"""
+
+import numpy as np
+import pytest
+
+import concrete_tpu as fhe
+from concrete_tpu.params import TEST_PARAMS_TINY_WIDE
+
+# validated gadgets for the tiny params (tests/test_wop_kernels.py)
+WOP_GADGETS = (3, 6, 8, 4)   # (cbs_level, cbs_base_log, pfks_level, pfks_base)
+
+CFG = dict(forced_parameters=TEST_PARAMS_TINY_WIDE,
+           forced_wop_parameters=WOP_GADGETS)
+
+
+def _retry(circuit, args, want, attempts=4):
+    for _ in range(attempts):
+        got = circuit.encrypt_run_decrypt(*args)
+        if np.all(np.asarray(got) == np.asarray(want)):
+            return got
+    return got
+
+
+def test_wide_tlu_10bit():
+    table = fhe.LookupTable([(3 * i + 1) % 32 for i in range(1 << 10)])
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return table[x]
+
+    c = f.compile([0, 517, 1023], fhe.Configuration(**CFG))
+    assert c.client_specs.wop_gadgets == WOP_GADGETS
+    for m in (0, 517, 1023):
+        got = _retry(c, (m,), (3 * m + 1) % 32)
+        assert got == (3 * m + 1) % 32, (m, got)
+
+
+def test_wide_tlu_tensor_and_mixed_precision():
+    """A circuit mixing a 10-bit WoP TLU and a 3-bit native TLU."""
+    wide = fhe.LookupTable([i % 8 for i in range(1 << 10)])
+    narrow = fhe.LookupTable([i * i % 8 for i in range(8)])
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return narrow[wide[x]]
+
+    c = f.compile([np.array([0, 1000]), np.array([517, 3])],
+                  fhe.Configuration(**CFG))
+    x = np.array([9, 1001])
+    want = (x % 8) ** 2 % 8
+    got = _retry(c, (x,), want)
+    np.testing.assert_array_equal(got, want)
+    # the native TLU must NOT be in the wop specs
+    assert len(c.server._executor.wop_specs) == 1
+    assert len(c.server._executor.tlu_specs) == 1
+
+
+def test_wide_tlu_signed_9bit():
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return fhe.univariate(lambda v: abs(v) % 16)(x)
+
+    c = f.compile([-256, -1, 0, 255], fhe.Configuration(**CFG))
+    for m in (-256, -37, 0, 200):
+        got = _retry(c, (m,), abs(m) % 16)
+        assert got == abs(m) % 16, (m, got)
+
+
+def test_wop_serialization_roundtrip(tmp_path):
+    """Server archive + key (de)serialization keep the WoP machinery."""
+    from concrete_tpu.compilation.server import Server
+    table = fhe.LookupTable([(i // 2) % 16 for i in range(1 << 9)])
+
+    @fhe.compiler({"x": "encrypted"})
+    def g(x):
+        return table[x]
+
+    c = g.compile([0, 511], fhe.Configuration(**CFG))
+    path = str(tmp_path / "wop_server.zip")
+    c.server.save(path)
+    loaded = Server.load(path)
+    assert loaded.client_specs.wop_gadgets == WOP_GADGETS
+    assert len(loaded._executor.wop_specs) == 1
+
+    # keys: generate + wop keys, round-trip through npz
+    c.keygen()
+    wp = c.client_specs.wop_params()
+    c.keys.wop_evaluation(wp)
+    blob = c.keys.serialize()
+    from concrete_tpu.compilation.keys import Keys
+    k2 = Keys.deserialize(blob)
+    key = (wp.pfks_level, wp.pfks_base_log)
+    np.testing.assert_array_equal(k2._pfpksk[key], c.keys._pfpksk[key])
+
+
+def test_wop_optimizer_path():
+    """Without forced parameters the optimizer must produce a consistent
+    (base params, gadget) solution for a 12-bit TLU."""
+    from concrete_tpu.optimizer.v0 import choose_wop_gadgets, optimize_v0_multi
+    from concrete_tpu import params as pp
+    from concrete_tpu.optimizer.v0 import safe_variance_bound
+    params = optimize_v0_multi(((6, 2),), noise_only=((12, 1),),
+                               wop_patterns=((12, 6, 2),))
+    wp = choose_wop_gadgets(params, 12, ((6, 2),))
+    v_out = pp.wop_output_variance(params, 12, wp.cbs_base_log, wp.cbs_level,
+                                   wp.pfks_base_log, wp.pfks_level)
+    v_ks = pp.variance_keyswitch(params.n_big, params.ks_base_log,
+                                 params.ks_level, params.lwe_std ** 2)
+    v_ms = pp.variance_modulus_switch(params.n_small,
+                                      params.log2_polynomial_size)
+    assert v_out * 4 + v_ks + v_ms < safe_variance_bound(6, 6.3e-5)
+    # security floor holds
+    assert params.security_level == 128
