@@ -458,6 +458,29 @@ class GraphExecutor:
                         self.width_of(node))
                     out = out.at[..., -1].add(enc_b[None, :, None, None])
                 values[node] = out
+            elif name == "extract_bits":
+                # lsb-cascade bit extraction (kernels_wop.extract_bits_to):
+                # ~2 sign-PBS per peeled bit, reassembled at the output
+                # width by summing re-scaled bit ciphertexts
+                from concrete_tpu.core import kernels_wop as kw_mod
+                positions = node.properties["kwargs"]["positions"]
+                ct = args[0]
+                preds_enc = [q for q in preds if q.output.is_encrypted]
+                p_in = self.width_of(preds_enc[0])
+                p_out = self.width_of(node)
+                order = sorted(range(len(positions)),
+                               key=lambda j: positions[j])
+                asc_pos = [positions[j] for j in order]
+                # requested bit j carries weight 2^j in the reassembled
+                # output: encoded scale = (63 - p_out) + j
+                asc_scales = [63 - p_out + j for j in order]
+                shape = ct.shape[:-1]
+                flat = ct.reshape((-1, ct.shape[-1]))
+                bits_out = kw_mod.extract_bits_to(
+                    flat, tuple(asc_pos), tuple(asc_scales),
+                    63 - p_in, ksk, bsk, params)
+                out = bits_out.sum(axis=1)
+                values[node] = out.reshape(shape + (out.shape[-1],))
             elif name in ("round_bit_pattern", "truncate_bit_pattern"):
                 # fused rounding (ProcessRounding): the consumer TLU's LUT
                 # is built at the reduced width, so the modulus switch does

@@ -23,7 +23,7 @@ from concrete_tpu.representation import Graph, Node, Operation
 
 # ops whose (encrypted) output is a *fresh* encoding — everything else keeps
 # its operands' encoding
-TLU_OPS = ("tlu", "univariate", "multivariate")
+TLU_OPS = ("tlu", "univariate", "multivariate", "extract_bits")
 
 
 class _UnionFind:
@@ -222,7 +222,10 @@ def tlu_pattern_split(graph: Graph):
                 continue
             p_in = tlu_effective_input_width(graph, node, default)
             n2 = max(boundary.get(node, 1), 1)
-            if p_in > MAX_NATIVE_TLU_BITS:
+            if node.name == "extract_bits":
+                # bit-peel cascade: decodability at p_in, no native LUT
+                wide_in.append((p_in, n2))
+            elif p_in > MAX_NATIVE_TLU_BITS:
                 wide_in.append((p_in, n2))
                 nb = wop_nb_bits(graph, node, default)
                 for w, n2o in decision_constraints_after(graph, node,

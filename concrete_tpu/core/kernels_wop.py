@@ -227,6 +227,61 @@ def extract_bits_batch(lwe_big, nb_bits: int, delta_log: int,
     return out
 
 
+def extract_bits_to(lwe_big, positions, out_scale_logs, delta_log: int,
+                    ksk: kn.LimbKSK, bsk: kn.LimbBSK, params: CryptoParams):
+    """Cheap bit extraction: peel LSB-first, emit requested bits re-encoded.
+
+    positions: ascending message-relative bit indices; out_scale_logs[j] is
+    the torus scale of returned bit j (e.g. 63 - p_out + j to reassemble an
+    integer at width p_out by summing the outputs).  Returns
+    (B, len(positions), n_big+1).
+
+    Cost: one sign-PBS per peeled bit for cleaning plus one per requested
+    bit (shared when the requested scale equals the peel scale) — the
+    lsb-cascade analog of the reference's fhe.bits lowering
+    (mlir/context.py:2423 extract_bits), replacing one full-width TLU per
+    bit.
+    """
+    b_ct, width = lwe_big.shape
+    acc = jnp.asarray(lwe_big, dtype=U64)
+    positions = tuple(int(p) for p in positions)
+    out_of = {p: i for i, p in enumerate(positions)}
+    outs: dict[int, jnp.ndarray] = {}
+    max_bit = positions[-1]
+    for i in range(max_bit + 1):
+        pos = delta_log + i
+        shifted = acc * (U64(1) << U64(_Q_LOG - 1 - pos))
+        want = i in out_of
+        out_scale = int(out_scale_logs[out_of[i]]) if want else None
+        need_clean = i < max_bit
+        if want and need_clean and out_scale == pos:
+            both = sign_pbs_batch(shifted, ksk, bsk, params,
+                                  jnp.full((b_ct,), pos, dtype=jnp.uint64))
+            outs[i] = both
+            acc = acc - both
+            continue
+        rows, scales, tags = [], [], []
+        if want:
+            rows.append(shifted)
+            scales.append(jnp.full((b_ct,), out_scale, dtype=jnp.uint64))
+            tags.append("out")
+        if need_clean:
+            rows.append(shifted)
+            scales.append(jnp.full((b_ct,), pos, dtype=jnp.uint64))
+            tags.append("clean")
+        if not rows:
+            continue
+        res = sign_pbs_batch(jnp.concatenate(rows, axis=0), ksk, bsk,
+                             params, jnp.concatenate(scales))
+        chunks = [res[j * b_ct:(j + 1) * b_ct] for j in range(len(tags))]
+        for tag, chunk in zip(tags, chunks):
+            if tag == "out":
+                outs[i] = chunk
+            else:
+                acc = acc - chunk
+    return jnp.stack([outs[p] for p in positions], axis=1)
+
+
 # ---------------------------------------------------------------------------
 # 2. Circuit bootstrap (all bits x levels in one PBS batch)
 # ---------------------------------------------------------------------------

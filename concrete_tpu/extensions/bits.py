@@ -1,14 +1,31 @@
 """fhe.bits — bit extraction from encrypted integers.
 
 Reference: frontends/concrete-python/concrete/fhe/extensions/bits.py:19,155
-(`fhe.bits(x)[i]`, slices of bits).  Each extracted bit costs one TLU today;
-the reference's dedicated lsb-cascade lowering (FHE.lsb chains) is a planned
-optimization.
+(`fhe.bits(x)[i]`, slices of bits) with the lsb-cascade lowering of
+mlir/context.py:2423: extraction costs ~2 small sign-PBS per peeled bit
+(kernels_wop.extract_bits_to), not one full-width TLU per bit.
 """
 
 from __future__ import annotations
 
+import numpy as np
 
+
+def _bits_node(x, positions: tuple[int, ...]):
+    """Graph node reassembling the selected bits as an unsigned integer:
+    out = sum_j bit[positions[j]] << j (executor: extract_bits cascade)."""
+    from concrete_tpu.tracing.tracer import Tracer
+
+    def evaluator(v):
+        v = np.asarray(v, dtype=np.int64)
+        out = np.zeros_like(v)
+        for j, b in enumerate(positions):
+            out |= ((v >> np.int64(b)) & np.int64(1)) << np.int64(j)
+        return out
+
+    output = Tracer._infer_output("extract_bits", evaluator, [x])
+    return Tracer._generic("extract_bits", [x], evaluator, output,
+                           positions=tuple(int(p) for p in positions))
 
 
 class Bits:
@@ -16,30 +33,22 @@ class Bits:
         self.value = value
 
     def __getitem__(self, index):
-        from concrete_tpu.extensions.univariate import univariate
         if isinstance(index, int):
             if index < 0:
                 raise ValueError(
                     "negative bit indices require a known bit width; "
                     "use non-negative indices")
-            return univariate(lambda v, i=index: (int(v) >> i) & 1)(
-                self.value)
+            return _bits_node(self.value, (index,))
         if isinstance(index, slice):
             start = index.start or 0
             stop = index.stop
             step = index.step or 1
             if stop is None:
                 raise ValueError("bit slices need an explicit stop")
-            # value of the sliced bits reassembled as an integer
-            sel = list(range(start, stop, step))
-
-            def fn(v, sel=tuple(sel)):
-                out = 0
-                for j, b in enumerate(sel):
-                    out |= ((int(v) >> b) & 1) << j
-                return out
-
-            return univariate(fn)(self.value)
+            sel = tuple(range(start, stop, step))
+            if not sel:
+                raise ValueError(f"empty bit slice: {index!r}")
+            return _bits_node(self.value, sel)
         raise TypeError(f"unsupported bit index: {index!r}")
 
 

@@ -157,6 +157,14 @@ class Graph:
                     (manp[p] for p in preds if p.output.is_encrypted),
                     default=1)
                 manp[node] = 1
+            elif name == "extract_bits":
+                # PBS boundary; output = sum of len(positions) fresh
+                # sign-PBS outputs
+                boundary[node] = max(
+                    (manp[p] for p in preds if p.output.is_encrypted),
+                    default=1)
+                manp[node] = max(
+                    len(node.properties["kwargs"]["positions"]), 1)
             elif name == "multivariate":
                 # packed = sum (x_i - min_i) << off_i: scaled norms add
                 packed_manp = 0

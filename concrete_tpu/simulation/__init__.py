@@ -82,6 +82,32 @@ def simulate_graph(graph, specs, *inputs, rng=None):
                     params, nb, cbs_b, cbs_l, pfks_b, pfks_l)
             else:
                 variances[node] = br_var
+        elif name == "extract_bits":
+            # lsb-cascade (executor extract_bits lowering): peel bits LSB
+            # first with one sign-PBS decision per bit; a flipped decision
+            # corrupts the residual and thus all higher peels, exactly as
+            # the real cascade fails
+            positions = tuple(node.properties["kwargs"]["positions"])
+            x = np.asarray(args[0]).astype(np.int64)
+            p_in = encoding_width(preds[0], p_default)
+            domain = np.int64(1) << np.int64(p_in)
+            resid = ((x % domain) + domain) % domain
+            var_in = variances[preds[0]]
+            out = np.zeros_like(resid)
+            for j_bit in range(max(positions) + 1):
+                # cleaning subtractions add one br noise per previous peel;
+                # shifting the bit to the torus MSB scales noise by
+                # 2^(p_in - 1 - j_bit); sign decision flips past 1/4 torus
+                var_acc = var_in + j_bit * br_var + ks_var + ms_var
+                scale = 2.0 ** (p_in - 1 - j_bit)
+                noise = rng.normal(0.0, np.sqrt(var_acc), resid.shape) * scale
+                bit = (((resid >> np.int64(j_bit)) & 1)
+                       ^ (np.abs(noise) > 0.25)).astype(np.int64)
+                if j_bit in positions:
+                    out |= bit << np.int64(positions.index(j_bit))
+                resid = resid - (bit << np.int64(j_bit))
+            values[node] = out
+            variances[node] = len(positions) * br_var
         else:
             values[node] = np.asarray(node(*args))
             # propagate variance through leveled ops (MANP-style)

@@ -54,6 +54,45 @@ def test_bits_extraction():
     check(circuit, lambda x: (x & 1) + 2 * ((x >> 2) & 1), 5)
 
 
+def test_bits_slice():
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return fhe.bits(x)[1:4]
+
+    circuit = f.compile(range(16), CFG)
+    check(circuit, lambda x: (x >> 1) & 0b111, 13)
+    check(circuit, lambda x: (x >> 1) & 0b111, 6)
+
+
+def test_bits_tensor():
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return fhe.bits(x)[1]
+
+    circuit = f.compile([np.array([0, 7]), np.array([5, 2])], CFG)
+    check(circuit, lambda x: (x >> 1) & 1, np.array([3, 6]))
+
+
+def test_bits_signed():
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return fhe.bits(x)[0] + 2 * fhe.bits(x)[1]
+
+    circuit = f.compile(range(-4, 4), CFG)
+    check(circuit, lambda x: (x & 1) + 2 * ((x >> 1) & 1), -3)
+    check(circuit, lambda x: (x & 1) + 2 * ((x >> 1) & 1), 2)
+
+
+def test_bits_simulation():
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return fhe.bits(x)[0:3]
+
+    circuit = f.compile(range(8), CFG)
+    assert circuit.simulate(5) == 5
+    assert circuit.simulate(6) == 6
+
+
 def test_mux():
     @fhe.compiler({"c": "encrypted", "a": "encrypted", "b": "encrypted"})
     def f(c, a, b):

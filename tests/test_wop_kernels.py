@@ -72,6 +72,29 @@ def test_extract_bits_batch(keyset):
         assert decoded == want, (m, decoded, want)
 
 
+def test_extract_bits_to_selected_positions(keyset):
+    """Cheap cascade: request a subset of bits at reassembly scales; summing
+    the outputs must decode to the reassembled integer."""
+    rng, sk, server, wop_keys, ksk, bsk, pfp = keyset
+    p = 5
+    delta = 63 - p
+    positions = (0, 2, 3)
+    p_out = len(positions)
+    scales = tuple(63 - p_out + j for j in range(len(positions)))
+    msgs = [0b10110, 0b01101, 0b11111, 0b00000]
+    cts = np.stack([
+        ref.lwe_encrypt(rng, sk.lwe_big, np.uint64(m) << np.uint64(delta),
+                        WP.base.lwe_std / 64) for m in msgs])
+    got = np.asarray(kw.extract_bits_to(cts, positions, scales, delta,
+                                        ksk, bsk, WP.base))
+    assert got.shape == (len(msgs), len(positions), cts.shape[1])
+    for bi, m in enumerate(msgs):
+        summed = got[bi].sum(axis=0, dtype=np.uint64)
+        phase = ref.lwe_decrypt(sk.lwe_big, summed)
+        want = sum(((m >> b) & 1) << j for j, b in enumerate(positions))
+        assert int(ref.decode(phase, p_out)) == want, (m, want)
+
+
 def test_wop_pbs_batch_end_to_end(keyset):
     rng, sk, server, wop_keys, ksk, bsk, pfp = keyset
     p, out_bits = 10, 6
