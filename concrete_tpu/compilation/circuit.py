@@ -11,7 +11,7 @@ from typing import Optional
 import numpy as np
 
 from concrete_tpu.compilation.client import Client
-from concrete_tpu.compilation.keys import Keys
+from concrete_tpu.compilation.keys import Keys, MultiKeys
 from concrete_tpu.compilation.server import Server
 from concrete_tpu.compilation.specs import ClientSpecs
 from concrete_tpu.representation import Graph
@@ -26,7 +26,12 @@ class Circuit:
         cache = None
         if configuration is not None and configuration.use_insecure_key_cache:
             cache = configuration.insecure_key_cache_location
-        self.client = Client(specs, Keys(specs.params, cache_directory=cache))
+        if specs.is_multi:
+            keys = MultiKeys(specs.partitions, specs.conversions or {},
+                             cache_directory=cache)
+        else:
+            keys = Keys(specs.params, cache_directory=cache)
+        self.client = Client(specs, keys)
         self.server = Server(graph, specs)
 
     # -- key management ----------------------------------------------------
@@ -43,16 +48,33 @@ class Circuit:
     def encrypt(self, *args):
         return self.client.encrypt(*args)
 
-    def run(self, *args):
-        self.keygen()
+    def _evaluation_keys(self):
+        specs = self.client_specs
+        if specs.is_multi:
+            mk = self.keys
+            norm2 = specs.partition_norm2 or {}
+            ksk, bsk = {}, {}
+            for w in specs.partitions:
+                k, b = mk.evaluation_for_width(w, norm2=norm2.get(w, 1))
+                ksk[w], bsk[w] = k, b
+            pfpksk = {w: mk.wop_evaluation_for(w, specs.wop_params(w))
+                      for w in (specs.partition_wop_gadgets or {})}
+            fks = {key: mk.conversion_key(*key)
+                   for key in (specs.conversions or {})}
+            return (ksk, bsk, pfpksk or None, fks)
         if not hasattr(self, "_norm2"):
             self._norm2 = self.graph.max_norm2()
         eval_keys = self.keys.evaluation_for(
-            self.client_specs.message_bits, norm2=self._norm2)
-        wp = self.client_specs.wop_params()
+            specs.message_bits, norm2=self._norm2)
+        wp = specs.wop_params()
         if wp is not None:
             eval_keys = eval_keys + (self.keys.wop_evaluation(wp),)
-        return_tuple = self.server.run(*args, evaluation_keys=eval_keys)
+        return eval_keys
+
+    def run(self, *args):
+        self.keygen()
+        return_tuple = self.server.run(
+            *args, evaluation_keys=self._evaluation_keys())
         return return_tuple if len(return_tuple) != 1 else return_tuple[0]
 
     def decrypt(self, *results):

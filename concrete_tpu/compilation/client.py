@@ -53,18 +53,27 @@ class Client:
                 continue
             arr = np.asarray(arg, dtype=np.int64)
             self._validate(arr, spec, pos)
-            enc = ref.encode(arr, self.specs.input_width(pos))
+            width = self.specs.input_width(pos)
+            sk, std = self._secret_for(width)
+            enc = ref.encode(arr, width)
             if compress:
                 import os
                 from concrete_tpu.core import compression as cz
-                ct = cz.encrypt_seeded(rng, self.keys.secret.lwe_big, enc,
-                                       self.specs.params.lwe_std,
+                ct = cz.encrypt_seeded(rng, sk, enc, std,
                                        seed=os.urandom(32))
             else:
-                ct = kg.encrypt_lwe_batch(rng, self.keys.secret.lwe_big, enc,
-                                          self.specs.params.lwe_std)
+                ct = kg.encrypt_lwe_batch(rng, sk, enc, std)
             out.append(ct)
         return tuple(out) if len(out) != 1 else out[0]
+
+    def _secret_for(self, width: int):
+        """(big LWE secret key, encryption std) of the partition a
+        `width`-bit value lives in (mono: the single keyset)."""
+        from concrete_tpu.compilation.keys import MultiKeys
+        if isinstance(self.keys, MultiKeys):
+            return (self.keys.secret_for(width).lwe_big,
+                    self.specs.params_for_width(width).lwe_std)
+        return self.keys.secret.lwe_big, self.specs.params.lwe_std
 
     def _validate(self, arr, spec, pos):
         dtype = spec.dtype
@@ -86,10 +95,11 @@ class Client:
         out = []
         for pos, res in enumerate(results):
             spec = self.specs.outputs[pos]
-            phase = ref.lwe_decrypt(self.keys.secret.lwe_big, np.asarray(res))
+            width = self.specs.output_width(pos)
+            sk, _ = self._secret_for(width)
+            phase = ref.lwe_decrypt(sk, np.asarray(res))
             signed = isinstance(spec.dtype, Integer) and spec.dtype.is_signed
-            val = ref.decode(phase, self.specs.output_width(pos),
-                             signed=signed)
+            val = ref.decode(phase, width, signed=signed)
             out.append(val if spec.shape else val[()] if
                        np.ndim(val) == 0 else val)
         return tuple(out) if len(out) != 1 else out[0]

@@ -54,19 +54,35 @@ class Compiler:
         norm2 = graph.max_norm2()
         native_patterns, wide_inputs, wop_triples = tlu_pattern_split(graph)
 
+        p_error = config.p_error
+        if config.global_p_error is not None:
+            # split the global budget across PBS count (union bound),
+            # reference V0Parameters.cpp:70-119 binary-search equivalent
+            n_pbs = max(sum(
+                max(int(np.prod(n.output.shape)), 1)
+                for n in graph.graph.nodes
+                if n.name in ("tlu", "univariate")), 1)
+            p_error = config.global_p_error / n_pbs
+
+        from concrete_tpu.compilation.configuration import \
+            ParameterSelectionStrategy
+        plan = None
+        if (config.forced_parameters is None and
+                config.parameter_selection_strategy
+                is ParameterSelectionStrategy.MULTI):
+            # per-partition parameters (PRECISION cut, compilation/multi.py;
+            # reference multi_parameters/partitionning.rs) — None when the
+            # circuit has a single partition (mono IS the multi solution)
+            from concrete_tpu.compilation.multi import plan_partitions
+            plan = plan_partitions(graph, p_error=p_error,
+                                   security_level=config.security_level)
+
         wop_gadgets = config.forced_wop_parameters
-        if config.forced_parameters is not None:
+        if plan is not None:
+            params = plan.params[max(plan.widths)]
+        elif config.forced_parameters is not None:
             params = config.forced_parameters
         else:
-            p_error = config.p_error
-            if config.global_p_error is not None:
-                # split the global budget across PBS count (union bound),
-                # reference V0Parameters.cpp:70-119 binary-search equivalent
-                n_pbs = max(sum(
-                    max(int(np.prod(n.output.shape)), 1)
-                    for n in graph.graph.nodes
-                    if n.name in ("tlu", "univariate")), 1)
-                p_error = config.global_p_error / n_pbs
             # one (precision, norm2) constraint per TLU/output — each PBS
             # runs at its own width (multi-precision mono); >8-bit TLUs add
             # noise-only input + WoP-output constraints (the CRT/WoP path)
@@ -83,7 +99,7 @@ class Compiler:
                                         p_error=p_error)
                 wop_gadgets = (wp.cbs_level, wp.cbs_base_log,
                                wp.pfks_level, wp.pfks_base_log)
-        if wop_triples and wop_gadgets is None:
+        if wop_triples and plan is None and wop_gadgets is None:
             raise ValueError(
                 "circuit contains >8-bit table lookups; forced_parameters "
                 "compilation also needs forced_wop_parameters "
@@ -97,7 +113,12 @@ class Compiler:
                           for n in graph.ordered_inputs],
             output_widths=[encoding_width(n, p)
                            for n in graph.ordered_outputs],
-            wop_gadgets=wop_gadgets if wop_triples else None)
+            wop_gadgets=wop_gadgets if wop_triples and plan is None else None,
+            partitions=plan.params if plan is not None else None,
+            partition_wop_gadgets=(plan.wop_gadgets or None)
+            if plan is not None else None,
+            conversions=(plan.fks or None) if plan is not None else None,
+            partition_norm2=plan.norm2 if plan is not None else None)
 
         if config.verbose or config.show_graph:
             print(graph.format())

@@ -47,6 +47,10 @@ class Configuration:
     def __post_init__(self):
         if self.p_error is None and self.global_p_error is None:
             self.p_error = 6.3e-5   # reference default target (v0 tables)
+        # accept strategy as a string, like the reference Configuration
+        if isinstance(self.parameter_selection_strategy, str):
+            self.parameter_selection_strategy = \
+                ParameterSelectionStrategy(self.parameter_selection_strategy)
 
     def fork(self, **overrides) -> "Configuration":
         known = {f.name for f in dataclasses.fields(self)}

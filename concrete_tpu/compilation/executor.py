@@ -187,26 +187,40 @@ def _materialize_multivariate(graph: Graph, node: Node, p_in: int,
 
 
 class GraphExecutor:
-    """Compile-time lowering of a Graph to a jittable evaluation function."""
+    """Compile-time lowering of a Graph to a jittable evaluation function.
+
+    Mono mode: one keyset (`params`) serves every PBS.  Multi mode (specs
+    with partitions, compilation/multi.py): each PBS runs in its *input*
+    class's partition (the class encoding width is the partition key), and
+    a big->big conversion keyswitch moves crossing outputs into their
+    class's partition — the reference's TFHECircuitSolutionParametrization
+    change-partition lowering shape.
+    """
 
     def __init__(self, graph: Graph, params: CryptoParams, p: int,
-                 wop_gadgets: tuple = None):
+                 wop_gadgets: tuple = None, specs=None):
         from concrete_tpu.compilation.widths import (encoding_width,
                                                      tlu_fused_lsbs)
         self.graph = graph
         self.params = params
         self.p = p  # circuit-wide max width (fallback for old archives)
         self.width_of = lambda node: encoding_width(node, p)
+        self.specs = specs
+        self.partitions = dict(specs.partitions) \
+            if specs is not None and specs.is_multi else None
+        self.conversions = dict(specs.conversions or {}) \
+            if self.partitions else {}
         self.wop_params = None
-        if wop_gadgets is not None:
+        self.wop_params_by_width: dict[int, object] = {}
+        if self.partitions and specs.partition_wop_gadgets:
+            for w in specs.partition_wop_gadgets:
+                self.wop_params_by_width[w] = specs.wop_params(w)
+        elif wop_gadgets is not None:
             from concrete_tpu.core.wop import WopParams
             cbs_l, cbs_b, pfks_l, pfks_b = wop_gadgets
             self.wop_params = WopParams(
                 base=params, cbs_level=cbs_l, cbs_base_log=cbs_b,
                 pfks_level=pfks_l, pfks_base_log=pfks_b)
-        # widest TLU one blind rotate serves under these params
-        self.max_native_bits = min(
-            8, params.polynomial_size.bit_length() - 2)
         self.tlu_specs: dict[int, TluSpec] = {}
         self.wop_specs: dict[int, WopTluSpec] = {}
         self.multivariate_specs: dict[int, MultivariateSpec] = {}
@@ -214,20 +228,21 @@ class GraphExecutor:
             if node.name in ("tlu", "univariate"):
                 preds = graph.ordered_preds_of(node)
                 p_in = self.width_of(preds[0]) if preds else p
+                pparams = self.params_for_width(p_in)
                 lsbs = tlu_fused_lsbs(graph, node)
-                if max(p_in - lsbs, 1) > self.max_native_bits:
-                    self._require_wop(node)
+                if max(p_in - lsbs, 1) > self.max_native_bits(p_in):
+                    self._require_wop(node, p_in)
                     self.wop_specs[node.uid] = _materialize_wop_table(
                         node, p_in, self.width_of(node))
                 else:
                     self.tlu_specs[node.uid] = _materialize_table(
-                        node, p_in, self.width_of(node), params, lsbs=lsbs)
+                        node, p_in, self.width_of(node), pparams, lsbs=lsbs)
             elif node.name == "multivariate":
                 preds = [q for q in graph.ordered_preds_of(node)
                          if q.output.is_encrypted]
                 p_in = max((self.width_of(q) for q in preds), default=p)
-                if p_in > self.max_native_bits:
-                    self._require_wop(node)
+                if p_in > self.max_native_bits(p_in):
+                    self._require_wop(node, p_in)
                     fn = node.properties["kwargs"]["function"]
                     mins, mwidths, offsets = packed_layout(graph, node)
                     idx = np.arange(1 << p_in)
@@ -241,12 +256,28 @@ class GraphExecutor:
                 else:
                     self.multivariate_specs[node.uid] = \
                         _materialize_multivariate(
-                            graph, node, p_in, self.width_of(node), params)
+                            graph, node, p_in, self.width_of(node),
+                            self.params_for_width(p_in))
 
-    def _require_wop(self, node: Node):
-        if self.wop_params is None:
+    def params_for_width(self, width: int) -> CryptoParams:
+        if self.partitions and width in self.partitions:
+            return self.partitions[width]
+        return self.params
+
+    def max_native_bits(self, width: int) -> int:
+        """Widest TLU one blind rotate serves in `width`'s partition."""
+        n = self.params_for_width(width).polynomial_size
+        return min(8, n.bit_length() - 2)
+
+    def wop_params_for(self, width: int):
+        if self.partitions:
+            return self.wop_params_by_width.get(width)
+        return self.wop_params
+
+    def _require_wop(self, node: Node, width: int):
+        if self.wop_params_for(width) is None:
             raise ValueError(
-                f"node '{node.name}' needs a {node and ''}WoP-PBS lowering "
+                f"node '{node.name}' needs a WoP-PBS lowering "
                 "(input wider than the native LUT) but the circuit was "
                 "compiled without WoP gadget parameters")
 
@@ -256,31 +287,59 @@ class GraphExecutor:
         return jnp.asarray(ref.encode(np.asarray(value), width))
 
     def _trivial(self, value, width: int) -> jnp.ndarray:
-        """Trivial LWE encryption of clear values (mask zeros)."""
+        """Trivial LWE encryption of clear values (mask zeros), sized for
+        the partition a `width`-bit value lives in."""
         enc = ref.encode(np.asarray(value), width)
-        out = np.zeros(enc.shape + (self.params.n_big + 1,), dtype=np.uint64)
+        n_big = self.params_for_width(width).n_big
+        out = np.zeros(enc.shape + (n_big + 1,), dtype=np.uint64)
         out[..., -1] = enc
         return jnp.asarray(out)
 
     # -- the lowered evaluation -------------------------------------------
 
-    def run(self, enc_inputs: dict[int, jnp.ndarray], ksk: kn.LimbKSK,
-            bsk: kn.LimbBSK, lut_polys: dict[int, jnp.ndarray],
-            wop_tables: dict[int, jnp.ndarray] = None, pfpksk=None):
+    def run(self, enc_inputs: dict[int, jnp.ndarray], ksk,
+            bsk, lut_polys: dict[int, jnp.ndarray],
+            wop_tables: dict[int, jnp.ndarray] = None, pfpksk=None,
+            fks: dict = None):
         """Evaluate the graph.  enc_inputs maps input position ->
         u64 ciphertext array (or clear np array for clear inputs).
-        wop_tables/pfpksk serve the WoP-PBS path of >8-bit TLUs."""
+        wop_tables/pfpksk serve the WoP-PBS path of >8-bit TLUs.
+
+        Mono: ksk/bsk are one packed key pair (pfpksk one packed PFPKSK).
+        Multi-partition: ksk/bsk/pfpksk are dicts keyed by partition width
+        and `fks` maps (src_width, dst_width) -> packed conversion LimbKSK.
+        """
         graph = self.graph
-        params = self.params
         values: dict[Node, object] = {}
 
-        def run_wop(ct, spec: WopTluSpec, table):
+        def keys_for(w: int):
+            if isinstance(ksk, dict):
+                return ksk[w], bsk[w]
+            return ksk, bsk
+
+        def pfpksk_for(w: int):
+            if isinstance(pfpksk, dict):
+                return pfpksk.get(w)
+            return pfpksk
+
+        def cross(out, w_in: int, w_out: int):
+            """Move a fresh PBS output across a partition frontier."""
+            if self.partitions is None or w_in == w_out \
+                    or (w_in, w_out) not in (fks or {}):
+                return out
+            shape = out.shape[:-1]
+            flat = out.reshape((-1, out.shape[-1]))
+            conv = kn.keyswitch(flat, fks[(w_in, w_out)])
+            return conv.reshape(shape + (conv.shape[-1],))
+
+        def run_wop(ct, spec: WopTluSpec, table, w_in: int):
             from concrete_tpu.core import kernels_wop as kw
+            kkey, bkey = keys_for(w_in)
             shape = ct.shape[:-1]
             flat = ct.reshape((-1, ct.shape[-1]))
             out = kw.wop_pbs_batch(
                 flat, table, spec.nb_bits, spec.delta_log, spec.out_bits,
-                ksk, bsk, pfpksk, self.wop_params)
+                kkey, bkey, pfpksk_for(w_in), self.wop_params_for(w_in))
             return out.reshape(shape + (out.shape[-1],))
 
         def is_ct(node: Node) -> bool:
@@ -384,21 +443,31 @@ class GraphExecutor:
                 values[node] = out
             elif name in ("tlu", "univariate"):
                 ct = args[0]
+                w_in = self.width_of(preds[0]) if preds else self.p
+                w_out = self.width_of(node)
                 if node.uid in self.wop_specs:
-                    values[node] = run_wop(ct, self.wop_specs[node.uid],
-                                           wop_tables[node.uid])
+                    out = run_wop(ct, self.wop_specs[node.uid],
+                                  wop_tables[node.uid], w_in)
+                    values[node] = cross(out, w_in, w_out)
                     continue
                 spec = self.tlu_specs[node.uid]
+                kkey, bkey = keys_for(w_in)
                 lut_poly = lut_polys[node.uid]
                 shape = ct.shape[:-1]
                 flat = ct.reshape((-1, ct.shape[-1]))
-                out = kn.pbs_batch(flat, ksk, bsk, lut_poly, params,
+                out = kn.pbs_batch(flat, kkey, bkey, lut_poly,
+                                   self.params_for_width(w_in),
                                    spec.message_bits,
                                    signed=spec.signed_input)
-                values[node] = out.reshape(shape + (out.shape[-1],))
+                out = out.reshape(shape + (out.shape[-1],))
+                values[node] = cross(out, w_in, w_out)
             elif name == "multivariate":
                 spec = self.wop_specs.get(node.uid) \
                     or self.multivariate_specs[node.uid]
+                preds_enc = [q for q in preds if q.output.is_encrypted]
+                w_in = max((self.width_of(q) for q in preds_enc),
+                           default=self.p)
+                w_out = self.width_of(node)
                 packed = None
                 bias = 0
                 for ct, mn, off in zip(args, spec.mins, spec.offsets):
@@ -409,18 +478,21 @@ class GraphExecutor:
                     packed = packed.at[..., -1].add(
                         jnp.uint64(0) - self._encode_clear(
                             bias, spec.nb_bits))
-                    values[node] = run_wop(packed, spec,
-                                           wop_tables[node.uid])
+                    out = run_wop(packed, spec, wop_tables[node.uid], w_in)
+                    values[node] = cross(out, w_in, w_out)
                     continue
                 packed = packed.at[..., -1].add(
                     jnp.uint64(0) - self._encode_clear(
                         bias, spec.message_bits))
+                kkey, bkey = keys_for(w_in)
                 lut_poly = lut_polys[node.uid]
                 shape = packed.shape[:-1]
                 flat = packed.reshape((-1, packed.shape[-1]))
-                out = kn.pbs_batch(flat, ksk, bsk, lut_poly, params,
+                out = kn.pbs_batch(flat, kkey, bkey, lut_poly,
+                                   self.params_for_width(w_in),
                                    spec.message_bits, signed=False)
-                values[node] = out.reshape(shape + (out.shape[-1],))
+                out = out.reshape(shape + (out.shape[-1],))
+                values[node] = cross(out, w_in, w_out)
             elif name == "conv":
                 # contraction looped over the kh*kw KERNEL positions (small,
                 # static), not the oh*ow output pixels: each term is one big
@@ -474,13 +546,15 @@ class GraphExecutor:
                 # requested bit j carries weight 2^j in the reassembled
                 # output: encoded scale = (63 - p_out) + j
                 asc_scales = [63 - p_out + j for j in order]
+                kkey, bkey = keys_for(p_in)
                 shape = ct.shape[:-1]
                 flat = ct.reshape((-1, ct.shape[-1]))
                 bits_out = kw_mod.extract_bits_to(
                     flat, tuple(asc_pos), tuple(asc_scales),
-                    63 - p_in, ksk, bsk, params)
+                    63 - p_in, kkey, bkey, self.params_for_width(p_in))
                 out = bits_out.sum(axis=1)
-                values[node] = out.reshape(shape + (out.shape[-1],))
+                out = out.reshape(shape + (out.shape[-1],))
+                values[node] = cross(out, p_in, p_out)
             elif name in ("round_bit_pattern", "truncate_bit_pattern"):
                 # fused rounding (ProcessRounding): the consumer TLU's LUT
                 # is built at the reduced width, so the modulus switch does

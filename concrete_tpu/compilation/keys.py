@@ -206,3 +206,151 @@ class Keys:
             keys = cls(CryptoParams(**header["params"]))
             keys._from_npz(z)
         return keys
+
+
+class MultiKeys:
+    """Keysets for a multi-partition circuit: one `Keys` per partition width
+    plus big->big conversion keyswitch keys for the partition frontiers.
+
+    The analog of the reference's multi-parameter Keyset
+    (concrete-optimizer keys_spec.rs CircuitKeys: secret/bootstrap/keyswitch
+    keys per partition + ConversionKeySwitchKey per frontier).  Cached as
+    ONE file covering every partition and conversion, so the cache can never
+    mix key material from different generations.
+    """
+
+    def __init__(self, partitions: dict, conversions: dict,
+                 cache_directory: Optional[str] = None):
+        """partitions: width -> CryptoParams; conversions:
+        (src_width, dst_width) -> (level, base_log)."""
+        self.partitions = dict(partitions)
+        self.conversions = dict(conversions)
+        self.cache_directory = cache_directory
+        self._keys: dict[int, Keys] = {
+            w: Keys(p) for w, p in self.partitions.items()}
+        self._fks: dict[tuple, np.ndarray] = {}
+        self._packed_fks: dict[tuple, kn.LimbKSK] = {}
+
+    @property
+    def are_generated(self) -> bool:
+        return all(k.are_generated for k in self._keys.values()) \
+            and set(self._fks) == set(self.conversions)
+
+    def generate(self, seed: Optional[int] = None) -> None:
+        self._seed = seed
+        if self.cache_directory is not None:
+            path = self._cache_path(seed)
+            if os.path.exists(path):
+                self.load(path)
+                return
+        from concrete_tpu.utils.csprng import SecureGenerator
+        for w, keys in self._keys.items():
+            # derive distinct per-partition seeds so equal-parameter
+            # partitions never share secret key material
+            keys.generate(None if seed is None else seed + 7919 * w)
+        self._fks = {}
+        self._packed_fks = {}
+        rng = SecureGenerator(None if seed is None else seed + 13)
+        for (s, d), (lvl, base) in self.conversions.items():
+            self._fks[(s, d)] = kg.make_ksk(
+                rng, self._keys[s].secret.lwe_big,
+                self._keys[d].secret.lwe_big, base, lvl,
+                self.partitions[d].glwe_std)
+        if self.cache_directory is not None:
+            os.makedirs(self.cache_directory, exist_ok=True)
+            self.save(self._cache_path(seed))
+
+    def _cache_path(self, seed) -> str:
+        h = hashlib.sha256(repr((sorted(self.partitions.items()),
+                                 sorted(self.conversions.items()),
+                                 seed)).encode()).hexdigest()[:24]
+        return os.path.join(self.cache_directory, f"multikeys_{h}.npz")
+
+    # -- accessors ---------------------------------------------------------
+
+    def keys_for(self, width: int) -> Keys:
+        return self._keys[width]
+
+    def secret_for(self, width: int):
+        return self._keys[width].secret
+
+    def evaluation_for_width(self, width: int, norm2: int = 1):
+        """Packed (LimbKSK, LimbBSK) of one partition, with noise-budget
+        BSK truncation at the partition's own width."""
+        return self._keys[width].evaluation_for(width, norm2=norm2)
+
+    def conversion_key(self, src: int, dst: int) -> kn.LimbKSK:
+        """Packed big->big conversion keyswitch key for a frontier."""
+        key = (src, dst)
+        if key not in self._packed_fks:
+            import jax.numpy as jnp
+
+            from concrete_tpu.core import limbs as lb
+            lvl, base = self.conversions[key]
+            limbs = lb.u64_to_balanced_i8(np.asarray(self._fks[key]))
+            self._packed_fks[key] = kn.LimbKSK(
+                planes=jnp.asarray(limbs), base_log=base, levels=lvl)
+        return self._packed_fks[key]
+
+    def wop_evaluation_for(self, width: int, wop_params):
+        return self._keys[width].wop_evaluation(wop_params)
+
+    # -- serialization (data-only npz; see Keys) ---------------------------
+
+    def _to_npz_dict(self) -> dict:
+        header = {"version": Keys._FORMAT_VERSION,
+                  "partitions": sorted(self.partitions),
+                  "conversions": [[s, d, l, b] for (s, d), (l, b)
+                                  in sorted(self.conversions.items())]}
+        out = {"multi_header": np.frombuffer(
+            json.dumps(header).encode(), dtype=np.uint8)}
+        for w, keys in self._keys.items():
+            for name, arr in keys._to_npz_dict().items():
+                out[f"p{w}__{name}"] = arr
+        for (s, d), arr in self._fks.items():
+            out[f"fks_{s}_{d}"] = arr
+        return out
+
+    def _from_npz(self, z) -> None:
+        header = json.loads(bytes(np.asarray(z["multi_header"])).decode())
+        if header.get("version", 0) > Keys._FORMAT_VERSION:
+            raise ValueError("key file format is newer than this library")
+
+        class _View:
+            def __init__(self, z, prefix):
+                self.z, self.prefix = z, prefix
+                self.files = [n[len(prefix):] for n in getattr(z, "files", [])
+                              if n.startswith(prefix)]
+
+            def __getitem__(self, name):
+                return self.z[self.prefix + name]
+
+        for w, keys in self._keys.items():
+            keys._from_npz(_View(z, f"p{w}__"))
+        self._fks = {}
+        self._packed_fks = {}
+        for name in getattr(z, "files", []):
+            if name.startswith("fks_"):
+                _, s, d = name.split("_")
+                self._fks[(int(s), int(d))] = np.asarray(z[name])
+
+    def save(self, path: str) -> None:
+        with open(path, "wb") as f:
+            np.savez(f, **self._to_npz_dict())
+
+    def load(self, path: str) -> None:
+        with np.load(path, allow_pickle=False) as z:
+            self._from_npz(z)
+
+    def serialize(self) -> bytes:
+        buf = io.BytesIO()
+        np.savez(buf, **self._to_npz_dict())
+        return buf.getvalue()
+
+    @classmethod
+    def deserialize_with(cls, blob: bytes, partitions: dict,
+                         conversions: dict) -> "MultiKeys":
+        keys = cls(partitions, conversions)
+        with np.load(io.BytesIO(blob), allow_pickle=False) as z:
+            keys._from_npz(z)
+        return keys

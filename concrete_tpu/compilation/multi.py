@@ -1,0 +1,227 @@
+"""Multi-partition parameter planning (DAG_MULTI-lite).
+
+The reference optimizer's PRECISION cut (concrete-optimizer/src/optimization/
+dag/multi_parameters/partitionning.rs): circuit values are grouped into
+partitions by precision, each partition gets its own crypto parameters and
+keyset, and conversion keyswitch keys carry values across partition
+frontiers (keys_spec.rs ConversionKeySwitchKey).
+
+Here the partition of a value IS its encoding width (compilation/widths.py
+assigns per-class widths; classes of equal width share parameters, so the
+width is the partition key).  A TLU runs its KS->BR entirely inside its
+*input* class's partition; when its output class lives in a different
+partition, a big->big "fast" conversion keyswitch (optimizer.choose_fks)
+moves the fresh ciphertext across the frontier — the same shape as the
+reference's FKS edges in the multi-parameter noise model
+(dag/multi_parameters/analyze.rs).
+
+Parameter search: each partition is optimized independently with
+optimize_v0_multi on its own atomic patterns, plus `frontier` constraints
+for crossings (v_br(src) * norm2^2 + v_fks + v_ks(dst) + v_ms(dst) <
+safe_variance(width)); since the frontier extra-variance depends on the
+other partition's parameters, the solve iterates to a fixed point (2-3
+rounds in practice) and ends with an exact feasibility assertion.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from concrete_tpu import params as pp
+from concrete_tpu.compilation.widths import (MAX_NATIVE_TLU_BITS, TLU_OPS,
+                                             decision_constraints_after,
+                                             encoding_width,
+                                             tlu_effective_input_width,
+                                             tlu_input_width, wop_nb_bits)
+from concrete_tpu.optimizer.v0 import (choose_fks, choose_wop_gadgets,
+                                       optimize_v0_multi,
+                                       safe_variance_bound)
+from concrete_tpu.representation import Graph
+
+
+@dataclasses.dataclass
+class Crossing:
+    """A partition frontier: a PBS in partition `src` whose output value
+    lives in partition `dst`, with the downstream decision constraints
+    (width, norm2) its noise must satisfy after conversion."""
+    src: int
+    dst: int
+    constraints: tuple  # ((width, norm2), ...)
+
+
+@dataclasses.dataclass
+class PartitionPatterns:
+    native: list
+    wide_in: list
+    wop: list
+    max_norm2: int = 1
+
+
+@dataclasses.dataclass
+class PartitionPlan:
+    """The compiled multi-partition parameter solution."""
+    params: dict  # width -> CryptoParams
+    wop_gadgets: dict  # width -> (cbs_l, cbs_b, pfks_l, pfks_b) or absent
+    fks: dict  # (src_width, dst_width) -> (level, base_log)
+    norm2: dict  # width -> max norm2 (BSK truncation budgeting)
+
+    @property
+    def widths(self):
+        return sorted(self.params)
+
+
+def partition_pattern_split(graph: Graph):
+    """Group the graph's PBS constraints by partition (encoding width).
+
+    Returns (patterns: {width: PartitionPatterns}, crossings: [Crossing]).
+    Same constraint semantics as widths.tlu_pattern_split, but keyed by the
+    partition each PBS runs in.
+    """
+    manp, boundary = graph.manp_map()
+    default = graph.max_bit_width
+    patterns: dict[int, PartitionPatterns] = {}
+    crossings: list[Crossing] = []
+
+    def part(w: int) -> PartitionPatterns:
+        if w not in patterns:
+            patterns[w] = PartitionPatterns([], [], [])
+        return patterns[w]
+
+    for node in graph.topological_order():
+        if node.name not in TLU_OPS:
+            continue
+        preds = [p for p in graph.ordered_preds_of(node)
+                 if p.output.is_encrypted]
+        if not preds:
+            continue
+        w_in = tlu_input_width(graph, node, default)
+        w_out = encoding_width(node, default)
+        p_eff = tlu_effective_input_width(graph, node, default)
+        n2 = max(boundary.get(node, 1), 1)
+        pt = part(w_in)
+        pt.max_norm2 = max(pt.max_norm2, n2)
+        if node.name == "extract_bits":
+            pt.wide_in.append((p_eff, n2))
+        elif p_eff > MAX_NATIVE_TLU_BITS:
+            pt.wide_in.append((p_eff, n2))
+            nb = wop_nb_bits(graph, node, default)
+            for w, n2o in decision_constraints_after(graph, node, default):
+                pt.wop.append((nb, w, n2o))
+        else:
+            pt.native.append((p_eff, n2))
+        if w_out != w_in:
+            cons = tuple(decision_constraints_after(graph, node, default))
+            crossings.append(Crossing(src=w_in, dst=w_out,
+                                      constraints=cons))
+    for node in graph.ordered_outputs:
+        if node.output.is_encrypted:
+            w = encoding_width(node, default)
+            n2 = max(manp.get(node, 1), 1)
+            pt = part(w)
+            pt.native.append((w, n2))
+            pt.max_norm2 = max(pt.max_norm2, n2)
+    # encrypted inputs whose partition has no PBS still need params (for
+    # encryption + leveled ops + decode at the consumer's frontier)
+    for node in graph.ordered_inputs:
+        if node.output.is_encrypted:
+            part(encoding_width(node, default))
+    for pt in patterns.values():
+        if not pt.native:
+            pt.native.append((1, 1))
+    return patterns, crossings
+
+
+def _partition_noise(params: pp.CryptoParams):
+    """(v_br, v_ks, v_ms) of one partition's atomic pattern stages."""
+    v_br = pp.variance_blind_rotate(
+        params.n_small, params.glwe_dimension, params.polynomial_size,
+        params.pbs_base_log, params.pbs_level, params.glwe_std ** 2)
+    v_ks = pp.variance_keyswitch(params.n_big, params.ks_base_log,
+                                 params.ks_level, params.lwe_std ** 2)
+    v_ms = pp.variance_modulus_switch(params.n_small,
+                                      params.log2_polynomial_size)
+    return v_br, v_ks, v_ms
+
+
+def plan_partitions(graph: Graph, p_error: float = 6.3e-5,
+                    security_level: int = 128,
+                    max_iterations: int = 4) -> PartitionPlan | None:
+    """Choose per-partition parameters + conversion keyswitches.
+
+    Returns None when the circuit has a single partition (mono compilation
+    is the right answer).  Raises if no feasible multi solution exists.
+    """
+    patterns, crossings = partition_pattern_split(graph)
+    if len(patterns) < 2:
+        return None
+
+    def solve(frontier_by_w: dict):
+        out = {}
+        for w, pt in patterns.items():
+            out[w] = optimize_v0_multi(
+                tuple(pt.native), p_error=p_error,
+                security_level=security_level,
+                noise_only=tuple(pt.wide_in),
+                wop_patterns=tuple(pt.wop),
+                frontier=tuple(frontier_by_w.get(w, ())))
+        return out
+
+    params = solve({})
+    fks: dict[tuple, tuple] = {}
+    for _ in range(max_iterations):
+        # pick conversion gadgets against the current destination params:
+        # the FKS may consume at most 1/8 of the tightest decision budget
+        # downstream of each crossing
+        budgets: dict[tuple, float] = {}
+        for c in crossings:
+            key = (c.src, c.dst)
+            b = min(safe_variance_bound(p, p_error)
+                    for p, _ in c.constraints) / 8.0
+            budgets[key] = min(budgets.get(key, b), b)
+        fks = {}
+        fks_var: dict[tuple, float] = {}
+        for (src, dst), budget in budgets.items():
+            lvl, base, var = choose_fks(params[src], params[dst], budget)
+            fks[(src, dst)] = (lvl, base)
+            fks_var[(src, dst)] = var
+        # frontier constraints for the next solve round
+        frontier_by_w: dict[int, list] = {}
+        for c in crossings:
+            _, v_ks_d, v_ms_d = _partition_noise(params[c.dst])
+            extra = fks_var[(c.src, c.dst)] + v_ks_d + v_ms_d
+            frontier_by_w.setdefault(c.src, []).extend(
+                (p, n2, extra) for p, n2 in c.constraints)
+        new_params = solve(frontier_by_w)
+        if new_params == params:
+            break
+        params = new_params
+
+    # exact feasibility check of every crossing with the final parameters
+    for c in crossings:
+        v_br_s, _, _ = _partition_noise(params[c.src])
+        _, v_ks_d, v_ms_d = _partition_noise(params[c.dst])
+        lvl, base = fks[(c.src, c.dst)]
+        v_fks = pp.variance_keyswitch(params[c.src].n_big, base, lvl,
+                                      params[c.dst].glwe_std ** 2)
+        for p, n2 in c.constraints:
+            total = v_br_s * float(n2) ** 2 + v_fks + v_ks_d + v_ms_d
+            if total >= safe_variance_bound(p, p_error):
+                raise ValueError(
+                    f"multi-partition plan infeasible: crossing "
+                    f"{c.src}->{c.dst} violates the {p}-bit decision margin "
+                    f"(noise {total:.3e} >= "
+                    f"{safe_variance_bound(p, p_error):.3e})")
+
+    wop_gadgets = {}
+    for w, pt in patterns.items():
+        if pt.wop:
+            nb_max = max(nb for nb, _, _ in pt.wop)
+            cons = tuple(sorted({(p, n2) for _, p, n2 in pt.wop}))
+            wp = choose_wop_gadgets(params[w], nb_max, cons, p_error=p_error)
+            wop_gadgets[w] = (wp.cbs_level, wp.cbs_base_log,
+                              wp.pfks_level, wp.pfks_base_log)
+    return PartitionPlan(
+        params=params, wop_gadgets=wop_gadgets, fks=fks,
+        norm2={w: pt.max_norm2 for w, pt in patterns.items()})

@@ -28,7 +28,8 @@ class Server:
         self.client_specs = specs
         self._executor = GraphExecutor(graph, specs.params,
                                        specs.message_bits,
-                                       wop_gadgets=specs.wop_gadgets)
+                                       wop_gadgets=specs.wop_gadgets,
+                                       specs=specs)
         self._jitted = None
 
     # -- execution ---------------------------------------------------------
@@ -38,11 +39,15 @@ class Server:
 
         evaluation_keys: (LimbKSK, LimbBSK) from Keys.evaluation, plus the
         packed PFPKSK as a third element when the circuit has WoP TLUs.
+        Multi-partition circuits take a 4-tuple (ksk_by_width, bsk_by_width,
+        pfpksk_by_width_or_None, fks_by_frontier) — Circuit._evaluation_keys
+        builds it from MultiKeys.
         """
         from concrete_tpu.core.compression import (SeededLweCiphertext,
                                                    decompress)
         ksk, bsk, *rest = evaluation_keys
         pfpksk = rest[0] if rest else None
+        fks = rest[1] if len(rest) > 1 else None
         enc_inputs = {}
         for pos, arg in enumerate(args):
             spec = self.client_specs.inputs[pos]
@@ -64,12 +69,12 @@ class Server:
         if self._jitted is None:
             ex = self._executor
 
-            def fn(enc_inputs, ksk, bsk, lut_polys, wop_tables, pfpksk):
+            def fn(enc_inputs, ksk, bsk, lut_polys, wop_tables, pfpksk, fks):
                 return ex.run(enc_inputs, ksk, bsk, lut_polys,
-                              wop_tables, pfpksk)
+                              wop_tables, pfpksk, fks=fks)
             self._jitted = jax.jit(fn)
         outs = self._jitted(enc_inputs, ksk, bsk, lut_polys, wop_tables,
-                            pfpksk)
+                            pfpksk, fks)
         return tuple(np.asarray(o) for o in outs)
 
     # -- deployment (reference server.py:245-378) --------------------------
@@ -122,27 +127,42 @@ class Server:
 
     @property
     def complexity(self) -> float:
-        """Estimated cost in int8 MACs (our optimizer's cost model)."""
-        from concrete_tpu.optimizer.v0 import (cost_ks_macs, cost_pbs_macs,
-                                               cost_wop_macs)
-        p = self.client_specs.params
+        """Estimated cost in int8 MACs (our optimizer's cost model).
+
+        Multi-partition circuits cost each PBS with its own partition's
+        parameters (plus conversion keyswitches at the frontiers)."""
+        from concrete_tpu.compilation.widths import tlu_input_width
+        from concrete_tpu.optimizer.v0 import (cost_fks_macs, cost_ks_macs,
+                                               cost_pbs_macs, cost_wop_macs)
         ex = self._executor
-        per = (cost_pbs_macs(p.n_small, p.glwe_dimension, p.polynomial_size,
-                             p.pbs_level, p.pbs_base_log)
-               + cost_ks_macs(p.n_big, p.n_small, p.ks_level, p.ks_base_log))
+        default = self.client_specs.message_bits
+
+        def atomic_cost(p):
+            return (cost_pbs_macs(p.n_small, p.glwe_dimension,
+                                  p.polynomial_size, p.pbs_level,
+                                  p.pbs_base_log)
+                    + cost_ks_macs(p.n_big, p.n_small, p.ks_level,
+                                   p.ks_base_log))
         total = 0.0
         for n in self.graph.graph.nodes:
             if n.name not in ("tlu", "univariate", "multivariate"):
                 continue
             size = max(int(np.prod(n.output.shape)), 1)
+            w_in = tlu_input_width(self.graph, n, default)
+            p = ex.params_for_width(w_in)
             spec = ex.wop_specs.get(n.uid)
-            if spec is not None and ex.wop_params is not None:
-                wp = ex.wop_params
+            wp = ex.wop_params_for(w_in)
+            if spec is not None and wp is not None:
                 total += size * cost_wop_macs(
                     p, spec.nb_bits, wp.cbs_level, wp.pfks_level,
                     wp.cbs_base_log, wp.pfks_base_log)
             else:
-                total += size * per
+                total += size * atomic_cost(p)
+            w_out = ex.width_of(n)
+            if (w_in, w_out) in ex.conversions:
+                lvl, base = ex.conversions[(w_in, w_out)]
+                total += size * cost_fks_macs(
+                    p.n_big, ex.params_for_width(w_out).n_big, lvl, base)
         return total
 
     def programmable_bootstrap_count(self) -> int:

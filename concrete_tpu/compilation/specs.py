@@ -30,12 +30,43 @@ class ClientSpecs:
     # WoP-PBS gadget parameters (cbs_level, cbs_base_log, pfks_level,
     # pfks_base_log) when the circuit contains >8-bit TLUs; None otherwise
     wop_gadgets: tuple = None
+    # multi-partition compilation (compilation/multi.py): width -> params,
+    # width -> wop gadget tuple, (src_width, dst_width) -> (level, base_log)
+    # for the conversion keyswitches, width -> max norm2.  None -> mono.
+    partitions: dict = None
+    partition_wop_gadgets: dict = None
+    conversions: dict = None
+    partition_norm2: dict = None
 
-    def wop_params(self):
-        """The WopParams for this circuit's wide TLUs (None if none)."""
+    @property
+    def is_multi(self) -> bool:
+        return bool(self.partitions)
+
+    def params_for_width(self, width: int) -> CryptoParams:
+        """The crypto parameters of the partition a `width`-bit value lives
+        in (the value's encoding width IS its partition key)."""
+        if self.partitions and width in self.partitions:
+            return self.partitions[width]
+        return self.params
+
+    def wop_params(self, width: int = None):
+        """The WopParams for wide TLUs (None if the circuit has none).
+
+        Under multi-partition compilation, pass the partition width of the
+        wide TLU's input class."""
+        from concrete_tpu.core.wop import WopParams
+        if self.partitions and self.partition_wop_gadgets:
+            if width is None:
+                width = max(self.partition_wop_gadgets)
+            g = self.partition_wop_gadgets.get(width)
+            if g is None:
+                return None
+            cbs_l, cbs_b, pfks_l, pfks_b = g
+            return WopParams(base=self.partitions[width], cbs_level=cbs_l,
+                             cbs_base_log=cbs_b, pfks_level=pfks_l,
+                             pfks_base_log=pfks_b)
         if self.wop_gadgets is None:
             return None
-        from concrete_tpu.core.wop import WopParams
         cbs_l, cbs_b, pfks_l, pfks_b = self.wop_gadgets
         return WopParams(base=self.params, cbs_level=cbs_l, cbs_base_log=cbs_b,
                          pfks_level=pfks_l, pfks_base_log=pfks_b)
@@ -65,6 +96,18 @@ class ClientSpecs:
             "output_widths": self.output_widths,
             "wop_gadgets": list(self.wop_gadgets)
             if self.wop_gadgets is not None else None,
+            "partitions": {str(w): dataclasses.asdict(p)
+                           for w, p in self.partitions.items()}
+            if self.partitions else None,
+            "partition_wop_gadgets": {str(w): list(g) for w, g in
+                                      self.partition_wop_gadgets.items()}
+            if self.partition_wop_gadgets else None,
+            "conversions": [[s, d, l, b] for (s, d), (l, b)
+                            in self.conversions.items()]
+            if self.conversions else None,
+            "partition_norm2": {str(w): n for w, n in
+                                self.partition_norm2.items()}
+            if self.partition_norm2 else None,
         })
 
     @classmethod
@@ -82,4 +125,17 @@ class ClientSpecs:
                    input_widths=data.get("input_widths"),
                    output_widths=data.get("output_widths"),
                    wop_gadgets=tuple(data["wop_gadgets"])
-                   if data.get("wop_gadgets") else None)
+                   if data.get("wop_gadgets") else None,
+                   partitions={int(w): CryptoParams(**p) for w, p in
+                               data["partitions"].items()}
+                   if data.get("partitions") else None,
+                   partition_wop_gadgets={int(w): tuple(g) for w, g in
+                                          data["partition_wop_gadgets"]
+                                          .items()}
+                   if data.get("partition_wop_gadgets") else None,
+                   conversions={(s, d): (l, b) for s, d, l, b in
+                                data["conversions"]}
+                   if data.get("conversions") else None,
+                   partition_norm2={int(w): n for w, n in
+                                    data["partition_norm2"].items()}
+                   if data.get("partition_norm2") else None)

@@ -101,7 +101,8 @@ _WOP_PROBE_PFKS = (10, 4)
 def optimize_v0_multi(patterns: tuple, p_error: float = 6.3e-5,
                       security_level: int = 128,
                       noise_only: tuple = (),
-                      wop_patterns: tuple = ()) -> pp.CryptoParams:
+                      wop_patterns: tuple = (),
+                      frontier: tuple = ()) -> pp.CryptoParams:
     """Minimal-cost CryptoParams feasible for EVERY (precision, norm2)
     atomic pattern simultaneously.
 
@@ -124,6 +125,15 @@ def optimize_v0_multi(patterns: tuple, p_error: float = 6.3e-5,
     gadget through the circuit-bootstrap sign-PBS) must satisfy the
     consumers' decision margins.  Probed with the deep _WOP_PROBE gadget;
     the actual gadget is chosen afterwards by choose_wop_gadgets.
+
+    `frontier` patterns are (width, norm2, extra_var) triples from
+    multi-partition crossings (compilation/multi.py): this partition's BR
+    output crosses into another partition, so the decision constraint is
+    v_br * norm2^2 + extra_var < safe_variance(width), where extra_var is
+    the destination's conversion-keyswitch + keyswitch + modswitch noise
+    (fixed w.r.t. this search).  No native-LUT N requirement.  The
+    reference analog is the multi-parameter optimizer's cross-partition
+    noise expressions (dag/multi_parameters/analyze.rs).
     """
     patterns = pareto_patterns(patterns)
     noise_only = pareto_patterns(noise_only) if noise_only else ()
@@ -173,6 +183,9 @@ def optimize_v0_multi(patterns: tuple, p_error: float = 6.3e-5,
                 base_ok = np.ones_like(ns, dtype=bool)
                 for sv, n2sq, w in zip(safe_vars, norm2_sqs, ks_ms_w):
                     base_ok &= v_br_unit * n2sq + w * v_ms < sv
+                for fp, fn2, fextra in frontier:
+                    base_ok &= (v_br_unit * float(fn2) ** 2 + float(fextra)
+                                < safe_variance_bound(int(fp), p_error))
                 if not base_ok.any():
                     continue
                 c_br = cost_pbs_macs(ns, k, big_n, br_l, br_b,
@@ -198,7 +211,7 @@ def optimize_v0_multi(patterns: tuple, p_error: float = 6.3e-5,
                          safe_variance_bound(po, p_error))
                         for nb, po, n2o in wop_patterns]
                 for (ks_l, ks_b), v_ks in v_ks_all.items():
-                    feasible = np.ones_like(ns, dtype=bool)
+                    feasible = base_ok.copy()
                     for sv, n2sq, w in zip(safe_vars, norm2_sqs, ks_ms_w):
                         feasible &= v_br_unit * n2sq + w * (v_ks + v_ms) < sv
                     if wop_patterns:
@@ -238,6 +251,49 @@ def _variance_keyswitch_vec(n_big: int, log2_base: int, level: int,
     res_3 = 0.25 * var_key
     res_4 = level * variance_ksk * (base ** 2 + 2.0) / 12.0
     return n_big * (res_2 + res_3 + res_4)
+
+
+# ---------------------------------------------------------------------------
+# Partition-conversion ("fast") keyswitch gadget selection
+# ---------------------------------------------------------------------------
+
+def cost_fks_macs(n_big_src: int, n_big_dst: int, level: int,
+                  base_log: int) -> float:
+    """int8 MACs of one big->big conversion keyswitch application."""
+    a_limbs = lb.num_digit_limbs(base_log)
+    return float(n_big_src) * level * a_limbs * 8 * (n_big_dst + 1)
+
+
+@functools.lru_cache(maxsize=None)
+def choose_fks(src: pp.CryptoParams, dst: pp.CryptoParams,
+               budget: float) -> tuple[int, int, float]:
+    """Cheapest (level, base_log, variance) for the src.big -> dst.big
+    conversion keyswitch with variance <= budget.
+
+    The multi-partition analog of the reference optimizer's fast-keyswitch
+    parameter search (multi_parameters/optimize.rs FKS decomposition); key
+    entries are encrypted under dst's big (GLWE) key, so their noise is
+    dst.glwe_std.
+    """
+    best = None
+    best_cost = math.inf
+    for level in (1, 2, 3, 4, 5, 6, 8, 10, 12):
+        for base in range(2, 25):
+            if level * base > 60:
+                continue
+            v = pp.variance_keyswitch(src.n_big, base, level,
+                                      dst.glwe_std ** 2)
+            if v > budget:
+                continue
+            cost = cost_fks_macs(src.n_big, dst.n_big, level, base)
+            if cost < best_cost:
+                best_cost = cost
+                best = (level, base, float(v))
+    if best is None:
+        raise ValueError(
+            f"no conversion keyswitch meets variance budget {budget:.3e} "
+            f"for {src.n_big} -> {dst.n_big}")
+    return best
 
 
 # ---------------------------------------------------------------------------

@@ -20,22 +20,46 @@ __all__ = ["simulate_graph"]
 
 def simulate_graph(graph, specs, *inputs, rng=None):
     """Evaluate with simulated noise; returns outputs like the real circuit."""
+    import functools
+
     from concrete_tpu.compilation.widths import encoding_width
     rng = rng or np.random.default_rng()
-    params = specs.params
     p_default = specs.message_bits
 
-    fresh_var = params.lwe_std ** 2
-    br_var = pp.variance_blind_rotate(
-        params.n_small, params.glwe_dimension, params.polynomial_size,
-        params.pbs_base_log, params.pbs_level, params.glwe_std ** 2)
-    max_native_bits = min(8, params.polynomial_size.bit_length() - 2)
-    wop_gadgets = getattr(specs, "wop_gadgets", None)
-    ks_var = pp.variance_keyswitch(
-        params.n_big, params.ks_base_log, params.ks_level,
-        params.lwe_std ** 2)
-    ms_var = pp.variance_modulus_switch(
-        params.n_small, params.log2_polynomial_size)
+    @functools.lru_cache(maxsize=None)
+    def stages(width):
+        """(fresh, br, ks, ms, max_native_bits) of `width`'s partition —
+        mono circuits resolve every width to the single keyset."""
+        params = specs.params_for_width(width) \
+            if hasattr(specs, "params_for_width") else specs.params
+        fresh = params.lwe_std ** 2
+        br = pp.variance_blind_rotate(
+            params.n_small, params.glwe_dimension, params.polynomial_size,
+            params.pbs_base_log, params.pbs_level, params.glwe_std ** 2)
+        ks = pp.variance_keyswitch(
+            params.n_big, params.ks_base_log, params.ks_level,
+            params.lwe_std ** 2)
+        ms = pp.variance_modulus_switch(
+            params.n_small, params.log2_polynomial_size)
+        return fresh, br, ks, ms, min(
+            8, params.polynomial_size.bit_length() - 2)
+
+    def wop_gadgets_for(width):
+        multi = getattr(specs, "partition_wop_gadgets", None)
+        if multi:
+            return multi.get(width)
+        return getattr(specs, "wop_gadgets", None)
+
+    def crossing_var(w_in, w_out):
+        """Conversion-keyswitch variance a fresh PBS output picks up when
+        it crosses the (w_in -> w_out) partition frontier."""
+        conv = getattr(specs, "conversions", None)
+        if not conv or w_in == w_out or (w_in, w_out) not in conv:
+            return 0.0
+        lvl, base = conv[(w_in, w_out)]
+        src = specs.params_for_width(w_in)
+        dst = specs.params_for_width(w_out)
+        return pp.variance_keyswitch(src.n_big, base, lvl, dst.glwe_std ** 2)
 
     values: dict = {}
     variances: dict = {}
@@ -46,7 +70,8 @@ def simulate_graph(graph, specs, *inputs, rng=None):
         if node.operation == Operation.Input:
             pos = next(q for q, n in graph.input_nodes.items() if n is node)
             values[node] = np.asarray(inputs[pos])
-            variances[node] = fresh_var if node.output.is_encrypted else 0.0
+            variances[node] = stages(encoding_width(node, p_default))[0] \
+                if node.output.is_encrypted else 0.0
             continue
         if node.operation == Operation.Constant:
             values[node] = node()
@@ -60,6 +85,8 @@ def simulate_graph(graph, specs, *inputs, rng=None):
             # partition's encoding width (multi-precision mono); fused
             # rounding enlarges the decision step by 2^lsbs
             p_in = encoding_width(preds[0], p_default)
+            w_out = encoding_width(node, p_default)
+            _, br_var, ks_var, ms_var, max_native_bits = stages(p_in)
             lsbs = tlu_fused_lsbs(graph, node)
             step = 2.0 ** -(p_in + 1)   # torus width of one encoded step
             total_var = variances[preds[0]] + ks_var + ms_var
@@ -73,15 +100,19 @@ def simulate_graph(graph, specs, *inputs, rng=None):
                 half = domain // 2
                 shifted = np.where(shifted >= half, shifted - domain, shifted)
             values[node] = np.asarray(node(shifted))
+            wop_gadgets = wop_gadgets_for(p_in)
             if max(p_in - lsbs, 1) > max_native_bits \
                     and wop_gadgets is not None:
                 # wide TLU: output noise is the vertical-packing variance
                 cbs_l, cbs_b, pfks_l, pfks_b = wop_gadgets
                 nb = p_in + (1 if node.inputs[0].dtype.is_signed else 0)
                 variances[node] = pp.wop_output_variance(
-                    params, nb, cbs_b, cbs_l, pfks_b, pfks_l)
+                    specs.params_for_width(p_in)
+                    if hasattr(specs, "params_for_width") else specs.params,
+                    nb, cbs_b, cbs_l, pfks_b, pfks_l)
             else:
                 variances[node] = br_var
+            variances[node] += crossing_var(p_in, w_out)
         elif name == "extract_bits":
             # lsb-cascade (executor extract_bits lowering): peel bits LSB
             # first with one sign-PBS decision per bit; a flipped decision
@@ -90,6 +121,7 @@ def simulate_graph(graph, specs, *inputs, rng=None):
             positions = tuple(node.properties["kwargs"]["positions"])
             x = np.asarray(args[0]).astype(np.int64)
             p_in = encoding_width(preds[0], p_default)
+            _, br_var, ks_var, ms_var, _ = stages(p_in)
             domain = np.int64(1) << np.int64(p_in)
             resid = ((x % domain) + domain) % domain
             var_in = variances[preds[0]]
@@ -107,7 +139,8 @@ def simulate_graph(graph, specs, *inputs, rng=None):
                     out |= bit << np.int64(positions.index(j_bit))
                 resid = resid - (bit << np.int64(j_bit))
             values[node] = out
-            variances[node] = len(positions) * br_var
+            variances[node] = len(positions) * br_var + crossing_var(
+                p_in, encoding_width(node, p_default))
         else:
             values[node] = np.asarray(node(*args))
             # propagate variance through leveled ops (MANP-style)

@@ -1,0 +1,144 @@
+"""Multi-partition (DAG_MULTI) compilation tests.
+
+Reference analog: concrete-optimizer/src/optimization/dag/multi_parameters/
+(partitionning.rs PRECISION cut, keys_spec.rs per-partition keysets +
+ConversionKeySwitchKey) and the TFHECircuitSolutionParametrization lowering.
+Here partitions are keyed by encoding width (compilation/multi.py).
+"""
+
+import numpy as np
+import pytest
+
+import concrete_tpu as fhe
+from concrete_tpu.compilation.keys import MultiKeys
+from concrete_tpu.compilation.multi import plan_partitions
+from concrete_tpu.compilation.specs import ClientSpecs
+
+
+BIG = 4          # big TLU width (N=1024 partition — CPU-test friendly)
+TABLE_SMALL = [3, 1, 2, 0]
+TABLE_BIG = [(i * 7) % 4 for i in range(1 << BIG)]
+
+
+def _mixed_circuit(strategy):
+    """x (2-bit) and y (BIG-bit) each feed their own TLU; the outputs join."""
+    table_small = fhe.LookupTable(TABLE_SMALL)
+    table_big = fhe.LookupTable(TABLE_BIG)
+
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def f(x, y):
+        return table_small[x] + table_big[y]
+
+    inputset = [(int(i % 4), int((i * 13) % (1 << BIG)))
+                for i in range(30)]
+    return f.compile(inputset, parameter_selection_strategy=strategy)
+
+
+def test_plan_partitions_mixed_widths():
+    table_small = fhe.LookupTable(TABLE_SMALL)
+    table_big = fhe.LookupTable(TABLE_BIG)
+
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def f(x, y):
+        return table_small[x] + table_big[y]
+
+    graph = f.trace([(int(i % 4), int((i * 13) % (1 << BIG)))
+                     for i in range(30)])
+    from concrete_tpu.compilation.transforms import run_default_transforms
+    from concrete_tpu.compilation.widths import assign_encoding_widths
+    run_default_transforms(graph)
+    assign_encoding_widths(graph)
+    plan = plan_partitions(graph)
+    assert plan is not None
+    assert 2 in plan.params and BIG in plan.params
+    # the small partition must be cheaper than the big one
+    assert (plan.params[2].polynomial_size
+            < plan.params[BIG].polynomial_size)
+    # crossings into the sum's class get conversion keyswitches
+    assert all(src in plan.params and dst in plan.params
+               for src, dst in plan.fks)
+
+
+def test_plan_partitions_single_width_returns_none():
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return fhe.LookupTable(list(range(16)))[x]
+
+    graph = f.trace([int(i % 16) for i in range(20)])
+    from concrete_tpu.compilation.transforms import run_default_transforms
+    from concrete_tpu.compilation.widths import assign_encoding_widths
+    run_default_transforms(graph)
+    assign_encoding_widths(graph)
+    assert plan_partitions(graph) is None
+
+
+@pytest.fixture(scope="module")
+def multi_circuit():
+    return _mixed_circuit("multi")
+
+
+def test_multi_compiles_to_partitioned_specs(multi_circuit):
+    specs = multi_circuit.client_specs
+    assert specs.is_multi
+    assert 2 in specs.partitions and BIG in specs.partitions
+    assert specs.conversions  # at least one frontier
+
+
+def test_multi_end_to_end(multi_circuit):
+    circuit = multi_circuit
+    circuit.keygen(seed=7)
+    assert isinstance(circuit.keys, MultiKeys)
+    hi = (1 << BIG) - 1
+    for x, y in [(0, 0), (3, hi), (2, 5), (1, 11)]:
+        got = circuit.encrypt_run_decrypt(x, y)
+        assert got == TABLE_SMALL[x] + TABLE_BIG[y], (x, y, got)
+
+
+def test_multi_cheaper_than_mono(multi_circuit):
+    mono = _mixed_circuit("mono")
+    assert multi_circuit.complexity < mono.complexity
+
+
+def test_multi_specs_serialization_roundtrip(multi_circuit):
+    specs = multi_circuit.client_specs
+    restored = ClientSpecs.deserialize(specs.serialize())
+    assert restored.is_multi
+    assert restored.partitions == specs.partitions
+    assert restored.conversions == specs.conversions
+    assert restored.partition_norm2 == specs.partition_norm2
+
+
+def test_multi_keys_serialization_roundtrip(multi_circuit):
+    keys = multi_circuit.keys
+    blob = keys.serialize()
+    restored = MultiKeys.deserialize_with(
+        blob, multi_circuit.client_specs.partitions,
+        multi_circuit.client_specs.conversions)
+    assert restored.are_generated
+    for w in multi_circuit.client_specs.partitions:
+        np.testing.assert_array_equal(restored.secret_for(w).glwe,
+                                      keys.secret_for(w).glwe)
+
+
+def test_multi_server_save_load(multi_circuit, tmp_path):
+    from concrete_tpu.compilation.server import Server
+    path = str(tmp_path / "multi.zip")
+    multi_circuit.server.save(path)
+    server = Server.load(path)
+    assert server.client_specs.is_multi
+    circuit = multi_circuit
+    circuit.keygen(seed=7)
+    enc = circuit.encrypt(2, 11)
+    out = server.run(*enc, evaluation_keys=circuit._evaluation_keys())
+    assert circuit.decrypt(out[0]) == TABLE_SMALL[2] + TABLE_BIG[11]
+
+
+def test_multi_simulation(multi_circuit):
+    for x, y in [(1, 5), (3, (1 << BIG) - 2)]:
+        assert multi_circuit.simulate(x, y) \
+            == TABLE_SMALL[x] + TABLE_BIG[y]
+
+
+def test_multi_pbs_widths_stay_per_partition(multi_circuit):
+    per_width = multi_circuit.programmable_bootstrap_count_per_bit_width
+    assert per_width.get(2) == 1 and per_width.get(BIG) == 1
