@@ -7,36 +7,77 @@ serialize_input_secret_key) over concrete-cpu's fheint.rs radix parsing.
 This implementation operates at the raw-LWE level: a TFHE-rs radix
 ciphertext is (n_blocks, lwe_dim + 1) u64 arrays encrypted under a shared
 secret key with the TFHE-rs block encoding (delta = 2^(64 - msg - carry - 1)).
-Byte-level (de)serialization of tfhe-rs' bincode framing is intentionally
-out of scope in-process — `import_value`/`export_value` accept/produce the
-raw block arrays, matching what concrete-cpu's C API exchanges after
-parsing (fheint.rs `concrete_cpu_tfhers_fheint_to_lwe_array`).
+Framed byte (de)serialization lives in tfhers/serialization.py (the
+fheint.rs analog); `import_ciphertext`/`export_ciphertext` speak it.
+
+Key exchange supports two shapes:
+- same dimension: the circuit's keyset is regenerated *from* the shared
+  key (core.keygen glwe_key injection), so imported ciphertexts bootstrap
+  directly;
+- differing dimension: the circuit keeps its own keys and the bridge
+  builds big->big conversion keyswitch keys in both directions (the
+  reference's external-partition ConversionKeySwitchKey,
+  optimizer keys_spec.rs / converter.py:937 change-partition lowering) —
+  imports keyswitch into the circuit key, exports keyswitch back out.
 """
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 
 from concrete_tpu.tfhers.dtypes import TFHERSIntegerType
+from concrete_tpu.tfhers.serialization import (RadixCiphertext,
+                                               deserialize_radix,
+                                               radix_from_blocks,
+                                               serialize_radix)
+
+
+def _choose_conversion_gadget(n_src: int, dst_std: float, budget: float):
+    """Cheapest (level, base_log) for an n_src -> * keyswitch whose noise
+    fits `budget` (the optimizer's FKS search shape, optimizer/v0.py
+    choose_fks, re-parametrized on raw dimensions for external keys)."""
+    import math
+
+    from concrete_tpu import params as pp
+    best, best_cost = None, math.inf
+    for level in (1, 2, 3, 4, 5, 6, 8, 10, 12):
+        for base in range(2, 25):
+            if level * base > 60:
+                continue
+            v = pp.variance_keyswitch(n_src, base, level, dst_std ** 2)
+            if v > budget:
+                continue
+            cost = n_src * level
+            if cost < best_cost:
+                best, best_cost = (level, base), cost
+    if best is None:
+        raise ValueError(
+            f"no conversion keyswitch meets variance budget {budget:.3e} "
+            f"from dimension {n_src}")
+    return best
 
 
 class Bridge:
     def __init__(self, circuit, input_types: dict[int, TFHERSIntegerType]):
         self.circuit = circuit
         self.input_types = input_types
+        self._import_ksk = None   # shared key -> circuit big key (packed)
+        self._export_ksk = None   # circuit big key -> shared key (packed)
+        self._shared_key: Optional[np.ndarray] = None
 
     # -- key management ----------------------------------------------------
 
     def keygen_with_initial_keys(self, input_idx_to_key: dict[int, np.ndarray],
                                  force: bool = False) -> None:
-        """Generate circuit keys reusing a TFHE-rs secret key for the bridged
-        inputs (the shared-key model of reference bridge.py:237).
+        """Generate circuit keys sharing a TFHE-rs secret key (the shared-key
+        model of reference bridge.py:237).
 
-        The BSK/KSK are generated *from* the shared key (core.keygen
-        glwe_key injection), so imported ciphertexts bootstrap and decrypt
-        correctly.  The shared key must equal the circuit's big LWE key
-        dimension; full key-exchange across differing dimensions needs the
-        multi-keyset partition machinery (core/partitions.py).
+        Same dimension: the BSK/KSK are generated *from* the shared key
+        (core.keygen glwe_key injection).  Differing dimension: the circuit
+        gets its own keys plus conversion keyswitch keys to/from the shared
+        key (external partition, keys_spec.rs ConversionKeySwitchKey).
         """
         keys_in = {int(i): np.asarray(k, dtype=np.uint64)
                    for i, k in input_idx_to_key.items()}
@@ -45,17 +86,70 @@ class Bridge:
             if not np.array_equal(other, key):
                 raise NotImplementedError(
                     "all bridged inputs must share one TFHE-rs secret key "
-                    "(per-input keys need the multi-keyset partitions)")
+                    "(per-input keys need one conversion KSK per key; "
+                    "share a key or use separate bridges)")
         params = self.circuit.client_specs.params
-        if key.size != params.n_big:
-            raise NotImplementedError(
-                "shared TFHE-rs key dimension differs from the circuit's big "
-                "key; cross-partition key exchange is not implemented yet")
         keys = self.circuit.keys
-        if (not force and keys.are_generated
-                and np.array_equal(keys.secret.lwe_big, key.ravel())):
-            return  # already generated from this exact shared key
-        keys.generate(glwe_key=key)
+        if key.size == params.n_big:
+            if (not force and keys.are_generated
+                    and np.array_equal(keys.secret.lwe_big, key.ravel())):
+                return  # already generated from this exact shared key
+            keys.generate(glwe_key=key)
+            self._shared_key = key.ravel()
+            self._import_ksk = self._export_ksk = None
+            return
+        # differing dimension: own keys + two conversion KSKs
+        if force or not keys.are_generated:
+            keys.generate()
+        self._shared_key = key.ravel()
+        self._build_conversion_keys()
+
+    def _build_conversion_keys(self) -> None:
+        from concrete_tpu import params as pp
+        from concrete_tpu.core import keygen as kg
+        from concrete_tpu.optimizer.v0 import safe_variance_bound
+        from concrete_tpu.utils.csprng import SecureGenerator
+        specs = self.circuit.client_specs
+        params = specs.params
+        keys = self.circuit.keys
+        key = self._shared_key
+        rng = SecureGenerator()
+        width = max([specs.input_width(i) for i in self.input_types
+                     or range(len(specs.inputs))] or [specs.message_bits])
+        budget = safe_variance_bound(width, 6.3e-5) / 8.0
+        lvl_in, base_in = _choose_conversion_gadget(
+            key.size, params.glwe_std, budget)
+        ksk_in = kg.make_ksk(rng, key, keys.secret.lwe_big,
+                             base_in, lvl_in, params.glwe_std)
+        # export budget: the tfhe-rs side must still decode msg+carry bits
+        dtypes = list(self.input_types.values())
+        t_params = dtypes[0].params if dtypes else None
+        t_bits = (t_params.message_modulus * t_params.carry_modulus
+                  ).bit_length() - 1 if t_params else width
+        t_std = (t_params.glwe_noise_distribution_stdev
+                 or params.glwe_std) if t_params else params.glwe_std
+        lvl_out, base_out = _choose_conversion_gadget(
+            params.n_big, t_std, safe_variance_bound(t_bits, 6.3e-5) / 8.0)
+        ksk_out = kg.make_ksk(rng, keys.secret.lwe_big, key,
+                              base_out, lvl_out, t_std)
+        self._import_ksk = self._pack(ksk_in, base_in, lvl_in)
+        self._export_ksk = self._pack(ksk_out, base_out, lvl_out)
+
+    @staticmethod
+    def _pack(ksk_u64: np.ndarray, base_log: int, levels: int):
+        import jax.numpy as jnp
+
+        from concrete_tpu.core import kernels as kn
+        from concrete_tpu.core import limbs as lb
+        limbs = lb.u64_to_balanced_i8(np.asarray(ksk_u64))
+        return kn.LimbKSK(planes=jnp.asarray(limbs), base_log=base_log,
+                          levels=levels)
+
+    @staticmethod
+    def _keyswitch(blocks: np.ndarray, ksk) -> np.ndarray:
+        from concrete_tpu.core import kernels as kn
+        return np.asarray(kn.keyswitch(np.asarray(blocks, dtype=np.uint64),
+                                       ksk))
 
     # -- values ------------------------------------------------------------
 
@@ -63,32 +157,66 @@ class Bridge:
         """Raw TFHE-rs radix blocks (n_blocks, n+1) u64 -> circuit input.
 
         Re-encodes each block's phase from the TFHE-rs delta to the circuit's
-        native scale by a plaintext multiply (both are powers of two).
+        native scale by a plaintext multiply (both are powers of two), and —
+        when the shared key has a different dimension — keyswitches each
+        block into the circuit's big key through the conversion KSK.
         """
         dtype = self.input_types[input_idx]
         circuit_bits = self.circuit.client_specs.input_width(input_idx)
         native_delta_log2 = 64 - circuit_bits - 1
         blocks = np.asarray(blocks, dtype=np.uint64)
-        if native_delta_log2 == dtype.delta_log2:
-            return blocks
         if native_delta_log2 > dtype.delta_log2:
             # native scale coarser: multiply phase up (exact power of two)
-            return blocks * np.uint64(
+            blocks = blocks * np.uint64(
                 1 << (native_delta_log2 - dtype.delta_log2))
-        raise NotImplementedError(
-            f"circuit precision ({circuit_bits} bits) exceeds the TFHE-rs "
-            f"block precision; rescaling down needs a per-block PBS "
-            f"(planned with the multi-partition machinery)")
+        elif native_delta_log2 < dtype.delta_log2:
+            raise NotImplementedError(
+                f"circuit precision ({circuit_bits} bits) exceeds the "
+                "TFHE-rs block precision; rescaling down needs a per-block "
+                "PBS")
+        if self._import_ksk is not None:
+            blocks = self._keyswitch(blocks, self._import_ksk)
+        return blocks
 
     def export_value(self, ct: np.ndarray, output_idx: int,
                      dtype: TFHERSIntegerType) -> np.ndarray:
         """Circuit output -> raw TFHE-rs radix blocks (from_native must have
-        produced one ciphertext per block)."""
-        return np.asarray(ct, dtype=np.uint64)
+        produced one ciphertext per block); keyswitches back to the shared
+        key when dimensions differ."""
+        out = np.asarray(ct, dtype=np.uint64)
+        if self._export_ksk is not None:
+            out = self._keyswitch(out, self._export_ksk)
+        return out
+
+    # -- framed bytes (fheint.rs analog, tfhers/serialization.py) -----------
+
+    def import_ciphertext(self, blob: bytes, input_idx: int) -> np.ndarray:
+        """Serialized radix ciphertext bytes -> circuit input array."""
+        radix = deserialize_radix(blob)
+        dtype = self.input_types[input_idx]
+        if radix.message_modulus != dtype.msg_modulus:
+            raise ValueError(
+                f"radix ciphertext message_modulus {radix.message_modulus} "
+                f"does not match the declared dtype ({dtype.msg_modulus})")
+        if radix.n_blocks != dtype.n_blocks:
+            raise ValueError(
+                f"radix ciphertext has {radix.n_blocks} blocks, dtype "
+                f"expects {dtype.n_blocks}")
+        return self.import_value(radix.blocks, input_idx)
+
+    def export_ciphertext(self, cts, output_idx: int,
+                          dtype: TFHERSIntegerType) -> bytes:
+        """Circuit block outputs -> serialized radix ciphertext bytes."""
+        blocks = np.stack([np.asarray(c, dtype=np.uint64).reshape(-1)
+                           for c in (cts if isinstance(cts, (tuple, list))
+                                     else [cts])])
+        blocks = self.export_value(blocks, output_idx, dtype)
+        return serialize_radix(radix_from_blocks(blocks, dtype))
 
     def serialize_input_secret_key(self, input_idx: int) -> bytes:
-        key = self.circuit.keys.secret.lwe_big
-        return np.asarray(key, dtype=np.uint64).tobytes()
+        key = self._shared_key if self._shared_key is not None \
+            else self.circuit.keys.secret.lwe_big
+        return np.asarray(key, dtype="<u8").tobytes()
 
 
 def new_bridge(circuit, input_types: dict[int, TFHERSIntegerType] = None
