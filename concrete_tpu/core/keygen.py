@@ -1,10 +1,11 @@
-"""Key generation for real-size parameters.
+"""Key generation for real-size parameters — host-only, jit-free.
 
 Functionally identical to refimpl.keygen (which stays the oracle for tiny
 parameters) but vectorized: the GLWE body polynomials  sum_r A_r (*) S_r  are
-computed with the same exact int8 limb convolution the server kernels use
-(core/kernels.negacyclic_limb_conv), so generating a production BSK
-(~n * l * (k+1) GLWE rows) takes seconds instead of hours.
+exact BLAS f64 matmuls over 16-bit mask limbs against the binary key's
+negacyclic Toeplitz matrix (see _negacyclic_dot_with_key), so generating a
+production BSK (~n * l * (k+1) GLWE rows) takes seconds on the host with no
+device compile — keyset generation no longer touches the TPU at all.
 
 Reference analog: lib/Common/Keys.cpp:59,115,239 (concrete-cpu keygen calls,
 with rayon parallelism); here the batch axis is the vector axis.
@@ -19,11 +20,6 @@ from __future__ import annotations
 
 import numpy as np
 
-import concrete_tpu.jax_config  # noqa: F401
-import jax.numpy as jnp
-
-from concrete_tpu.core import kernels as kn
-from concrete_tpu.core import limbs as lb
 from concrete_tpu.core.refimpl import (SecretKeys, ServerKeys,
                                        sample_binary_key,
                                        sample_torus_gaussian,
@@ -32,23 +28,32 @@ from concrete_tpu.params import CryptoParams
 
 
 def _negacyclic_dot_with_key(a_polys: np.ndarray, key: np.ndarray) -> np.ndarray:
-    """sum_r a_polys[..., r, :] (*) key[r, :]  mod 2^64, exactly.
+    """sum_r a_polys[..., r, :] (*) key[r, :]  mod 2^64, exactly — jit-free.
 
-    a_polys: (rows, k, N) u64; key: (k, N) binary u64.  Uses the int8 limb
-    convolution: the u64 masks are the 8-limb 'digits', the binary key is the
-    kernel (its limb planes are just {0,1} in plane 0).
+    a_polys: (rows, k, N) u64; key: (k, N) binary u64.
+
+    Host-side exact path: the binary key's negacyclic Toeplitz matrix has
+    entries in {-1, 0, 1}, so splitting the u64 masks into four 16-bit limbs
+    makes every BLAS f64 matmul exact (|partial sums| <= N * 2^16 << 2^53),
+    and the limb recombination wraps mod 2^64 in u64.  This keeps keygen
+    off the device entirely — no jit, no compile latency (the device keygen
+    graph used to dominate keyset generation time).
     """
     rows, k, n = a_polys.shape
-    a_limbs = lb.u64_to_balanced_i8(a_polys)                # (rows, k, N, 8)
-    # negacyclic extension of the binary key: values in {0, 1, -1} -> a single
-    # balanced limb plane (S=1)
-    ext = np.concatenate([np.uint64(0) - key[:, 1:], key], axis=-1)
-    vv = lb.u64_to_balanced_i8(ext)[..., :1]                # (k, 2N-1, 1)
-    vv = np.moveaxis(vv, -1, -2)[:, None, :, :]             # (k, 1, 1, 2N-1)
-    planes = kn.negacyclic_banded_matmul(
-        jnp.asarray(a_limbs), jnp.asarray(vv), min(128, n))  # (rows, 1, 8, N)
-    out = lb.recombine_i32_planes_to_u64(planes[:, :, :8, :], axis=-2)
-    return np.asarray(out)[:, 0, :]
+    j = np.arange(n)
+    # M[t, j] = key[(j - t) mod n] with a sign flip where j < t (negacyclic)
+    idx = (j[None, :] - j[:, None]) % n
+    sign = np.where(j[None, :] >= j[:, None], 1.0, -1.0)
+    out = np.zeros((rows, n), dtype=np.uint64)
+    for r in range(k):
+        m = key[r].astype(np.float64)[idx] * sign          # (N, N) in {-1,0,1}
+        a_r = a_polys[:, r, :]
+        for i in range(4):
+            limb = ((a_r >> np.uint64(16 * i))
+                    & np.uint64(0xFFFF)).astype(np.float64)
+            c = limb @ m                                   # exact in f64
+            out += c.astype(np.int64).astype(np.uint64) << np.uint64(16 * i)
+    return out
 
 
 def glwe_encrypt_batch(rng: np.random.Generator, gsk: np.ndarray,
