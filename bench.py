@@ -141,6 +141,9 @@ def main() -> None:
     ap.add_argument("--config", choices=["pbs", "quickstart", "radix16",
                                          "mlp"],
                     default="pbs", help="BASELINE benchmark config")
+    ap.add_argument("--ntt", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="CRT-NTT blind rotate (default: auto, N>=2048)")
     args = ap.parse_args()
 
     if args.config == "quickstart":
@@ -197,11 +200,19 @@ def main() -> None:
 
     t0 = time.time()
     ksk = K.pack_ksk(server.ksk, params)
-    # noise-budget-aware BSK limb truncation (<=5% of the safe variance);
-    # base-32 digits allow dropping 5 of 8 planes (~2x fewer matmul MACs)
-    trunc = pp.choose_truncate_limbs(params, p_bits)
-    print(f"# truncate_limbs: {trunc}", file=sys.stderr)
-    bsk = K.pack_bsk(server.bsk, params, truncate_limbs=trunc)
+    use_ntt = args.ntt
+    if use_ntt is None:
+        use_ntt = params.polynomial_size >= 2048
+    if use_ntt:
+        from concrete_tpu.core import ntt_tpu as nt
+        bsk = nt.pack_bsk_ntt(server.bsk, params)
+        print(f"# bsk: CRT-NTT spectra, primes={bsk.primes}", file=sys.stderr)
+    else:
+        # noise-budget-aware BSK limb truncation (<=5% of the safe variance);
+        # base-32 digits allow dropping 5 of 8 planes (~2x fewer matmul MACs)
+        trunc = pp.choose_truncate_limbs(params, p_bits)
+        print(f"# truncate_limbs: {trunc}", file=sys.stderr)
+        bsk = K.pack_bsk(server.bsk, params, truncate_limbs=trunc)
     lut = np.array([(3 * v + 1) % (1 << p_bits) for v in range(1 << p_bits)],
                    dtype=np.uint64)
     lut_poly = jnp.asarray(ref.encode_expand_lut(

@@ -33,6 +33,7 @@ class Keys:
         self._server: Optional[ServerKeys] = None
         self._packed_ksk: Optional[kn.LimbKSK] = None
         self._packed_bsk: Optional[kn.LimbBSK] = None
+        self._packed_bsk_ntt = None
         # WoP-PBS private functional packing keyswitch keys, keyed by the
         # pfks gadget (level, base_log): raw u64 + packed limb planes
         self._pfpksk: dict[tuple, np.ndarray] = {}
@@ -69,6 +70,7 @@ class Keys:
                                                glwe_key=glwe_key)
         self._packed_ksk = None
         self._packed_bsk = None
+        self._packed_bsk_ntt = None
         if self.cache_directory is not None and glwe_key is None:
             os.makedirs(self.cache_directory, exist_ok=True)
             self.save(self._cache_path(seed))
@@ -97,21 +99,47 @@ class Keys:
         """Device-packed evaluation keys (limb KSK + banded limb BSK)."""
         return self.evaluation_for(message_bits=None)
 
-    def evaluation_for(self, message_bits=None, norm2: int = 1
-                       ) -> tuple[kn.LimbKSK, kn.LimbBSK]:
-        """Packed keys with noise-budget-aware BSK limb truncation.
+    #: blind-rotate algorithm switchover: banded int8 matmuls win below
+    #: this polynomial size, the CRT-NTT external product above it
+    #: (core/ntt_tpu.py module docstring has the MAC-count analysis)
+    NTT_MIN_POLY_SIZE = 2048
 
-        When `message_bits` is given, the largest provably-negligible
-        truncation is chosen (params.choose_truncate_limbs, scaled by the
-        circuit's norm2 amplification); else none.
+    def evaluation_for(self, message_bits=None, norm2: int = 1,
+                       use_ntt: bool = None):
+        """Packed evaluation keys (LimbKSK + BSK).
+
+        When `message_bits` is given, the largest provably-negligible BSK
+        limb truncation is chosen (params.choose_truncate_limbs, scaled by
+        the circuit's norm2 amplification); else none.
+
+        use_ntt: pack the BSK as per-prime NTT spectra (ntt_tpu.NttBSK)
+        instead of banded limb planes — the default (None) picks NTT for
+        N >= NTT_MIN_POLY_SIZE, where the O(N sqrt N) path wins.  Both give
+        bit-identical PBS results.
         """
+        import os
         self._require()
+        if use_ntt is None:
+            forced = os.environ.get("CONCRETE_TPU_NTT")
+            if forced is not None:
+                use_ntt = forced == "1"
+            else:
+                use_ntt = (self.params.polynomial_size
+                           >= self.NTT_MIN_POLY_SIZE)
+        if use_ntt:
+            if self._packed_ksk is None:
+                self._packed_ksk = kn.pack_ksk(self._server.ksk, self.params)
+            if getattr(self, "_packed_bsk_ntt", None) is None:
+                from concrete_tpu.core import ntt_tpu as nt
+                self._packed_bsk_ntt = nt.pack_bsk_ntt(self._server.bsk,
+                                                       self.params)
+            return self._packed_ksk, self._packed_bsk_ntt
         truncate = 0
         if message_bits is not None:
             from concrete_tpu.params import choose_truncate_limbs
             truncate = choose_truncate_limbs(self.params, message_bits,
                                              norm2=norm2)
-        if (self._packed_ksk is None
+        if (self._packed_ksk is None or self._packed_bsk is None
                 or self._packed_bsk.truncate_limbs != truncate):
             self._packed_ksk = kn.pack_ksk(self._server.ksk, self.params)
             self._packed_bsk = kn.pack_bsk(self._server.bsk, self.params,
@@ -179,6 +207,7 @@ class Keys:
                                   ksk=np.asarray(z["ksk"]))
         self._packed_ksk = None
         self._packed_bsk = None
+        self._packed_bsk_ntt = None
         self._pfpksk = {}
         self._packed_pfpksk = {}
         for name in getattr(z, "files", []):

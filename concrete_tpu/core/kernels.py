@@ -458,16 +458,25 @@ def sample_extract(acc, index: int = 0):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("params", "message_bits", "signed"))
-def pbs_batch(ct_big, ksk: LimbKSK, bsk: LimbBSK, lut_poly,
+def pbs_batch(ct_big, ksk: LimbKSK, bsk, lut_poly,
               params: CryptoParams, message_bits: int, signed: bool = False):
     """Batched programmable bootstrap: (B, n_big+1) u64 -> (B, n_big+1) u64.
 
     KS -> modswitch -> BR -> sample extract, matching refimpl.pbs bit-for-bit
     (including the signed quarter-torus offset, FHEToTFHEScalar.cpp:395-411).
+
+    `bsk` selects the blind-rotate algorithm: a LimbBSK runs the banded
+    int8-matmul path (fastest at N <= 1024); an ntt_tpu.NttBSK runs the
+    CRT-NTT external product (the O(N sqrt N) path for N >= 2048).  Both
+    are exact and bit-identical.
     """
     if signed:
         offset = U64((1 << (message_bits - 1)) << (_Q_LOG - message_bits - 1))
         ct_big = ct_big.at[:, -1].add(offset)
     ct_small = keyswitch(ct_big, ksk)
-    acc = blind_rotate(ct_small, bsk, lut_poly, params)
+    from concrete_tpu.core.ntt_tpu import NttBSK, blind_rotate_ntt
+    if isinstance(bsk, NttBSK):
+        acc = blind_rotate_ntt(ct_small, bsk, lut_poly, params)
+    else:
+        acc = blind_rotate(ct_small, bsk, lut_poly, params)
     return sample_extract(acc, 0)

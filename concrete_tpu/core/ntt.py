@@ -108,14 +108,24 @@ def psi_tables(n: int, p: int):
 
 
 def _matmod(a: np.ndarray, m: np.ndarray, p: int) -> np.ndarray:
-    """(a @ m) mod p, exact: chunk the contraction to stay within int64...
-    done in object/int128-free fashion via float-safe splitting."""
-    # a, m in [0, p), p < 2^31: products < 2^62; contraction length n up to
-    # 2^11 overflows int64 -> accumulate in chunks of 4 with interim mod
-    out = np.zeros((a.shape[0], m.shape[1]), dtype=np.int64)
-    chunk = max(1, (1 << 62) // (p * p))
-    for s in range(0, a.shape[1], chunk):
-        out = (out + a[:, s:s + chunk] @ m[s:s + chunk]) % p
+    """(a @ m) mod p, exact, BLAS-fast for p < 2^31.
+
+    Both operands are split into 16-bit halves so each f64 matmul stays
+    exactly representable (|partial sums| <= K * 2^32 < 2^53 for K <= 2^20),
+    then the four limb products recombine mod p in int64.
+    """
+    if a.shape[1] > (1 << 20):
+        raise ValueError("contraction too long for the exact f64 path")
+    a_lo = (a & 0xFFFF).astype(np.float64)
+    a_hi = (a >> 16).astype(np.float64)
+    m_lo = (m & 0xFFFF).astype(np.float64)
+    m_hi = (m >> 16).astype(np.float64)
+    c00 = (a_lo @ m_lo).astype(np.int64) % p
+    c01 = (a_lo @ m_hi).astype(np.int64)
+    c10 = (a_hi @ m_lo).astype(np.int64)
+    c11 = (a_hi @ m_hi).astype(np.int64) % p
+    mid = (c01 + c10) % p
+    out = (c00 + mid * ((1 << 16) % p) % p + c11 * ((1 << 32) % p) % p) % p
     return out
 
 

@@ -1,0 +1,131 @@
+"""CRT-NTT external product tests: exactness vs the banded path + oracle.
+
+The NTT path (core/ntt_tpu.py) must be bit-identical to the banded-matmul
+path at every level: transforms, external product, blind rotate, full PBS.
+"""
+
+import numpy as np
+import pytest
+
+import concrete_tpu.jax_config  # noqa: F401
+import jax.numpy as jnp
+
+from concrete_tpu.core import keygen as kg
+from concrete_tpu.core import kernels as K
+from concrete_tpu.core import ntt as ntt_host
+from concrete_tpu.core import ntt_tpu as nt
+from concrete_tpu.core import refimpl as ref
+from concrete_tpu.params import TEST_PARAMS_TINY as P
+
+
+def test_primes_near_pow2():
+    primes = nt.ntt_primes_near_pow2(64, 100)
+    assert len(set(primes)) == len(primes)
+    for p in primes:
+        assert p % 128 == 1 and p < (1 << 31)
+        assert (1 << 31) % p < (1 << 22)  # fold contraction guarantee
+        assert ntt_host.is_prime(p)
+
+
+def test_fwd_inv_roundtrip_and_oracle(rng):
+    n = 64
+    for p in nt.ntt_primes_near_pow2(n, 70):
+        plan = nt.build_plan(n, p)
+        x = rng.integers(0, p, (3, n), dtype=np.uint64)
+        xf = nt.ntt_fwd(jnp.asarray(x), plan)
+        assert np.array_equal(np.asarray(nt.ntt_inv(xf, plan)), x)
+        nat = ntt_host.ntt_forward(x.astype(np.int64) % p, n, p)
+        perm = nt._fwd_perm(n, plan.n1)
+        assert np.array_equal(np.asarray(xf),
+                              nat[..., perm].astype(np.uint64))
+
+
+def test_external_product_matches_banded(rng):
+    """The CRT-NTT external product equals the banded-matmul external
+    product bit-for-bit (both compute sum_cin digits (*) bsk mod 2^64)."""
+    n = P.polynomial_size
+    l, kp1 = P.pbs_level, P.glwe_dimension + 1
+    cin = l * kp1
+    bsk = rng.integers(0, 1 << 63, (4, l, kp1, kp1, n), dtype=np.uint64)
+    packed = nt.pack_bsk_ntt(bsk, P)
+    digits = rng.integers(-(1 << (P.pbs_base_log - 1)),
+                          1 << (P.pbs_base_log - 1),
+                          (3, cin, n)).astype(np.int32)
+    got = np.asarray(nt.external_product_ntt(
+        jnp.asarray(digits), packed.spectra[:, 2], packed.primes, P))
+
+    # oracle: the exact negacyclic contraction in numpy
+    want = np.zeros((3, kp1, n), dtype=np.uint64)
+    flat = bsk.reshape(4, cin, kp1, n)
+    for b in range(3):
+        for c in range(cin):
+            for co in range(kp1):
+                want[b, co] += ref.negacyclic_polymul(
+                    digits[b, c].astype(np.int64).astype(np.uint64),
+                    flat[2, c, co])
+    assert np.array_equal(got, want)
+
+
+def test_blind_rotate_ntt_matches_banded(rng):
+    sk, server = kg.keygen(rng, P)
+    bits = 3
+    lut = np.array([(v * 3 + 1) % 8 for v in range(8)], dtype=np.uint64)
+    lut_poly = jnp.asarray(ref.encode_expand_lut(lut, P.polynomial_size,
+                                                 bits))
+    msgs = rng.integers(0, 8, 6)
+    ct = kg.encrypt_lwe_batch(rng, sk.lwe_small.astype(np.uint64),
+                              ref.encode(msgs, bits), P.lwe_std / 256)
+    bsk_banded = K.pack_bsk(server.bsk, P)
+    bsk_ntt = nt.pack_bsk_ntt(server.bsk, P)
+    acc_banded = np.asarray(K.blind_rotate(jnp.asarray(ct), bsk_banded,
+                                           lut_poly, P, use_pallas=False))
+    acc_ntt = np.asarray(nt.blind_rotate_ntt(jnp.asarray(ct), bsk_ntt,
+                                             lut_poly, P))
+    assert np.array_equal(acc_ntt, acc_banded)
+
+
+def test_pbs_batch_ntt_bit_exact(rng):
+    """Full PBS through pbs_batch with an NttBSK equals the LimbBSK PBS."""
+    sk, server = kg.keygen(rng, P)
+    bits = 3
+    lut = np.array([(v + 2) % 8 for v in range(8)], dtype=np.uint64)
+    lut_poly = jnp.asarray(ref.encode_expand_lut(lut, P.polynomial_size,
+                                                 bits))
+    msgs = rng.integers(0, 8, 8)
+    ct = kg.encrypt_lwe_batch(rng, sk.lwe_big, ref.encode(msgs, bits),
+                              P.lwe_std / 256)
+    ksk = K.pack_ksk(server.ksk, P)
+    want = np.asarray(K.pbs_batch(jnp.asarray(ct), ksk,
+                                  K.pack_bsk(server.bsk, P), lut_poly,
+                                  P, bits))
+    got = np.asarray(K.pbs_batch(jnp.asarray(ct), ksk,
+                                 nt.pack_bsk_ntt(server.bsk, P), lut_poly,
+                                 P, bits))
+    assert np.array_equal(got, want)
+    dec = ref.decode(ref.lwe_decrypt(sk.lwe_big, got), bits)
+    assert np.array_equal(dec, (msgs + 2) % 8)
+
+
+def test_keys_evaluation_ntt_option():
+    from concrete_tpu.compilation.keys import Keys
+    keys = Keys(P)
+    keys.generate(seed=3)
+    ksk, bsk = keys.evaluation_for(3, use_ntt=True)
+    assert isinstance(bsk, nt.NttBSK)
+    ksk2, bsk2 = keys.evaluation_for(3, use_ntt=False)
+    assert isinstance(bsk2, K.LimbBSK)
+    # default policy: banded below the switchover size
+    _, bsk3 = keys.evaluation_for(3)
+    assert isinstance(bsk3, K.LimbBSK)
+
+
+def test_garner_centering(rng):
+    """Negative coefficients recombine correctly (the centering compare)."""
+    primes = nt.ntt_primes_near_pow2(64, 70)
+    plans = [nt.build_plan(64, p) for p in primes]
+    vals = np.array([-1, -(1 << 40), (1 << 40), 0, 7,
+                     -(1 << 62)], dtype=np.int64)
+    residues = [jnp.asarray((vals.astype(object) % p).astype(np.uint64))
+                for p in primes]
+    got = np.asarray(nt.garner_to_u64(residues, primes, plans))
+    assert np.array_equal(got, vals.astype(np.uint64))
