@@ -73,27 +73,47 @@ def _center(vals: np.ndarray, p: int) -> np.ndarray:
 
 
 def _split_planes(mat: np.ndarray, p: int) -> np.ndarray:
-    """(K, L) mod-p matrix -> (K, L*4) int8 planes of centered entries."""
+    """(K, L) mod-p matrix -> (K*4, L*7) i8 'limb-convolution' matrix W
+    with W[k*4+a, l*7+(a+b)] = limb_b(centered(mat[k, l])).
+
+    A single int8 matmul  X(M, K*4) @ W  then yields all seven 2^(8s)
+    product planes at once: no scatter-accumulated plane buffer (the
+    first version's (M, L, 7) at[].add chain was HBM-bound and 10x off
+    the MXU roofline)."""
     c = _center(mat, p).astype(np.int32)
     limbs = lb.i32_digits_to_balanced_i8(c, 4)          # (K, L, 4)
-    return np.ascontiguousarray(limbs.reshape(mat.shape[0], -1))
+    k_dim, l_dim = mat.shape
+    w = np.zeros((k_dim, 4, l_dim, 7), dtype=np.int8)
+    for a in range(4):
+        for b in range(4):
+            w[:, a, :, a + b] = limbs[:, :, b]
+    return np.ascontiguousarray(w.reshape(k_dim * 4, l_dim * 7))
 
 
 @dataclasses.dataclass(frozen=True)
 class NttPlan:
-    """Per-(N, prime) four-step transform tables (device arrays)."""
+    """Per-(N, prime) four-step transform tables (device arrays).
+
+    All residue tensors between stages are u32 (residues < 2^31): the
+    first u64 design moved 2x the bytes per stage, and the blind rotate
+    is HBM-bound, not MXU-bound.  The negacyclic psi / psi^-1/N twists
+    are FUSED into the stage matrices and twiddles (no separate
+    elementwise twist passes):
+
+      fwd:  dft1[i1,k1] *= psi^(i1*n2);  tw_f[i2,k1] = psi^i2 * w^(i2*k1)
+      inv:  tw_i[k1,i2] = w^(-i2*k1) * psi^-i2 / N;
+            idft1[k1,i1] *= psi^(-i1*n2)
+    """
     p: int
     n1: int
     n2: int
     hi31: int                 # 2^31 mod p
-    dft1: jnp.ndarray         # (n1, n1*4) i8: [i1, k1] fwd stage-1
-    dft2: jnp.ndarray         # (n2, n2*4) i8: [i2, k2] fwd stage-3
-    idft2: jnp.ndarray        # (n2, n2*4) i8: [k2, i2] inv stage-1
-    idft1: jnp.ndarray        # (n1, n1*4) i8: [k1, i1] inv stage-3
-    tw_f: jnp.ndarray         # (n2, n1) u64: omega^(i2*k1)
-    tw_i: jnp.ndarray         # (n1, n2) u64: omega^(-i2*k1) indexed [k1, i2]
-    psi: jnp.ndarray          # (N,) u64: psi^i (forward pre-twist)
-    ipsi_n: jnp.ndarray       # (N,) u64: psi^(-i) * N^(-1) (inverse post)
+    dft1: jnp.ndarray         # (n1*4, n1*7) i8 limb-conv [i1 -> k1], psi-fused
+    dft2: jnp.ndarray         # (n2*4, n2*7) i8 [i2 -> k2]
+    idft2: jnp.ndarray        # (n2*4, n2*7) i8 [k2 -> i2]
+    idft1: jnp.ndarray        # (n1*4, n1*7) i8 [k1 -> i1], ipsi/N-fused
+    tw_f: jnp.ndarray         # (n2, n1) u32 combined forward twiddle
+    tw_i: jnp.ndarray         # (n1, n2) u32 combined inverse twiddle
     pow8: jnp.ndarray         # (7,) i64: 2^(8s) mod p
 
 
@@ -106,35 +126,45 @@ def build_plan(n: int, p: int) -> NttPlan:
     assert pow(psi, n, p) == p - 1
     w = psi * psi % p
     wi = pow(w, -1, p)
+    psi_i = pow(psi, -1, p)
     w1, w2 = pow(w, n2, p), pow(w, n1, p)       # n1-th, n2-th roots
     w1i, w2i = pow(w1, -1, p), pow(w2, -1, p)
+    n_inv = pow(n, -1, p)
 
-    def dft_mat(m, root):
+    def dft_mat(m, root, row_scale=None, col_scale=None):
         pows = np.array([pow(root, int(e), p) for e in range(m)],
                         dtype=np.int64)
         ij = np.multiply.outer(np.arange(m), np.arange(m)) % m
-        return pows[ij]
+        mat = pows[ij]
+        if row_scale is not None:
+            mat = mat * row_scale[:, None] % p
+        if col_scale is not None:
+            mat = mat * col_scale[None, :] % p
+        return mat
 
+    psi_i1n2 = np.array([pow(psi, i1 * n2, p) for i1 in range(n1)],
+                        dtype=np.int64)
+    ipsi_i1n2 = np.array([pow(psi_i, i1 * n2, p) for i1 in range(n1)],
+                         dtype=np.int64)
     i2k1 = np.multiply.outer(np.arange(n2), np.arange(n1)) % n
-    tw_f = np.array([[pow(w, int(e), p) for e in row] for row in i2k1],
-                    dtype=np.uint64)
+    tw_f = np.array([[pow(w, int(e), p) * pow(psi, i2, p) % p
+                      for e in row]
+                     for i2, row in enumerate(i2k1)], dtype=np.uint32)
     k1i2 = np.multiply.outer(np.arange(n1), np.arange(n2)) % n
-    tw_i = np.array([[pow(wi, int(e), p) for e in row] for row in k1i2],
-                    dtype=np.uint64)
-    n_inv = pow(n, -1, p)
-    psi_t = np.array([pow(psi, int(i), p) for i in range(n)],
-                     dtype=np.uint64)
-    ipsi_n = np.array([pow(psi, -int(i) % (2 * n), p) * n_inv % p
-                       for i in range(n)], dtype=np.uint64)
+    tw_i = np.array([[pow(wi, int(e), p)
+                      * (pow(psi_i, i2, p) * n_inv % p) % p
+                      for i2, e in enumerate(row)]
+                     for row in k1i2], dtype=np.uint32)
     pow8 = np.array([(1 << (8 * s)) % p for s in range(7)], dtype=np.int64)
     return NttPlan(
         p=p, n1=n1, n2=n2, hi31=(1 << 31) % p,
-        dft1=jnp.asarray(_split_planes(dft_mat(n1, w1), p)),
+        dft1=jnp.asarray(_split_planes(
+            dft_mat(n1, w1, row_scale=psi_i1n2), p)),
         dft2=jnp.asarray(_split_planes(dft_mat(n2, w2), p)),
         idft2=jnp.asarray(_split_planes(dft_mat(n2, w2i), p)),
-        idft1=jnp.asarray(_split_planes(dft_mat(n1, w1i), p)),
+        idft1=jnp.asarray(_split_planes(
+            dft_mat(n1, w1i, col_scale=ipsi_i1n2), p)),
         tw_f=jnp.asarray(tw_f), tw_i=jnp.asarray(tw_i),
-        psi=jnp.asarray(psi_t), ipsi_n=jnp.asarray(ipsi_n),
         pow8=jnp.asarray(pow8))
 
 
@@ -143,7 +173,7 @@ def build_plan(n: int, p: int) -> NttPlan:
 # ---------------------------------------------------------------------------
 
 def _fold(c, plan: NttPlan, iters: int):
-    """Lazy reduction of u64 c (< 2^62) to [0, p): repeatedly substitute
+    """Lazy reduction of u64 c (< 2^63) to [0, p): repeatedly substitute
     2^31 -> (2^31 mod p); hi31 < 2^22 so each pass removes ~9 bits."""
     hi = U64(plan.hi31)
     for _ in range(iters):
@@ -155,8 +185,24 @@ def _fold(c, plan: NttPlan, iters: int):
 
 
 def _mul_mod(a, b, plan: NttPlan):
-    """a, b residues in [0, p) -> a*b mod p (product < 2^62)."""
+    """u64 residues in [0, p) -> a*b mod p as u64 (product < 2^62)."""
     return _fold(a * b, plan, 4)
+
+
+U32 = jnp.uint32
+
+
+def _mul_mod32(a, b, plan: NttPlan):
+    """u32 residues in [0, p) -> a*b mod p as u32 (the transform-path
+    variant: inter-stage tensors stay u32, halving HBM traffic)."""
+    return _fold(a.astype(U64) * b.astype(U64), plan, 4).astype(U32)
+
+
+def _add_mod32(a, b, plan: NttPlan):
+    """u32 residues in [0, p) -> (a + b) mod p as u32 (sum < 2^32)."""
+    s = a + b
+    p = U32(plan.p)
+    return s - p * (s >= p).astype(U32)
 
 
 # ---------------------------------------------------------------------------
@@ -166,29 +212,46 @@ def _mul_mod(a, b, plan: NttPlan):
 def _matmul_mod(x_res, rhs_planes, plan: NttPlan):
     """(..., K) residues in [0, p) @ (K, L) mod-p matrix -> (..., L).
 
-    rhs_planes: (K, L*4) i8 pre-split; data residues are centered and split
-    into 4 balanced i8 limbs; 4 shifted-plane int8 matmuls accumulate into
-    7 i32 planes (|plane| <= K * 128^2), folded back mod p.
+    rhs_planes: (K*4, L*7) i8 limb-convolution matrix (_split_planes).
+    Data residues are centered and split into 4 balanced i8 limbs laid out
+    limb-minor, so ONE int8 matmul produces all seven 2^(8s) planes of the
+    exact product; planes are then Horner-combined mod p with an i32
+    pair-packing step that keeps the big i64 intermediate off HBM.
     """
     shape = x_res.shape[:-1]
     k_dim = x_res.shape[-1]
-    l4 = rhs_planes.shape[-1]
-    l_dim = l4 // 4
+    l7 = rhs_planes.shape[-1]
+    l_dim = l7 // 7
     flat = x_res.reshape(-1, k_dim)
     p = plan.p
     xc = flat.astype(jnp.int64)
     xc = jnp.where(xc > p // 2, xc - p, xc).astype(jnp.int32)
     limbs = lb.i32_digits_to_balanced_i8(xc, 4)          # (M, K, 4)
     m_dim = flat.shape[0]
-    planes = jnp.zeros((m_dim, l_dim, 7), dtype=jnp.int32)
-    for a in range(4):
-        prod = jnp.matmul(limbs[..., a], rhs_planes,
-                          preferred_element_type=jnp.int32)
-        planes = planes.at[:, :, a:a + 4].add(prod.reshape(m_dim, l_dim, 4))
-    c = (planes.astype(jnp.int64) * plan.pow8).sum(axis=-1)  # |c| <= 2^54
-    bias = ((1 << 55) // p + 1) * p
+    x8 = limbs.reshape(m_dim, k_dim * 4)
+    planes = jnp.matmul(x8, rhs_planes, preferred_element_type=jnp.int32)
+    planes = planes.reshape(m_dim, l_dim, 7)
+    # |plane_s| <= K * 127^2 * 4; pack (even, odd) plane pairs into one i32
+    # when 257x that bound stays below 2^30 (true for K <= 64), then a
+    # 4-term Horner with CENTERED 2^16t-mod-p weights (|w| <= p/2 < 2^30)
+    # keeps |c| <= 3*2^60 — bias + u64 fold stay in range
+    bound = k_dim * 127 * 127 * 4
+    if bound * 257 < (1 << 30):
+        w16 = [(1 << (16 * t)) % p for t in range(4)]
+        w16 = [w - p if w > p // 2 else w for w in w16]   # centered
+        g0 = planes[:, :, 0] + planes[:, :, 1] * 256
+        g1 = planes[:, :, 2] + planes[:, :, 3] * 256
+        g2 = planes[:, :, 4] + planes[:, :, 5] * 256
+        g3 = planes[:, :, 6]
+        c = (g0.astype(jnp.int64)
+             + g1.astype(jnp.int64) * jnp.int64(w16[1])
+             + g2.astype(jnp.int64) * jnp.int64(w16[2])
+             + g3.astype(jnp.int64) * jnp.int64(w16[3]))
+    else:
+        c = (planes.astype(jnp.int64) * plan.pow8).sum(axis=-1)
+    bias = ((1 << 62) // p + 1) * p
     c = (c + jnp.int64(bias)).astype(U64)
-    return _fold(c, plan, 3).reshape(shape + (l_dim,))
+    return _fold(c, plan, 4).astype(U32).reshape(shape + (l_dim,))
 
 
 # ---------------------------------------------------------------------------
@@ -196,31 +259,32 @@ def _matmul_mod(x_res, rhs_planes, plan: NttPlan):
 # ---------------------------------------------------------------------------
 
 def ntt_fwd(x_res, plan: NttPlan):
-    """(..., N) residues in [0, p) -> (..., N) spectrum (four-step layout:
-    flat index k1*n2 + k2 holds natural frequency k2*n1 + k1)."""
+    """(..., N) residues in [0, p) -> (..., N) u32 spectrum (four-step
+    layout: flat index k1*n2 + k2 holds natural frequency k2*n1 + k1).
+    The negacyclic psi twist is fused into dft1 (psi^(i1*n2) row scale)
+    and tw_f (psi^i2 factor) — no standalone twist pass."""
     n1, n2 = plan.n1, plan.n2
     shape = x_res.shape[:-1]
-    y = _mul_mod(x_res, plan.psi, plan)                  # negacyclic twist
-    y = y.reshape(shape + (n1, n2))
+    y = x_res.reshape(shape + (n1, n2))                  # (..., i1, i2)
     y = jnp.swapaxes(y, -1, -2)                          # (..., i2, i1)
     y = _matmul_mod(y, plan.dft1, plan)                  # (..., i2, k1)
-    y = _mul_mod(y, plan.tw_f, plan)
+    y = _mul_mod32(y, plan.tw_f, plan)
     y = jnp.swapaxes(y, -1, -2)                          # (..., k1, i2)
     y = _matmul_mod(y, plan.dft2, plan)                  # (..., k1, k2)
     return y.reshape(shape + (n1 * n2,))
 
 
 def ntt_inv(x_freq, plan: NttPlan):
-    """Inverse of ntt_fwd (includes the psi^-i / N scaling)."""
+    """Inverse of ntt_fwd; the psi^-i / N scaling is fused into tw_i
+    (psi^-i2 / N) and idft1 (psi^(-i1*n2) column scale)."""
     n1, n2 = plan.n1, plan.n2
     shape = x_freq.shape[:-1]
     y = x_freq.reshape(shape + (n1, n2))                 # (..., k1, k2)
     y = _matmul_mod(y, plan.idft2, plan)                 # (..., k1, i2)
-    y = _mul_mod(y, plan.tw_i, plan)
+    y = _mul_mod32(y, plan.tw_i, plan)
     y = jnp.swapaxes(y, -1, -2)                          # (..., i2, k1)
     y = _matmul_mod(y, plan.idft1, plan)                 # (..., i2, i1)
-    y = jnp.swapaxes(y, -1, -2).reshape(shape + (n1 * n2,))
-    return _mul_mod(y, plan.ipsi_n, plan)
+    return jnp.swapaxes(y, -1, -2).reshape(shape + (n1 * n2,))
 
 
 # ---------------------------------------------------------------------------
@@ -250,9 +314,11 @@ def _garner_consts(primes: tuple):
 
 
 def garner_to_u64(residues: list, primes: tuple, plans: list):
-    """Per-prime residues in [0, p_i) -> exact centered value mod 2^64."""
+    """Per-prime residues in [0, p_i) (u32 or u64) -> exact centered value
+    mod 2^64."""
     inv, h_digits, total64 = _garner_consts(primes)
     n = len(primes)
+    residues = [r.astype(U64) for r in residues]
     digits = [residues[0]]
     for j in range(1, n):
         plan = plans[j]
@@ -361,15 +427,15 @@ def external_product_ntt(digits, bsk_step, primes: tuple,
         # signed digits |d| < 2^(base_log-1) << p: bias into [0, p)
         bias = ((1 << 31) // p + 1) * p
         d_res = (digits.astype(jnp.int64) + jnp.int64(bias)).astype(U64)
-        d_res = _fold(d_res, plan, 2)
-        d_hat = ntt_fwd(d_res, plan)                   # (B, Cin, N)
+        d_res = _fold(d_res, plan, 2).astype(U32)
+        d_hat = ntt_fwd(d_res, plan)                   # (B, Cin, N) u32
         # pointwise contraction over Cin: (B, Cin, 1, N) * (Cin, k+1, N)
-        spec = bsk_step[pi].astype(U64)
+        spec = bsk_step[pi]                            # (Cin, k+1, N) u32
         prod = None
         for cin in range(d_hat.shape[1]):
-            term = _mul_mod(d_hat[:, cin, None, :], spec[cin], plan)
-            prod = term if prod is None else _fold(prod + term, plan, 1)
-        residues.append(ntt_inv(prod, plan))           # (B, k+1, N)
+            term = _mul_mod32(d_hat[:, cin, None, :], spec[cin], plan)
+            prod = term if prod is None else _add_mod32(prod, term, plan)
+        residues.append(ntt_inv(prod, plan))           # (B, k+1, N) u32
     return garner_to_u64(residues, primes, plans)
 
 
