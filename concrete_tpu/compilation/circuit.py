@@ -72,6 +72,14 @@ class Circuit:
         return eval_keys
 
     def run(self, *args):
+        if (self.configuration is not None
+                and self.configuration.auto_schedule_run):
+            # reference ExecutionRt auto_schedule_run: hand the call to the
+            # background pool and return a Future
+            return self.run_async(*args)
+        return self._run_sync(*args)
+
+    def _run_sync(self, *args):
         self.keygen()
         return_tuple = self.server.run(
             *args, evaluation_keys=self._evaluation_keys())
@@ -81,11 +89,18 @@ class Circuit:
         return self.client.decrypt(*results)
 
     def encrypt_run_decrypt(self, *args):
-        """The one-call convenience oracle (reference circuit.py)."""
+        """The one-call convenience oracle (reference circuit.py).
+
+        Under Configuration.simulate_encrypt_run_decrypt the call runs the
+        noise-accurate simulator instead of real encryption (reference
+        configuration.py field of the same name)."""
+        if (self.configuration is not None
+                and self.configuration.simulate_encrypt_run_decrypt):
+            return self.simulate(*args)
         enc = self.encrypt(*args)
         if len(self.client_specs.inputs) == 1:
             enc = (enc,)
-        res = self.run(*enc)
+        res = self._run_sync(*enc)
         if len(self.client_specs.outputs) == 1:
             return self.decrypt(res)
         return self.decrypt(*res)
@@ -104,7 +119,7 @@ class Circuit:
         import concurrent.futures
         if not hasattr(self, "_pool"):
             self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
-        return self._pool.submit(self.run, *args)
+        return self._pool.submit(self._run_sync, *args)
 
     # -- statistics (reference circuit.py:236-533) -------------------------
 
@@ -113,19 +128,41 @@ class Circuit:
         return self.server.complexity
 
     @property
-    def programmable_bootstrap_count(self) -> int:
-        return self.server.programmable_bootstrap_count()
+    def _statistic_records(self):
+        """Primitive-op records from the ExtractStatistics analog
+        (compilation/statistics.py); cached per circuit."""
+        from concrete_tpu.compilation import statistics as st
+        if not hasattr(self, "_stats_cache"):
+            self._stats_cache = st.collect(
+                self.graph, self.server._executor,
+                self.client_specs.message_bits)
+        return self._stats_cache
 
     @property
-    def wop_pbs_count(self) -> int:
-        """Number of WoP-PBS (wide TLU) evaluations per run (reference
-        ExtractStatistics wop op counting)."""
-        ex = self.server._executor
-        return sum(
-            max(int(np.prod(n.output.shape)), 1)
-            for n in self.graph.graph.nodes
-            if n.name in ("tlu", "univariate", "multivariate")
-            and n.uid in ex.wop_specs)
+    def statistics(self) -> dict:
+        """All primitive-op counts in one dict (reference circuit.py:525):
+        {kind: {"total", "per_parameter", "per_tag",
+        "per_tag_per_parameter"}} plus sizes and error rates."""
+        from concrete_tpu.compilation import statistics as st
+        recs = self._statistic_records
+        out = {}
+        for kind in st.KINDS:
+            out[f"{kind}_count"] = st.total(recs, kind)
+            out[f"{kind}_count_per_parameter"] = st.per_parameter(recs, kind)
+            out[f"{kind}_count_per_tag"] = st.per_tag(recs, kind)
+            out[f"{kind}_count_per_tag_per_parameter"] = \
+                st.per_tag_per_parameter(recs, kind)
+        out.update(
+            size_of_secret_keys=self.size_of_secret_keys,
+            size_of_bootstrap_keys=self.size_of_bootstrap_keys,
+            size_of_keyswitch_keys=self.size_of_keyswitch_keys,
+            size_of_inputs=self.size_of_inputs,
+            size_of_outputs=self.size_of_outputs,
+            p_error=self.p_error,
+            global_p_error=self.global_p_error,
+            complexity=self.complexity,
+        )
+        return out
 
     @property
     def size_of_secret_keys(self) -> int:
@@ -178,18 +215,6 @@ class Circuit:
         }
 
     @property
-    def programmable_bootstrap_count_per_tag(self) -> dict:
-        """PBS counts grouped by fhe.tag regions (reference circuit.py
-        per-tag statistics)."""
-        out: dict = {}
-        for n in self.graph.graph.nodes:
-            if n.name in ("tlu", "univariate", "multivariate"):
-                tag = n.properties.get("tag", "")
-                out[tag] = out.get(tag, 0) + max(
-                    int(np.prod(n.output.shape)), 1)
-        return out
-
-    @property
     def programmable_bootstrap_count_per_bit_width(self) -> dict:
         """PBS counts keyed by each TLU's *input* encoding width — shows that
         a mixed-precision circuit runs each PBS at its own width (reference
@@ -215,5 +240,42 @@ class Circuit:
         pe = self.p_error
         return 1.0 - (1.0 - pe) ** n
 
+    def cleanup(self) -> None:
+        """Release execution resources (reference circuit.py:226)."""
+        if hasattr(self, "_pool"):
+            self._pool.shutdown(wait=True)
+            del self._pool
+
     def __str__(self) -> str:
         return self.graph.format()
+
+
+def _install_statistic_properties() -> None:
+    """Attach the reference's full `*_count*` property grid (circuit.py:
+    302-533): for each primitive-op kind, `<kind>_count`,
+    `<kind>_count_per_parameter` (parameter = partition encoding width),
+    `<kind>_count_per_tag`, and `<kind>_count_per_tag_per_parameter`."""
+    from concrete_tpu.compilation import statistics as st
+
+    def make(kind, agg, doc):
+        def get(self):
+            return agg(self._statistic_records, kind)
+        get.__doc__ = doc
+        return property(get)
+
+    for kind in st.KINDS:
+        for suffix, agg in (("", st.total),
+                            ("_per_parameter", st.per_parameter),
+                            ("_per_tag", st.per_tag),
+                            ("_per_tag_per_parameter",
+                             st.per_tag_per_parameter)):
+            name = f"{kind}_count{suffix}"
+            if name in Circuit.__dict__:
+                continue
+            setattr(Circuit, name, make(
+                kind, agg,
+                f"Number of {kind.replace('_', ' ')} operations per run"
+                f"{suffix.replace('_', ' ')} (ExtractStatistics analog)."))
+
+
+_install_statistic_properties()

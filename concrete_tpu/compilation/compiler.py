@@ -38,19 +38,43 @@ class Compiler:
             raise ValueError("inputset must not be empty")
         sample = inputset[0]
 
+        if config.auto_adjust_rounders or config.auto_adjust_truncators:
+            # run the clear function over the inputset so AutoRounders /
+            # AutoTruncators observe their inputs before the real trace
+            # (reference round_bit_pattern.py:74)
+            from concrete_tpu.extensions.rounding import AutoRounder
+            AutoRounder.adjust(self.function, inputset)
+
         graph = Tracer.trace(self.function,
                              self.parameter_encryption_statuses,
                              sample=sample, name=self.function.__name__)
+        from concrete_tpu.compilation.configuration import Exactness
         from concrete_tpu.compilation.transforms import run_default_transforms
         from concrete_tpu.compilation.widths import (assign_encoding_widths,
                                                      encoding_width,
                                                      tlu_pattern_split)
-        run_default_transforms(graph)
+        run_default_transforms(
+            graph, enable_tlu_fusing=config.enable_tlu_fusing,
+            print_tlu_fusing=config.print_tlu_fusing,
+            approximate_rounding=(config.rounding_exactness
+                                  is Exactness.APPROXIMATE))
+        for processor in config.additional_pre_processors:
+            processor(graph)
         graph.measure_bounds(inputset)
         graph.update_dtypes_from_bounds()
-        assign_encoding_widths(graph)
+        widths = assign_encoding_widths(graph)
 
         p = graph.max_bit_width
+        if config.single_precision:
+            # pre-multi-precision behavior: every value at the global width
+            for node in graph.graph.nodes:
+                if node.output.is_encrypted:
+                    node.properties["encoding_width"] = p
+        for processor in config.additional_post_processors:
+            processor(graph)
+        if config.verbose or config.show_bit_width_assignments:
+            for node, w in sorted(widths.items(), key=lambda kv: kv[0].uid):
+                print(f"  %{node.uid} [{node.name}] : {w} bits")
         norm2 = graph.max_norm2()
         native_patterns, wide_inputs, wop_triples = tlu_pattern_split(graph)
 
@@ -89,7 +113,8 @@ class Compiler:
             params = optimize_v0_multi(
                 native_patterns, p_error=p_error,
                 security_level=config.security_level,
-                noise_only=wide_inputs, wop_patterns=wop_triples)
+                noise_only=wide_inputs, wop_patterns=wop_triples,
+                restriction=config.range_restriction)
             if wop_triples and wop_gadgets is None:
                 from concrete_tpu.optimizer.v0 import choose_wop_gadgets
                 nb_max = max(nb for nb, _, _ in wop_triples)
@@ -122,7 +147,18 @@ class Compiler:
 
         if config.verbose or config.show_graph:
             print(graph.format())
+        if config.verbose or config.show_optimizer:
+            print(f"optimizer: n={params.n_small} k={params.glwe_dimension} "
+                  f"N={params.polynomial_size} "
+                  f"br=({params.pbs_level},{params.pbs_base_log}) "
+                  f"ks=({params.ks_level},{params.ks_base_log}) "
+                  f"p_error<={p_error:.2e}"
+                  + (f" wop_gadgets={wop_gadgets}" if wop_gadgets else ""))
         circuit = Circuit(graph, specs, configuration=config)
+        if config.show_mlir:
+            # the IR analog of the reference's MLIR dump: the per-node
+            # lowering plan the executor will run
+            print(circuit.server.lowering_text())
         if config.verbose or config.show_statistics:
             print(f"precision: {p} bits, norm2^2: {norm2}, "
                   f"params: n={params.n_small} k={params.glwe_dimension} "

@@ -562,7 +562,10 @@ class GraphExecutor:
                 # Truncation (floor) additionally biases by a half step so
                 # the round-to-nearest of the modswitch becomes a floor.
                 ct = args[0]
-                if name == "truncate_bit_pattern":
+                if name == "truncate_bit_pattern" \
+                        and not node.properties.get("approximate"):
+                    # Exactness.APPROXIMATE skips this bias (off-by-half
+                    # on ties, one clear addition cheaper)
                     lsbs = int(node.properties["kwargs"]["lsbs_to_remove"])
                     half = 1 << (lsbs - 1)
                     bias = self._encode_clear(half, self.width_of(node))

@@ -125,6 +125,31 @@ class Server:
 
     # -- introspection -----------------------------------------------------
 
+    def lowering_text(self) -> str:
+        """Human-readable per-node lowering plan — the analog of the
+        reference's `show_mlir` dump (Configuration.show_mlir): what kernel
+        each graph node dispatches to and at which encoding width."""
+        from concrete_tpu.compilation.widths import encoding_width
+        ex = self._executor
+        lines = []
+        for node in self.graph.topological_order():
+            if not node.output.is_encrypted:
+                continue
+            w = encoding_width(node, self.client_specs.message_bits)
+            kind = node.name
+            if node.uid in ex.wop_specs:
+                s = ex.wop_specs[node.uid]
+                kind = f"wop_pbs(nb={s.nb_bits}, out={s.out_bits})"
+            elif node.uid in ex.tlu_specs:
+                s = ex.tlu_specs[node.uid]
+                kind = f"keyswitch+pbs(p={s.message_bits}" \
+                    + (", signed" if s.signed_input else "") + ")"
+            elif node.uid in getattr(ex, "multivariate_specs", {}):
+                kind = "packed multivariate keyswitch+pbs"
+            lines.append(f"%{node.uid} = {kind} : eint{w}"
+                         f"{list(node.output.shape)}")
+        return "\n".join(lines)
+
     @property
     def complexity(self) -> float:
         """Estimated cost in int8 MACs (our optimizer's cost model).

@@ -281,9 +281,27 @@ def check_integer_only(graph: Graph) -> None:
                 "can be compiled (wrap with .astype(np.int64))")
 
 
-def run_default_transforms(graph: Graph) -> None:
+def run_default_transforms(graph: Graph, enable_tlu_fusing: bool = True,
+                           print_tlu_fusing: bool = False,
+                           approximate_rounding: bool = False) -> None:
+    """The default pass pipeline (reference Pipeline.cpp high-level FHE
+    transforms + the frontend graph processors).
+
+    enable_tlu_fusing / print_tlu_fusing: gate and trace float-subgraph
+    fusing (Configuration.enable_tlu_fusing).  approximate_rounding marks
+    truncate nodes so the executor skips the half-step bias correction
+    (Configuration.rounding_exactness = Exactness.APPROXIMATE).
+    """
     lower_encrypted_multiplication(graph)
     lower_nonlinear_binary_ops(graph)
-    fuse_float_subgraphs(graph)
+    if enable_tlu_fusing:
+        before = len(graph.graph.nodes)
+        fuse_float_subgraphs(graph)
+        if print_tlu_fusing:
+            print(f"tlu fusing: {before} -> {len(graph.graph.nodes)} nodes")
     process_rounding(graph)
+    if approximate_rounding:
+        for node in graph.graph.nodes:
+            if node.name in ROUNDING_OPS:
+                node.properties["approximate"] = True
     check_integer_only(graph)

@@ -102,7 +102,8 @@ def optimize_v0_multi(patterns: tuple, p_error: float = 6.3e-5,
                       security_level: int = 128,
                       noise_only: tuple = (),
                       wop_patterns: tuple = (),
-                      frontier: tuple = ()) -> pp.CryptoParams:
+                      frontier: tuple = (),
+                      restriction=None) -> pp.CryptoParams:
     """Minimal-cost CryptoParams feasible for EVERY (precision, norm2)
     atomic pattern simultaneously.
 
@@ -149,6 +150,24 @@ def optimize_v0_multi(patterns: tuple, p_error: float = 6.3e-5,
     best_cost = math.inf
 
     ns = np.arange(450, 1400, 2, dtype=np.float64)
+
+    # Configuration.range_restriction (reference restriction.rs
+    # RangeRestriction): empty axis = unrestricted
+    def _allowed(values, axis):
+        allowed = tuple(getattr(restriction, axis, ()) or ()) \
+            if restriction is not None else ()
+        if not allowed:
+            return values
+        return [v for v in values if (v[0] if isinstance(v, tuple) else v)
+                in allowed]
+
+    if restriction is not None and restriction.internal_lwe_dimensions:
+        ns = np.array([n for n in ns
+                       if int(n) in restriction.internal_lwe_dimensions],
+                      dtype=np.float64)
+        if ns.size == 0:
+            ns = np.array(sorted(restriction.internal_lwe_dimensions),
+                          dtype=np.float64)
     var_lwe = np.array([pp.minimal_variance_lwe(int(n), security_level)
                         for n in ns])
 
@@ -156,8 +175,23 @@ def optimize_v0_multi(patterns: tuple, p_error: float = 6.3e-5,
                      for b in range(2, 9) if l * b <= 40]
     br_candidates = [(l, b) for l in (1, 2, 3, 4)
                      for b in range(5, 24) if l * b <= 53]
+    if restriction is not None:
+        ks_candidates = [
+            (l, b) for l, b in ks_candidates
+            if (not restriction.ks_level_count
+                or l in restriction.ks_level_count)
+            and (not restriction.ks_base_log
+                 or b in restriction.ks_base_log)]
+        br_candidates = [
+            (l, b) for l, b in br_candidates
+            if (not restriction.pbs_level_count
+                or l in restriction.pbs_level_count)
+            and (not restriction.pbs_base_log
+                 or b in restriction.pbs_base_log)]
 
-    for log_n in range(8, 16):
+    log_ns = _allowed(list(range(8, 16)), "glwe_log_polynomial_sizes")
+    ks_allowed = _allowed(list(range(1, 7)), "glwe_dimensions")
+    for log_n in log_ns:
         big_n = 1 << log_n
         if big_n < (1 << (p_max + 1)):
             continue  # LUT mega-cases must be even: N >= 2^(p+1)
@@ -166,7 +200,7 @@ def optimize_v0_multi(patterns: tuple, p_error: float = 6.3e-5,
         if any(w * v_ms.min() > sv
                for sv, w in zip(safe_vars, ks_ms_w)):
             continue
-        for k in range(1, 7):
+        for k in ks_allowed:
             n_big = k * big_n
             if n_big > (1 << 17):
                 continue

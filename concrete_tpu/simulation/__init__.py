@@ -157,11 +157,34 @@ def simulate_graph(graph, specs, *inputs, rng=None):
                              abs(np.asarray(values[c]).max()), 1)
                     scale *= float(hi) ** 2
                 variances[node] = (variances[enc[0]] if enc else 0.0) * scale
-            elif name in ("matmul", "dot", "sum"):
+            elif name == "sum":
+                # variance scales by the number of elements actually summed
+                # along the reduced axes, not the whole tensor
                 src = [q for q in preds if q.output.is_encrypted]
                 base = variances[src[0]] if src else 0.0
-                size = max(preds[0].output.size, 1)
-                variances[node] = base * size
+                in_size = max(preds[0].output.size, 1)
+                out_size = max(node.output.size, 1)
+                variances[node] = base * (in_size // out_size)
+            elif name in ("matmul", "dot"):
+                # clear-weight contractions amplify by the true squared
+                # 2-norm along the contraction axis (MANP semantics,
+                # MANP.cpp:55), matching graph.max_norm2's orientation
+                src = [q for q in preds if q.output.is_encrypted]
+                base = variances[src[0]] if src else 0.0
+                clear = [q for q in preds if not q.output.is_encrypted]
+                if clear:
+                    w = np.asarray(values[clear[0]], dtype=np.float64)
+                    if w.ndim <= 1:
+                        amp = float((w ** 2).sum())
+                    elif preds[0] is clear[0]:   # w @ ct: contract axis -1
+                        amp = float((w ** 2).sum(axis=-1).max())
+                    else:                        # ct @ w: contract axis 0
+                        amp = float((w ** 2).sum(axis=0).max())
+                    variances[node] = base * max(amp, 1.0)
+                else:
+                    k_len = preds[0].output.shape[-1] \
+                        if preds[0].output.shape else 1
+                    variances[node] = base * max(k_len, 1)
             else:
                 variances[node] = max((variances[q] for q in preds),
                                       default=0.0)
