@@ -1,0 +1,138 @@
+"""Cross-language client tests: the C++ client frontend (csrc/client)
+against the Python server path.
+
+The analog of the reference's second-language frontend coverage
+(frontends/concrete-rust): ciphertexts encrypted by the native client must
+evaluate and decrypt correctly through the Python/TPU server, and results
+encrypted by the Python client must decrypt in the native client.
+"""
+
+import json
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+import pytest
+
+import concrete_tpu as fhe
+from concrete_tpu.compilation.value import Value
+from concrete_tpu.params import TEST_PARAMS_TINY
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CSRC = os.path.join(REPO, "csrc")
+BIN = os.path.join(CSRC, "bin", "concrete-tpu-client")
+
+
+@pytest.fixture(scope="module")
+def client_bin():
+    r = subprocess.run(["make", "-C", CSRC], capture_output=True, text=True)
+    if r.returncode != 0:
+        pytest.skip(f"native toolchain unavailable: {r.stderr[-200:]}")
+    return BIN
+
+
+@pytest.fixture(scope="module")
+def circuit():
+    cfg = fhe.Configuration(forced_parameters=TEST_PARAMS_TINY)
+    table = fhe.LookupTable([(3 * v + 1) % 8 for v in range(8)])
+
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def f(x, y):
+        return table[x] + y
+
+    c = f.compile([(i, j) for i in range(8) for j in range(4)], cfg)
+    c.keygen(seed=11)
+    return c
+
+
+@pytest.fixture(scope="module")
+def deployment(circuit, tmp_path_factory):
+    d = tmp_path_factory.mktemp("deploy")
+    specs_path = str(d / "specs.json")
+    keys_path = str(d / "keys.npz")
+    with open(specs_path, "w") as f:
+        f.write(circuit.client_specs.serialize())
+    circuit.keys.save(keys_path)
+    return {"dir": str(d), "specs": specs_path, "keys": keys_path}
+
+
+def run_cli(client_bin, *args):
+    r = subprocess.run([client_bin, *args], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    return r.stdout
+
+
+def test_inspect(client_bin, deployment):
+    out = run_cli(client_bin, "inspect", "--specs", deployment["specs"])
+    assert "message_bits" in out
+    assert "input 0: encrypted" in out
+
+
+def test_cpp_encrypt_python_run_cpp_decrypt(client_bin, circuit, deployment):
+    """Full deployment loop: native client encrypts, Python server runs the
+    FHE circuit, native client decrypts — TEST_PARAMS_TINY has ~1-2%
+    per-PBS p_error, so retry a few times."""
+    for _ in range(4):
+        run_cli(client_bin, "encrypt", "--specs", deployment["specs"],
+                "--keys", deployment["keys"], "--out", deployment["dir"],
+                "5", "2")
+        enc = []
+        for pos in range(2):
+            with open(os.path.join(deployment["dir"],
+                                   f"arg{pos}.ctv"), "rb") as f:
+                enc.append(Value.deserialize(f.read()).inner)
+        res = circuit.server.run(
+            *enc, evaluation_keys=circuit._evaluation_keys())
+        res_path = os.path.join(deployment["dir"], "result0.ctv")
+        with open(res_path, "wb") as f:
+            f.write(Value(np.asarray(res[0])).serialize())
+        got = json.loads(run_cli(client_bin, "decrypt",
+                                 "--specs", deployment["specs"],
+                                 "--keys", deployment["keys"], res_path))
+        if got == (3 * 5 + 1) % 8 + 2:
+            return
+    raise AssertionError(f"wrong result after retries: {got}")
+
+
+def test_cpp_encrypt_python_decrypt(client_bin, circuit, deployment):
+    """Ciphertexts from the native client decrypt with the Python client."""
+    run_cli(client_bin, "encrypt", "--specs", deployment["specs"],
+            "--keys", deployment["keys"], "--out", deployment["dir"],
+            "6", "3")
+    with open(os.path.join(deployment["dir"], "arg0.ctv"), "rb") as f:
+        v = Value.deserialize(f.read())
+    from concrete_tpu.core import refimpl as ref
+    width = circuit.client_specs.input_width(0)
+    dec = ref.decode(ref.lwe_decrypt(circuit.keys.secret.lwe_big, v.inner),
+                     width)
+    assert int(dec) == 6
+
+
+def test_python_encrypt_cpp_decrypt(client_bin, circuit, deployment):
+    """Results encrypted by the Python client decrypt in the native one."""
+    from concrete_tpu.core import keygen as kg
+    from concrete_tpu.core import refimpl as ref
+    from concrete_tpu.utils.csprng import SecureGenerator
+    width = circuit.client_specs.output_width(0)
+    rng = SecureGenerator(5)
+    ct = kg.encrypt_lwe_batch(rng, circuit.keys.secret.lwe_big,
+                              ref.encode(np.array(4), width),
+                              TEST_PARAMS_TINY.lwe_std)
+    res_path = os.path.join(deployment["dir"], "py_result.ctv")
+    with open(res_path, "wb") as f:
+        f.write(Value(ct).serialize())
+    got = json.loads(run_cli(client_bin, "decrypt",
+                             "--specs", deployment["specs"],
+                             "--keys", deployment["keys"], res_path))
+    assert got == 4
+
+
+def test_cpp_tensor_and_range_validation(client_bin, deployment):
+    """Tensor flattening and out-of-range rejection in the native client."""
+    r = subprocess.run(
+        [client_bin, "encrypt", "--specs", deployment["specs"],
+         "--keys", deployment["keys"], "--out", deployment["dir"],
+         "99", "0"], capture_output=True, text=True)
+    assert r.returncode != 0
+    assert "outside the compiled range" in r.stderr
