@@ -45,11 +45,36 @@ MASK31 = (1 << 31) - 1
 # Prime / plan construction (host side)
 # ---------------------------------------------------------------------------
 
+#: Shift-friendly NTT primes: p = 2^31 - (2^k - 1), so 2^31 = 2^k - 1
+#: (mod p) and the lazy fold's multiply degenerates to shift-subtract —
+#: the property the Pallas kernels (ops/pallas_ntt.py) exploit for
+#: 32-bit-only modular arithmetic.  Tuples (p, k); two-adicity of p-1 is
+#: 17/19/24/25, so all support N up to 2^16.  120 bits of CRT range.
+SHIFT_PRIMES: tuple = (
+    (2147352577, 17),
+    (2146959361, 19),
+    (2130706433, 24),
+    (2113929217, 25),
+)
+
+
 @functools.lru_cache(maxsize=None)
 def ntt_primes_near_pow2(n: int, min_total_bits: int,
                          max_hi_bits: int = 22) -> tuple[int, ...]:
-    """Primes p = 1 (mod 2n) just below 2^31 with 2^31 mod p < 2^max_hi_bits
-    (keeps the lazy fold's contraction strong), product >= min_total_bits."""
+    """NTT primes p = 1 (mod 2n) just below 2^31, product >= min_total_bits.
+
+    Prefers the fixed SHIFT_PRIMES set (smallest prefix covering the
+    range); falls back to a generic near-2^31 search with
+    2^31 mod p < 2^max_hi_bits when n's two-adicity or the range demands
+    exceed the fixed set."""
+    out = []
+    total = 0
+    for p, _k in SHIFT_PRIMES:
+        if (p - 1) % (2 * n) == 0:
+            out.append(p)
+            total += p.bit_length() - 1
+            if total >= min_total_bits:
+                return tuple(out)
     out = []
     total = 0
     k = (1 << 31) // (2 * n)
@@ -172,12 +197,17 @@ def build_plan(n: int, p: int) -> NttPlan:
 # Elementwise mod-p arithmetic (u64 VPU ops)
 # ---------------------------------------------------------------------------
 
-def _fold(c, plan: NttPlan, iters: int):
-    """Lazy reduction of u64 c (< 2^63) to [0, p): repeatedly substitute
-    2^31 -> (2^31 mod p); hi31 < 2^22 so each pass removes ~9 bits."""
+def _fold(c, plan: NttPlan, bound: int):
+    """Lazy reduction of u64 c < bound to [0, p): repeatedly substitute
+    2^31 -> (2^31 mod p) until the tracked bound fits 32 bits, then
+    conditional subtractions.  The pass count adapts to the prime's
+    contraction rate (hi31 < 2^22 for generic primes; 2^k - 1 for the
+    SHIFT_PRIMES, which contract 31-k bits per pass)."""
     hi = U64(plan.hi31)
-    for _ in range(iters):
+    while bound > (1 << 32):
         c = (c >> U64(31)) * hi + (c & U64(MASK31))
+        bound = (bound >> 31) * plan.hi31 + (1 << 31)
+    c = (c >> U64(31)) * hi + (c & U64(MASK31))   # now c < 2^31 + hi31 < 2p
     p = U64(plan.p)
     c = c - p * (c >= p).astype(U64)
     c = c - p * (c >= p).astype(U64)
@@ -186,7 +216,7 @@ def _fold(c, plan: NttPlan, iters: int):
 
 def _mul_mod(a, b, plan: NttPlan):
     """u64 residues in [0, p) -> a*b mod p as u64 (product < 2^62)."""
-    return _fold(a * b, plan, 4)
+    return _fold(a * b, plan, 1 << 62)
 
 
 U32 = jnp.uint32
@@ -195,7 +225,7 @@ U32 = jnp.uint32
 def _mul_mod32(a, b, plan: NttPlan):
     """u32 residues in [0, p) -> a*b mod p as u32 (the transform-path
     variant: inter-stage tensors stay u32, halving HBM traffic)."""
-    return _fold(a.astype(U64) * b.astype(U64), plan, 4).astype(U32)
+    return _fold(a.astype(U64) * b.astype(U64), plan, 1 << 62).astype(U32)
 
 
 def _add_mod32(a, b, plan: NttPlan):
@@ -251,7 +281,7 @@ def _matmul_mod(x_res, rhs_planes, plan: NttPlan):
         c = (planes.astype(jnp.int64) * plan.pow8).sum(axis=-1)
     bias = ((1 << 62) // p + 1) * p
     c = (c + jnp.int64(bias)).astype(U64)
-    return _fold(c, plan, 4).astype(U32).reshape(shape + (l_dim,))
+    return _fold(c, plan, 1 << 63).astype(U32).reshape(shape + (l_dim,))
 
 
 # ---------------------------------------------------------------------------
@@ -327,8 +357,8 @@ def garner_to_u64(residues: list, primes: tuple, plans: list):
         for i in range(j):
             # t = (t - digits[i]) * inv(p_i) mod p_j; digits[i] < p_i may
             # exceed p_j, so fold it into [0, p_j) first
-            t = t + p_j - _fold(digits[i], plan, 1)
-            t = _fold(t, plan, 1)
+            t = t + p_j - _fold(digits[i], plan, 1 << 32)
+            t = _fold(t, plan, 1 << 33)
             t = _mul_mod(t, U64(inv[(i, j)]), plan)
         digits.append(t)
     # value mod 2^64 via Horner (u64 wrap is exact mod 2^64)
@@ -427,7 +457,7 @@ def external_product_ntt(digits, bsk_step, primes: tuple,
         # signed digits |d| < 2^(base_log-1) << p: bias into [0, p)
         bias = ((1 << 31) // p + 1) * p
         d_res = (digits.astype(jnp.int64) + jnp.int64(bias)).astype(U64)
-        d_res = _fold(d_res, plan, 2).astype(U32)
+        d_res = _fold(d_res, plan, 1 << 33).astype(U32)
         d_hat = ntt_fwd(d_res, plan)                   # (B, Cin, N) u32
         # pointwise contraction over Cin: (B, Cin, 1, N) * (Cin, k+1, N)
         spec = bsk_step[pi]                            # (Cin, k+1, N) u32

@@ -19,12 +19,25 @@ from concrete_tpu.params import TEST_PARAMS_TINY as P
 
 
 def test_primes_near_pow2():
+    shift_set = {p for p, _k in nt.SHIFT_PRIMES}
     primes = nt.ntt_primes_near_pow2(64, 100)
     assert len(set(primes)) == len(primes)
     for p in primes:
         assert p % 128 == 1 and p < (1 << 31)
-        assert (1 << 31) % p < (1 << 22)  # fold contraction guarantee
+        # fold contraction guarantee: generic primes have small hi31, the
+        # shift primes have hi31 = 2^k - 1 (handled adaptively by _fold)
+        assert p in shift_set or (1 << 31) % p < (1 << 22)
         assert ntt_host.is_prime(p)
+
+
+def test_shift_primes():
+    """The fixed Pallas-friendly prime set: p = 2^31 - (2^k - 1), prime,
+    with two-adicity covering N up to 2^16."""
+    for p, k in nt.SHIFT_PRIMES:
+        assert p == (1 << 31) - ((1 << k) - 1)
+        assert ntt_host.is_prime(p)
+        assert (p - 1) % (1 << 17) == 0
+        assert (1 << 31) % p == (1 << k) - 1
 
 
 def test_fwd_inv_roundtrip_and_oracle(rng):

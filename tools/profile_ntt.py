@@ -55,7 +55,8 @@ def bench(name, fn, x, iters=5):
 
 
 res = jnp.asarray(rng.integers(0, primes[0], (B, CIN, N), dtype=np.int64)
-                  .astype(np.uint64))
+                  .astype(np.uint32))
+res64 = res.astype(jnp.uint64)
 acc = jnp.asarray(rng.integers(0, 1 << 63, (B, K + 1, N), dtype=np.uint64))
 bsk_u64 = rng.integers(0, 1 << 63, (4, L, K + 1, K + 1, N), dtype=np.uint64)
 bsk = nt.pack_bsk_ntt(bsk_u64, P, primes=primes)
@@ -66,12 +67,13 @@ t_inv = bench("ntt_inv (B,Cin,N)", lambda x: nt.ntt_inv(x, plan), res)
 t_mm = bench("matmul_mod only (same shape)",
              lambda x: nt._matmul_mod(
                  x.reshape(B, CIN, plan.n1, plan.n2), plan.dft2, plan)
-             .reshape(B, CIN, N) % jnp.uint64(plan.p), res)
-t_mul = bench("mul_mod elementwise (B,Cin,N)",
-              lambda x: nt._mul_mod(x, x, plan), res)
-t_fold = bench("fold x4 (B,Cin,N)", lambda x: nt._fold(x, plan, 4), res)
-t_tw = bench("swapaxes+mul_mod (twiddle step)",
-             lambda x: jnp.swapaxes(nt._mul_mod(
+             .reshape(B, CIN, N), res)
+t_mul = bench("mul_mod32 elementwise (B,Cin,N)",
+              lambda x: nt._mul_mod32(x, x, plan), res)
+t_fold = bench("fold from 2^62 (B,Cin,N)",
+               lambda x: nt._fold(x, plan, 1 << 62), res64)
+t_tw = bench("swapaxes+mul_mod32 (twiddle step)",
+             lambda x: jnp.swapaxes(nt._mul_mod32(
                  jnp.swapaxes(x.reshape(B, CIN, plan.n1, plan.n2), -1, -2),
                  plan.tw_f, plan), -1, -2).reshape(B, CIN, N), res)
 t_roll = bench("monomial rolls (B,k+1,N)",
