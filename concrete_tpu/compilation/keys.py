@@ -130,9 +130,18 @@ class Keys:
             if self._packed_ksk is None:
                 self._packed_ksk = kn.pack_ksk(self._server.ksk, self.params)
             if getattr(self, "_packed_bsk_ntt", None) is None:
-                from concrete_tpu.core import ntt_tpu as nt
-                self._packed_bsk_ntt = nt.pack_bsk_ntt(self._server.bsk,
-                                                       self.params)
+                # fused Pallas kernels (ops/pallas_ntt.py) are opt-in via
+                # CONCRETE_TPU_NTT_PALLAS=1 until hardware-validated; the
+                # XLA CRT-NTT path is the default
+                use_pl = os.environ.get("CONCRETE_TPU_NTT_PALLAS") == "1"
+                if use_pl:
+                    from concrete_tpu.ops import pallas_ntt as pnt
+                    self._packed_bsk_ntt = pnt.pack_bsk_pallas(
+                        self._server.bsk, self.params)
+                else:
+                    from concrete_tpu.core import ntt_tpu as nt
+                    self._packed_bsk_ntt = nt.pack_bsk_ntt(self._server.bsk,
+                                                           self.params)
             return self._packed_ksk, self._packed_bsk_ntt
         truncate = 0
         if message_bits is not None:

@@ -46,10 +46,11 @@ MASK31 = (1 << 31) - 1
 # ---------------------------------------------------------------------------
 
 #: Shift-friendly NTT primes: p = 2^31 - (2^k - 1), so 2^31 = 2^k - 1
-#: (mod p) and the lazy fold's multiply degenerates to shift-subtract —
-#: the property the Pallas kernels (ops/pallas_ntt.py) exploit for
-#: 32-bit-only modular arithmetic.  Tuples (p, k); two-adicity of p-1 is
-#: 17/19/24/25, so all support N up to 2^16.  120 bits of CRT range.
+#: (mod p).  Tuples (p, k); two-adicity of p-1 is 17/19/24/25, so all
+#: support N up to 2^16; 120 bits of CRT range.  Kept as a fallback when
+#: the generic near-2^31 search comes up short (the Pallas path's
+#: Montgomery arithmetic works with any odd prime, and the generic primes'
+#: small 2^31-mod-p folds faster on the XLA path).
 SHIFT_PRIMES: tuple = (
     (2147352577, 17),
     (2146959361, 19),
@@ -61,20 +62,9 @@ SHIFT_PRIMES: tuple = (
 @functools.lru_cache(maxsize=None)
 def ntt_primes_near_pow2(n: int, min_total_bits: int,
                          max_hi_bits: int = 22) -> tuple[int, ...]:
-    """NTT primes p = 1 (mod 2n) just below 2^31, product >= min_total_bits.
-
-    Prefers the fixed SHIFT_PRIMES set (smallest prefix covering the
-    range); falls back to a generic near-2^31 search with
-    2^31 mod p < 2^max_hi_bits when n's two-adicity or the range demands
-    exceed the fixed set."""
-    out = []
-    total = 0
-    for p, _k in SHIFT_PRIMES:
-        if (p - 1) % (2 * n) == 0:
-            out.append(p)
-            total += p.bit_length() - 1
-            if total >= min_total_bits:
-                return tuple(out)
+    """NTT primes p = 1 (mod 2n) just below 2^31 with 2^31 mod p <
+    2^max_hi_bits (keeps the lazy fold's contraction strong), product
+    >= min_total_bits; falls back to SHIFT_PRIMES if the search fails."""
     out = []
     total = 0
     k = (1 << 31) // (2 * n)
@@ -86,6 +76,14 @@ def ntt_primes_near_pow2(n: int, min_total_bits: int,
             total += p.bit_length() - 1
         k -= 1
     if total < min_total_bits:
+        out = []
+        total = 0
+        for p, _k in SHIFT_PRIMES:
+            if (p - 1) % (2 * n) == 0:
+                out.append(p)
+                total += p.bit_length() - 1
+                if total >= min_total_bits:
+                    return tuple(out)
         raise ValueError(
             f"not enough near-2^31 NTT primes for N={n} "
             f"(need {min_total_bits} bits, found {len(out)} primes)")
