@@ -33,6 +33,7 @@ tensor = _typing.tensor
 from concrete_tpu.compilation.configuration import ParameterSelectionStrategy
 from concrete_tpu.extensions import (AutoRounder, AutoTruncator, LookupTable,
                                      bits, constant, conv, hint, identity,
+                                     trace,
                                      if_then_else, maxpool, multivariate, mux,
                                      one, ones, refresh, relu,
                                      round_bit_pattern, tag,
@@ -48,6 +49,7 @@ __all__ = [
     "ParameterSelectionStrategy",
     "CryptoParams", "Tracer",
     "LookupTable", "univariate", "multivariate", "constant", "identity",
+    "trace",
     "refresh", "zero", "zeros", "one", "ones",
     "AutoRounder", "AutoTruncator", "round_bit_pattern",
     "truncate_bit_pattern", "bits", "if_then_else", "mux", "relu",

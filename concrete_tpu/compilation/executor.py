@@ -573,6 +573,18 @@ class GraphExecutor:
                 values[node] = ct
             elif name == "hint":
                 values[node] = args[0]
+            elif name == "trace_message":
+                # Tracing dialect analog: free identity in execution; with
+                # CONCRETE_TPU_TRACE=1 emits a runtime print of the
+                # ciphertext body word (the server cannot decrypt — same
+                # visibility as the reference's trace_ciphertext)
+                import os
+                ct = args[0]
+                if os.environ.get("CONCRETE_TPU_TRACE") == "1":
+                    msg = node.properties["kwargs"].get("message", "trace")
+                    jax.debug.print(msg + ": body={x}",
+                                    x=ct[..., -1] if is_ct(node) else ct)
+                values[node] = ct
             elif name == "concatenate":
                 axis = node.properties["kwargs"]["axis"]
                 if is_ct(node):

@@ -141,6 +141,13 @@ def simulate_graph(graph, specs, *inputs, rng=None):
             values[node] = out
             variances[node] = len(positions) * br_var + crossing_var(
                 p_in, encoding_width(node, p_default))
+        elif name == "trace_message":
+            # Tracing dialect analog (lib/Dialect/Tracing): simulation
+            # prints the current plaintext, like sim trace_plaintext
+            values[node] = args[0]
+            variances[node] = variances[preds[0]]
+            msg = node.properties["kwargs"].get("message", "trace")
+            print(f"[trace] {msg}: {np.asarray(args[0])}")
         else:
             values[node] = np.asarray(node(*args))
             # propagate variance through leveled ops (MANP-style)

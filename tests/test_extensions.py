@@ -291,3 +291,28 @@ def test_round_not_fused_when_used_arithmetically():
     circuit = f.compile(range(8), CFG)
     assert circuit.programmable_bootstrap_count == 1  # the explicit round
     check(circuit, lambda x: ((x + 1) // 2) * 2 + 1, 5, retries=4)
+
+
+def test_trace_extension(capsys):
+    """fhe.trace survives compilation as a free identity, prints in
+    simulation (Tracing dialect analog, lib/Dialect/Tracing)."""
+    import concrete_tpu as fhe
+    from concrete_tpu.params import TEST_PARAMS_TINY
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        y = fhe.trace(x + 1, "after add")
+        return y * 2
+
+    cfg = fhe.Configuration(forced_parameters=TEST_PARAMS_TINY)
+    circuit = f.compile(range(4), cfg)
+    assert circuit.simulate(2) == 6
+    out = capsys.readouterr().out
+    assert "[trace] after add: 3" in out
+    # execution path: the node is a free identity
+    circuit.keygen(seed=9)
+    for _ in range(4):
+        if circuit.encrypt_run_decrypt(2) == 6:
+            break
+    else:
+        raise AssertionError("trace circuit execution failed")
