@@ -111,15 +111,16 @@ class Circuit:
         return simulate_graph(self.graph, self.client_specs, *args)
 
     def run_async(self, *args):
-        """Run on a background thread; returns a concurrent.futures.Future.
+        """Run on the dataflow scheduler; returns a Future.  Arguments may
+        themselves be Futures of earlier run_async calls — composition
+        chains execute as a dependency graph without blocking the caller
+        (the RT-dialect / DFR analog, compilation/scheduler.py).
 
         Reference: ExecutionRt's auto_schedule_run thread pool
-        (compilation/module.py:32-66).
+        (compilation/module.py:32-66) + the RT dataflow runtime.
         """
-        import concurrent.futures
-        if not hasattr(self, "_pool"):
-            self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
-        return self._pool.submit(self._run_sync, *args)
+        from concrete_tpu.compilation.scheduler import default_scheduler
+        return default_scheduler().submit(self._run_sync, *args)
 
     # -- statistics (reference circuit.py:236-533) -------------------------
 
@@ -242,9 +243,7 @@ class Circuit:
 
     def cleanup(self) -> None:
         """Release execution resources (reference circuit.py:226)."""
-        if hasattr(self, "_pool"):
-            self._pool.shutdown(wait=True)
-            del self._pool
+        pass  # execution uses the shared dataflow scheduler
 
     def __str__(self) -> str:
         return self.graph.format()

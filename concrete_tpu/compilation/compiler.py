@@ -62,7 +62,8 @@ class Compiler:
             processor(graph)
         graph.measure_bounds(inputset)
         graph.update_dtypes_from_bounds()
-        widths = assign_encoding_widths(graph)
+        widths = assign_encoding_widths(graph,
+                                composable=config.composable)
 
         p = graph.max_bit_width
         if config.single_precision:

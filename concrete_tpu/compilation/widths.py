@@ -54,18 +54,30 @@ def packed_width(graph: Graph, node: Node) -> int:
     return total
 
 
-def assign_encoding_widths(graph: Graph) -> dict[Node, int]:
+def assign_encoding_widths(graph: Graph,
+                           composable: bool = False) -> dict[Node, int]:
     """Compute and store each encrypted node's encoding width.
 
     Returns the node -> width mapping; also sets
     node.properties["encoding_width"].  Must run after
     update_dtypes_from_bounds (widths come from measured dtypes).
+
+    composable: tie every encrypted input and output into ONE width class,
+    so circuit outputs are valid circuit inputs (reference
+    Configuration.composable / the composition ClosedRange constraint in
+    assign_bit_widths.py:84 — outputs must share the inputs' encoding).
     """
     uf = _UnionFind()
     enc_nodes = [n for n in graph.topological_order()
                  if n.output.is_encrypted]
     for node in enc_nodes:
         uf.find(node.uid)
+
+    if composable:
+        boundary = [n for n in list(graph.input_nodes.values())
+                    + list(graph.ordered_outputs) if n.output.is_encrypted]
+        for a, b in zip(boundary, boundary[1:]):
+            uf.union(a.uid, b.uid)
 
     for node in graph.topological_order():
         preds = [p for p in graph.ordered_preds_of(node)
