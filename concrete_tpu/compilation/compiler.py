@@ -62,8 +62,22 @@ class Compiler:
             processor(graph)
         graph.measure_bounds(inputset)
         graph.update_dtypes_from_bounds()
+        from concrete_tpu.compilation.configuration import ComparisonStrategy
+        from concrete_tpu.compilation.transforms import chunk_wide_comparisons
+        prefs = config.comparison_strategy_preference or []
+        if ComparisonStrategy.ONE_TLU_PROMOTED not in prefs:
+            # chunk comparisons whose promoted difference exceeds the
+            # native TLU width (else they would cost a WoP-PBS); explicit
+            # ONE_TLU_PROMOTED preference keeps the single wide TLU.
+            # The native limit is N-dependent (mega-case packing): exact
+            # under forced parameters, the 8-bit production ceiling else.
+            native = 8
+            if config.forced_parameters is not None:
+                native = min(8, int(config.forced_parameters
+                                    .polynomial_size).bit_length() - 2)
+            chunk_wide_comparisons(graph, native_bits=native)
         widths = assign_encoding_widths(graph,
-                                composable=config.composable)
+                                        composable=config.composable)
 
         p = graph.max_bit_width
         if config.single_precision:

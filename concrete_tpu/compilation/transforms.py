@@ -305,3 +305,145 @@ def run_default_transforms(graph: Graph, enable_tlu_fusing: bool = True,
             if node.name in ROUNDING_OPS:
                 node.properties["approximate"] = True
     check_integer_only(graph)
+
+
+def chunk_wide_comparisons(graph: Graph, native_bits: int = 8) -> int:
+    """Chunked comparison strategy for wide unsigned operands (reference
+    mlir/context.py:880 ComparisonStrategy CHUNKED).
+
+    A comparison traces as univariate(x - y) — one TLU at the *promoted
+    difference* width.  When that width exceeds `native_bits` (so the
+    one-TLU form would need a WoP-PBS) but each operand fits natively, the
+    node is rewritten into per-chunk native TLUs:
+
+      x_i, y_i   <- chunk extraction TLUs (width of x / y)
+      sign_i     <- multivariate packed TLU on (x_i, y_i): 0 eq, 1 gt, 2 lt
+      acc        <- MSB-first fold: acc = acc if acc != 0 else sign_i
+      result     <- verdict TLU on the final acc
+
+    ~4*ceil(w/c) native TLUs instead of one (w+1)-bit WoP-PBS — and no
+    PFPKSK/WoP keys needed.  Runs AFTER bounds measurement (it needs
+    widths); inserted nodes get explicit bounds/dtypes.  Returns the
+    number of comparisons rewritten.
+    """
+    from concrete_tpu.dtypes import Integer
+
+    g = graph.graph
+    c = native_bits // 2
+    rewritten = 0
+
+    def vd(shape, bits):
+        return ValueDescription(dtype=Integer(bits, False), shape=shape,
+                                is_encrypted=True)
+
+    def add_node(node, lo, hi, *preds):
+        node.bounds = (lo, hi)
+        g.add_node(node)
+        for idx, p in enumerate(preds):
+            g.add_edge(p, node, input_idx=idx)
+        return node
+
+    targets = [n for n in list(g.nodes)
+               if n.properties.get("comparison")
+               and n.name == "univariate"]
+    for node in targets:
+        diff = graph.ordered_preds_of(node)
+        if len(diff) != 1 or diff[0].name != "subtract":
+            continue
+        diff = diff[0]
+        ops = graph.ordered_preds_of(diff)
+        if len(ops) != 2 or not all(q.output.is_encrypted for q in ops):
+            continue
+        x_node, y_node = ops
+        if diff.bounds is None or any(q.bounds is None for q in ops):
+            continue
+        d_lo, d_hi = diff.bounds
+        diff_width = Integer.that_can_represent(
+            np.array([d_lo, d_hi])).bit_width
+        widths = []
+        ok = True
+        for q in ops:
+            lo, hi = q.bounds
+            if lo < 0:
+                ok = False  # signed operands keep the one-TLU lowering
+                break
+            widths.append(max(int(hi).bit_length(), 1))
+        if not ok:
+            continue
+        w = max(widths)
+        if diff_width <= native_bits or w > native_bits:
+            continue  # native one-TLU is fine / operands too wide anyway
+
+        kind = node.properties["comparison"]
+        shape = node.output.shape
+        n_chunks = -(-w // c)
+        mask = (1 << c) - 1
+
+        def extract(src, i):
+            shift = c * i
+            fn = (lambda s: (lambda v: (np.asarray(v) >> s) & mask))(shift)
+            n2 = Node.generic("univariate", [src.output], vd(shape, c),
+                              lambda v, f=fn: f(v).astype(np.int64),
+                              function=fn)
+            return add_node(n2, 0, mask, src)
+
+        def sign_fn(a, b):
+            return 0 if a == b else (1 if a > b else 2)
+
+        signs = []
+        for i in range(n_chunks):
+            xi = extract(x_node, i)
+            yi = extract(y_node, i)
+            sn = Node.generic(
+                "multivariate", [xi.output, yi.output], vd(shape, 2),
+                lambda a, b: np.vectorize(sign_fn, otypes=[np.int64])(a, b),
+                function=sign_fn)
+            signs.append(add_node(sn, 0, 2, xi, yi))
+
+        acc = signs[-1]                       # most significant chunk
+        for sn in reversed(signs[:-1]):
+            def fold_fn(a, s):
+                return a if a != 0 else s
+            an = Node.generic(
+                "multivariate", [acc.output, sn.output], vd(shape, 2),
+                lambda a, s: np.vectorize(fold_fn, otypes=[np.int64])(a, s),
+                function=fold_fn)
+            acc = add_node(an, 0, 2, acc, sn)
+
+        verdict = {
+            "equal": lambda s: int(s == 0),
+            "not_equal": lambda s: int(s != 0),
+            "greater": lambda s: int(s == 1),
+            "greater_equal": lambda s: int(s != 2),
+            "less": lambda s: int(s == 2),
+            "less_equal": lambda s: int(s != 1),
+        }[kind]
+        out_n = Node.generic(
+            "univariate", [acc.output], vd(shape, 1),
+            lambda v: np.vectorize(verdict, otypes=[np.int64])(v),
+            function=verdict)
+        add_node(out_n, 0, 1, acc)
+        out_n.properties["tag"] = node.properties.get("tag", "")
+
+        for _, succ, key, data in list(g.out_edges(node, keys=True,
+                                                   data=True)):
+            g.add_edge(out_n, succ, **data)
+        g.remove_node(node)
+        for pos, n2 in list(graph.output_nodes.items()):
+            if n2 is node:
+                graph.output_nodes[pos] = out_n
+        rewritten += 1
+
+    if rewritten:
+        # prune now-dead nodes (the wide subtract would otherwise stay in
+        # the graph and inflate its operands' encoding-width class)
+        protected = set(graph.output_nodes.values()) \
+            | set(graph.input_nodes.values())
+        changed = True
+        while changed:
+            changed = False
+            for n in list(g.nodes):
+                if n not in protected and g.out_degree(n) == 0:
+                    g.remove_node(n)
+                    changed = True
+    return rewritten

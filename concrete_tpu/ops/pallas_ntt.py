@@ -177,19 +177,37 @@ def build_pallas_plan(n: int, p: int) -> PallasPlan:
 # In-kernel 32-bit modular arithmetic (Montgomery, u32 pairs)
 # ---------------------------------------------------------------------------
 
+_SBIT = 1 << 31
+
+
+def _lt_u32(a, b):
+    """Unsigned a < b via the sign-flip trick: Mosaic's comparison
+    lowering is only trusted for SIGNED i32, so flip the sign bit and
+    compare signed (x ^ 2^31 maps u32 order onto i32 order)."""
+    ai = jax.lax.bitcast_convert_type(a ^ U32(_SBIT), I32)
+    bi = jax.lax.bitcast_convert_type(b ^ U32(_SBIT), I32)
+    return ai < bi
+
+
+def _shr16(x):
+    """Logical x >> 16 for u32, masked so an arithmetic-shift lowering
+    cannot smear the sign bit."""
+    return (x >> U32(16)) & U32(0xFFFF)
+
+
 def _mul_pair(a, b):
     """Exact u32 x u32 -> (hi, lo) via 16-bit partial products."""
     a0 = a & U32(0xFFFF)
-    a1 = a >> U32(16)
+    a1 = _shr16(a)
     b0 = b & U32(0xFFFF)
-    b1 = b >> U32(16)
+    b1 = _shr16(b)
     lo = a0 * b0
     m1 = a0 * b1
     mid = m1 + a1 * b0
-    mc = (mid < m1).astype(U32)               # overflow at weight 2^48
+    mc = _lt_u32(mid, m1).astype(U32)         # overflow at weight 2^48
     lo2 = lo + (mid << U32(16))
-    c2 = (lo2 < lo).astype(U32)
-    hi = a1 * b1 + (mid >> U32(16)) + (mc << U32(16)) + c2
+    c2 = _lt_u32(lo2, lo).astype(U32)
+    hi = a1 * b1 + _shr16(mid) + (mc << U32(16)) + c2
     return hi, lo2
 
 
@@ -200,7 +218,7 @@ def _redc(t_hi, t_lo, p: int, p_neg_inv: int):
     mp_hi, _mp_lo = _mul_pair(m, U32(p))
     carry = (t_lo != U32(0)).astype(U32)
     u = t_hi + mp_hi + carry                  # < 2p
-    return u - U32(p) * (u >= U32(p)).astype(U32)
+    return u - U32(p) * (~_lt_u32(u, U32(p))).astype(U32)
 
 
 def _mont_mul(a, b_mont, p: int, p_neg_inv: int):
@@ -210,13 +228,13 @@ def _mont_mul(a, b_mont, p: int, p_neg_inv: int):
 
 
 def _add_mod(a, b, p: int):
-    s = a + b
-    return s - U32(p) * (s >= U32(p)).astype(U32)
+    s = a + b                                 # < 2p < 2^32, no wrap
+    return s - U32(p) * (~_lt_u32(s, U32(p))).astype(U32)
 
 
 def _sub_mod(a, b, p: int):
     d = a + (U32(p) - b)
-    return d - U32(p) * (d >= U32(p)).astype(U32)
+    return d - U32(p) * (~_lt_u32(d, U32(p))).astype(U32)
 
 
 def _limbs4_i32(x):
@@ -252,8 +270,8 @@ def _combine4(planes, p: int, p_neg_inv: int, kappa: int):
     u0 = jax.lax.bitcast_convert_type(g0, U32) ^ U32(1 << 31)  # g0 + 2^31
     u1 = jax.lax.bitcast_convert_type(g1, U32) ^ U32(1 << 31)
     lo = u0 + (u1 << U32(16))
-    c = (lo < u0).astype(U32)
-    hi = (u1 >> U32(16)) + c                  # value = true + 2^31 + 2^47
+    c = _lt_u32(lo, u0).astype(U32)
+    hi = _shr16(u1) + c                       # value = true + 2^31 + 2^47
     y = _redc(hi, lo, p, p_neg_inv)
     return _sub_mod(y, U32(kappa), p)
 
@@ -268,7 +286,7 @@ def _matmul_planes(x_i8, w_i8):
 def _center_residues(x_u32, p: int):
     """[0, p) u32 residues -> centered i32 in (-p/2, p/2]."""
     xi = jax.lax.bitcast_convert_type(x_u32, I32)
-    big = (x_u32 > U32(p // 2)).astype(I32)
+    big = _lt_u32(U32(p // 2), x_u32).astype(I32)
     return xi - big * I32(p)
 
 
@@ -462,7 +480,7 @@ def _k_garner(primes: tuple, p_neg_invs: tuple, res_refs, lo_ref, hi_ref):
         t = res_refs[j][...]
         for i in range(j):
             gi = digits[i]
-            gi = gi - U32(p_j) * (gi >= U32(p_j)).astype(U32)
+            gi = gi - U32(p_j) * (~_lt_u32(gi, U32(p_j))).astype(U32)
             t = _sub_mod(t, gi, p_j)
             t = _mont_mul(t, U32(inv_mont[(i, j)]), p_j, p_neg_invs[j])
         digits.append(t)
@@ -472,7 +490,7 @@ def _k_garner(primes: tuple, p_neg_invs: tuple, res_refs, lo_ref, hi_ref):
     for j in range(n - 2, -1, -1):
         v_hi, v_lo = _pair_mul_const_mod64(v_hi, v_lo, primes[j])
         s = v_lo + digits[j]
-        v_hi = v_hi + (s < v_lo).astype(U32)
+        v_hi = v_hi + _lt_u32(s, v_lo).astype(U32)
         v_lo = s
     # center: subtract P when mixed-radix digits exceed those of (P-1)/2
     gt = None
@@ -483,7 +501,7 @@ def _k_garner(primes: tuple, p_neg_invs: tuple, res_refs, lo_ref, hi_ref):
         gt = gt_j if gt is None else gt_j | (eq_j & gt)
     g = gt.astype(U32)
     s = v_lo - U32(t_lo) * g
-    borrow = (s > v_lo).astype(U32)
+    borrow = _lt_u32(v_lo, s).astype(U32)
     lo_ref[...] = s
     hi_ref[...] = v_hi - U32(t_hi) * g - borrow
 

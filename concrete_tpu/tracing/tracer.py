@@ -307,8 +307,12 @@ class Tracer:
             return ev_fn(np.asarray(v)).astype(np.int64)
 
         output = Tracer._infer_output(name, evaluator, [diff])
-        return Tracer._generic("univariate", [diff], evaluator, output,
-                               function=lambda v: int(ev_fn(np.asarray(v))))
+        out = Tracer._generic("univariate", [diff], evaluator, output,
+                              function=lambda v: int(ev_fn(np.asarray(v))))
+        # mark for the chunked-comparison strategy (transforms.py
+        # chunk_wide_comparisons; reference mlir/context.py:880 catalog)
+        out.node.properties["comparison"] = name
+        return out
 
     def __gt__(self, other):
         return self._comparison(other, lambda d: d > 0, "greater")

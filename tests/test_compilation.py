@@ -10,7 +10,8 @@ import numpy as np
 import pytest
 
 import concrete_tpu as fhe
-from concrete_tpu.params import TEST_PARAMS_TINY
+from concrete_tpu.params import (TEST_PARAMS_TINY,
+                                 TEST_PARAMS_TINY_WIDE)
 
 CFG = fhe.Configuration(forced_parameters=TEST_PARAMS_TINY)
 
@@ -876,3 +877,68 @@ def test_fancy_assignment_encrypted_value():
         return x
 
     check_execution(circuit, oracle, np.array([1, 2, 3]), np.array([0, 2]))
+
+
+# -- chunked comparison strategy ----------------------------------------------
+
+def test_chunked_comparison_wide_unsigned():
+    """Native-width x > y would promote to a wider diff TLU (WoP); the
+    chunked strategy rewrites it into native TLUs (mlir/context.py:880
+    analog).  TEST_PARAMS_TINY's native limit is 5 bits, so 5-bit
+    operands trigger chunking."""
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def f(x, y):
+        return x > y
+
+    inputset = [(np.random.randint(0, 32), np.random.randint(0, 32))
+                for _ in range(40)] + [(31, 0), (0, 31)]
+    circuit = f.compile(inputset, CFG)
+    # no WoP TLU in the lowered circuit
+    assert not circuit.server._executor.wop_specs
+    for a, b in [(20, 10), (10, 20), (7, 7), (31, 30)]:
+        # exact clear evaluation of the rewritten graph (simulation draws
+        # real TLU noise; 11 chained tiny-params TLUs flip too often for a
+        # single-shot assert)
+        got = circuit.graph(a, b)
+        assert got == int(a > b), (a, b, got)
+    assert circuit.simulate(10, 20) in (0, 1)
+
+
+def test_chunked_comparison_all_kinds():
+    for op, fn in [("eq", lambda x, y: x == y), ("ne", lambda x, y: x != y),
+                   ("lt", lambda x, y: x < y), ("le", lambda x, y: x <= y),
+                   ("ge", lambda x, y: x >= y)]:
+        def make(fn):
+            @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+            def f(x, y):
+                return fn(x, y)
+            return f
+
+        f = make(fn)
+
+        inputset = [(np.random.randint(0, 32), np.random.randint(0, 32))
+                    for _ in range(40)] + [(31, 0), (0, 31)]
+        circuit = f.compile(inputset, CFG)
+        assert not circuit.server._executor.wop_specs, op
+        for a, b in [(30, 20), (20, 30), (22, 22)]:
+            want = int(fn(a, b))
+            assert circuit.graph(a, b) == want, (op, a, b)
+
+
+def test_chunked_comparison_executes():
+    """Real keys end-to-end through the chunked lowering."""
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def f(x, y):
+        return x >= y
+
+    inputset = [(np.random.randint(0, 64), np.random.randint(0, 64))
+                for _ in range(40)] + [(63, 0), (0, 63)]
+    cfg = fhe.Configuration(
+        forced_parameters=TEST_PARAMS_TINY_WIDE)
+    circuit = f.compile(inputset, cfg)
+    circuit.keygen(seed=12)
+    for _ in range(4):
+        if circuit.encrypt_run_decrypt(40, 23) == 1 \
+                and circuit.encrypt_run_decrypt(23, 40) == 0:
+            return
+    raise AssertionError("chunked comparison execution failed")
