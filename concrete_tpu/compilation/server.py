@@ -116,11 +116,15 @@ class Server:
     @classmethod
     def load(cls, path: str) -> "Server":
         from concrete_tpu.compilation.graph_io import deserialize_graph
+        from concrete_tpu.representation.typing import validate_graph
         with zipfile.ZipFile(path) as z:
             specs = ClientSpecs.deserialize(
                 z.read("client.specs.json").decode())
             graph = deserialize_graph(z.read("graph.json").decode(),
                                       z.read("graph_arrays.npz"))
+        # archives are untrusted input: reject inconsistent type records
+        # before building the executor (representation/typing.py)
+        validate_graph(graph)
         return cls(graph, specs)
 
     # -- introspection -----------------------------------------------------
