@@ -27,6 +27,13 @@ class Client:
         if force or not self.keys.are_generated:
             self.keys.generate(seed)
 
+    @property
+    def evaluation_keys(self):
+        """Public key material for the server (reference
+        Client.evaluation_keys): serializable, secret-free."""
+        self.keygen()
+        return self.keys.evaluation_keys
+
     # -- encryption --------------------------------------------------------
 
     def encrypt(self, *args, compress: bool = False):

@@ -573,6 +573,11 @@ class GraphExecutor:
                 values[node] = ct
             elif name == "hint":
                 values[node] = args[0]
+            elif name == "array":
+                # fhe.array: stack scalar ciphertexts into one tensor
+                shape = node.output.shape
+                values[node] = jnp.stack(args).reshape(
+                    tuple(shape) + (args[0].shape[-1],))
             elif name == "trace_message":
                 # Tracing dialect analog: free identity in execution; with
                 # CONCRETE_TPU_TRACE=1 emits a runtime print of the

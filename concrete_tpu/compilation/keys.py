@@ -99,6 +99,13 @@ class Keys:
         """Device-packed evaluation keys (limb KSK + banded limb BSK)."""
         return self.evaluation_for(message_bits=None)
 
+    @property
+    def evaluation_keys(self):
+        """The serializable PUBLIC key material to ship to a server
+        (reference fhe.EvaluationKeys) — bsk/ksk/pfpksk, no secrets."""
+        from concrete_tpu.compilation.evaluation_keys import EvaluationKeys
+        return EvaluationKeys.from_keys(self)
+
     #: blind-rotate algorithm switchover: banded int8 matmuls win below
     #: this polynomial size, the CRT-NTT external product above it
     #: (core/ntt_tpu.py module docstring has the MAC-count analysis)

@@ -141,14 +141,28 @@ class ModuleCompiler:
             graphs[name] = g
             p = max(p, g.max_bit_width)
             norm2 = max(norm2, g.max_norm2())
-        # composition (any output -> any input) requires one shared encoding
-        # across the module, so every value is pinned to the module-wide
-        # width (the reference's AllComposable policy has the same effect on
-        # partition unification)
-        for g in graphs.values():
-            for node in g.graph.nodes:
-                if node.output.is_encrypted:
-                    node.properties["encoding_width"] = p
+        # the composition policy (reference composition.py; class attribute
+        # `composition`, default AllComposable) decides which functions need
+        # the shared module-wide encoding: composable functions pin every
+        # value to the module width, the rest keep per-value widths
+        from concrete_tpu.compilation.composition import (AllComposable,
+                                                          CompositionPolicy)
+        from concrete_tpu.compilation.widths import assign_encoding_widths
+        policy = getattr(self.cls, "composition", None)
+        if policy is None:
+            policy = AllComposable()
+        if not isinstance(policy, CompositionPolicy):
+            raise TypeError("module `composition` must be a "
+                            "CompositionPolicy (AllComposable / "
+                            "NotComposable / Wired)")
+        unified = policy.unified_functions(graphs)
+        for name, g in graphs.items():
+            if name in unified:
+                for node in g.graph.nodes:
+                    if node.output.is_encrypted:
+                        node.properties["encoding_width"] = p
+            else:
+                assign_encoding_widths(g)
         if config.forced_parameters is not None:
             params = config.forced_parameters
         else:

@@ -43,8 +43,16 @@ class Server:
         pfpksk_by_width_or_None, fks_by_frontier) — Circuit._evaluation_keys
         builds it from MultiKeys.
         """
+        from concrete_tpu.compilation.evaluation_keys import EvaluationKeys
         from concrete_tpu.core.compression import (SeededLweCiphertext,
                                                    decompress)
+        if isinstance(evaluation_keys, EvaluationKeys):
+            # public-material object from Client.evaluation_keys: pack for
+            # the device with this circuit's truncation/WoP requirements
+            evaluation_keys = evaluation_keys.packed(
+                self.client_specs.message_bits,
+                norm2=self.graph.max_norm2(),
+                wop_params=self.client_specs.wop_params())
         ksk, bsk, *rest = evaluation_keys
         pfpksk = rest[0] if rest else None
         fks = rest[1] if len(rest) > 1 else None

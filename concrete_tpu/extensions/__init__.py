@@ -11,9 +11,10 @@ from concrete_tpu.extensions.control import if_then_else, mux, relu
 from concrete_tpu.extensions.convolution import conv, maxpool
 from concrete_tpu.extensions.tag import tag, hint
 from concrete_tpu.extensions.tracing_ops import trace
+from concrete_tpu.extensions.array_ops import array, inputset
 
 __all__ = ["LookupTable", "univariate", "multivariate", "zero", "zeros",
            "one", "ones", "constant", "identity", "refresh",
            "AutoRounder", "AutoTruncator", "round_bit_pattern",
            "truncate_bit_pattern", "bits", "if_then_else", "mux", "relu",
-           "conv", "maxpool", "tag", "hint", "trace"]
+           "conv", "maxpool", "tag", "hint", "trace", "array", "inputset"]

@@ -21,6 +21,9 @@ class _IntAnnotationMeta(type):
     def __getitem__(cls, shape):
         if not isinstance(shape, tuple):
             shape = (shape,)
+        # fhe.tensor[fhe.uint3, 4, 5]: the scalar class leads the tuple
+        if shape and isinstance(shape[0], _IntAnnotationMeta):
+            cls, shape = shape[0], shape[1:]
         return _TensorAnnotation(cls, shape)
 
     @property

@@ -1,0 +1,124 @@
+"""Round-2 API-surface additions: EvaluationKeys, fhe.array, fhe.inputset,
+composition policies — matching the reference's concrete.fhe exports.
+"""
+
+import numpy as np
+import pytest
+
+import concrete_tpu as fhe
+from concrete_tpu.params import TEST_PARAMS_TINY
+
+CFG = fhe.Configuration(forced_parameters=TEST_PARAMS_TINY)
+
+
+def test_evaluation_keys_are_secret_free_and_run():
+    """Client ships EvaluationKeys (public material only) to the server;
+    the server runs with the deserialized object (reference
+    Client.evaluation_keys / fhe.EvaluationKeys)."""
+    table = fhe.LookupTable([2, 3, 0, 1])
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return table[x]
+
+    c = f.compile(range(4), CFG)
+    c.keygen(seed=21)
+    ek = c.client.evaluation_keys
+    blob = ek.serialize()
+    # no secret key material in the payload
+    import io
+    with np.load(io.BytesIO(blob), allow_pickle=False) as z:
+        names = set(z.files)
+    assert "bsk" in names and "ksk" in names
+    assert not names & {"glwe", "lwe_small"}, names
+    ek2 = fhe.EvaluationKeys.deserialize(blob)
+    for _ in range(4):
+        enc = c.encrypt(1)
+        out = c.server.run(enc, evaluation_keys=ek2)
+        if c.decrypt(out[0]) == 3:
+            return
+    raise AssertionError("server run with shipped EvaluationKeys failed")
+
+
+def test_fhe_array():
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def f(x, y):
+        a = fhe.array([x, y, 3])
+        return np.sum(a)
+
+    c = f.compile([(i, j) for i in range(4) for j in range(4)], CFG)
+    assert c.graph(2, 3) == 8
+    c.keygen(seed=22)
+    for _ in range(4):
+        if c.encrypt_run_decrypt(2, 3) == 8:
+            return
+    raise AssertionError("fhe.array circuit failed")
+
+
+def test_fhe_inputset():
+    samples = fhe.inputset(fhe.uint3, fhe.tensor[fhe.uint2, 4], n=50,
+                           seed=1)
+    assert len(samples) == 50
+    for x, t in samples:
+        assert 0 <= x <= 7
+        assert t.shape == (4,) and t.max() <= 3
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return x + 1
+
+    c = f.compile(fhe.inputset(fhe.uint3, n=30, seed=2), CFG)
+    assert c.simulate(7) == 8
+
+
+def test_composition_policies():
+    @fhe.module()
+    class Composable:
+        @fhe.function({"x": "encrypted"})
+        def double(x):
+            return (x * 2) % 8
+
+        @fhe.function({"x": "encrypted"})
+        def inc(x):
+            return (x + 1) % 8
+
+    m = Composable.compile({"double": range(8), "inc": range(8)},
+                           CFG)
+    m.keygen(seed=23)
+    # chain across functions: inc(double(3)) = 7
+    for _ in range(4):
+        enc = m.double.client.encrypt(3)
+        mid = m.double.run(enc)
+        out = m.inc.run(mid)
+        if m.inc.client.decrypt(out) == 7:
+            break
+    else:
+        raise AssertionError("composable module chain failed")
+
+    @fhe.module()
+    class Isolated:
+        composition = fhe.NotComposable()
+
+        @fhe.function({"x": "encrypted"})
+        def small(x):
+            return x + 1
+
+        @fhe.function({"x": "encrypted"})
+        def big(x):
+            return (x + 1) % 32
+
+    m2 = Isolated.compile({"small": range(2), "big": range(31)}, CFG)
+    # NotComposable: each function keeps its own widths — `small`'s values
+    # are narrower than `big`'s
+    w_small = max(n.properties.get("encoding_width", 0)
+                  for n in m2.small.graph.graph.nodes
+                  if n.output.is_encrypted)
+    w_big = max(n.properties.get("encoding_width", 0)
+                for n in m2.big.graph.graph.nodes
+                if n.output.is_encrypted)
+    assert w_small < w_big
+
+    # Wired policy type-checks and unifies the wired functions
+    assert isinstance(fhe.Wired([fhe.Wire(fhe.Output("f", 0),
+                                          fhe.Input("g", 0))]),
+                      fhe.CompositionPolicy)
