@@ -92,6 +92,40 @@ class FheFunction:
         from concrete_tpu.simulation import simulate_graph
         return simulate_graph(self.graph, self.client_specs, *args)
 
+    def run_async(self, *args):
+        """Run on the dataflow scheduler; args may be Futures of other
+        functions' run_async results (module composition as a task graph
+        — the RT/DFR analog)."""
+        from concrete_tpu.compilation.scheduler import default_scheduler
+        return default_scheduler().submit(self.run, *args)
+
+    @property
+    def _statistic_records(self):
+        from concrete_tpu.compilation import statistics as st
+        if not hasattr(self, "_stats_cache"):
+            self._stats_cache = st.collect(
+                self.graph, self.server._executor,
+                self.client_specs.message_bits)
+        return self._stats_cache
+
+    @property
+    def statistics(self) -> dict:
+        """Primitive-op counts for this function (reference module
+        function feedback; same grid as Circuit.statistics)."""
+        from concrete_tpu.compilation import statistics as st
+        recs = self._statistic_records
+        out = {}
+        for kind in st.KINDS:
+            out[f"{kind}_count"] = st.total(recs, kind)
+            out[f"{kind}_count_per_parameter"] = st.per_parameter(recs, kind)
+            out[f"{kind}_count_per_tag"] = st.per_tag(recs, kind)
+        return out
+
+    @property
+    def programmable_bootstrap_count(self) -> int:
+        from concrete_tpu.compilation import statistics as st
+        return st.total(self._statistic_records, st.PBS)
+
 
 class FheModule:
     """A set of compiled functions sharing one keyset (composable)."""
