@@ -258,6 +258,23 @@ class GraphExecutor:
                         _materialize_multivariate(
                             graph, node, p_in, self.width_of(node),
                             self.params_for_width(p_in))
+            elif node.name == "dynamic_tlu":
+                preds = graph.ordered_preds_of(node)
+                p_in = self.width_of(preds[1])
+                if p_in > self.max_native_bits(p_in):
+                    raise ValueError(
+                        f"dynamic table lookup at {p_in} bits exceeds the "
+                        "native LUT width; dynamic tables cannot lower to "
+                        "WoP-PBS (their contents are only known at run "
+                        "time) — round/truncate the index first")
+                table_len = preds[0].output.shape[-1] \
+                    if preds[0].output.shape else 0
+                if table_len != (1 << p_in):
+                    raise ValueError(
+                        f"dynamic table needs exactly 2^{p_in} = "
+                        f"{1 << p_in} entries for its {p_in}-bit index "
+                        f"(got {table_len}); pad the table or fhe.hint "
+                        "the index wider")
 
     def params_for_width(self, width: int) -> CryptoParams:
         if self.partitions and width in self.partitions:
@@ -459,6 +476,26 @@ class GraphExecutor:
                                    self.params_for_width(w_in),
                                    spec.message_bits,
                                    signed=spec.signed_input)
+                out = out.reshape(shape + (out.shape[-1],))
+                values[node] = cross(out, w_in, w_out)
+            elif name == "dynamic_tlu":
+                # table is a runtime clear tensor: build the accumulator
+                # polynomial in-circuit (kernels.encode_expand_lut_jnp) and
+                # run the same batched PBS as a static TLU
+                table_vals, ct = args
+                w_in = self.width_of(preds[1])
+                w_out = self.width_of(node)
+                signed = isinstance(preds[1].output.dtype, Integer) \
+                    and preds[1].output.dtype.is_signed
+                pparams = self.params_for_width(w_in)
+                lut_poly = kn.encode_expand_lut_jnp(
+                    jnp.asarray(table_vals), pparams.polynomial_size,
+                    w_in, w_out, signed=signed)
+                kkey, bkey = keys_for(w_in)
+                shape = ct.shape[:-1]
+                flat = ct.reshape((-1, ct.shape[-1]))
+                out = kn.pbs_batch(flat, kkey, bkey, lut_poly, pparams,
+                                   w_in, signed=signed)
                 out = out.reshape(shape + (out.shape[-1],))
                 values[node] = cross(out, w_in, w_out)
             elif name == "multivariate":

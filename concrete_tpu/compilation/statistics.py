@@ -131,6 +131,11 @@ def collect(graph, executor, default_width: int) -> list[Record]:
             emit(ENCRYPTED_ADDITION, node, size * max(macs - 1, 0))
             if kw.get("bias") is not None:
                 emit(CLEAR_ADDITION, node, size)
+        elif name == "dynamic_tlu":
+            preds_enc = [q for q in preds if enc(q)]
+            w_in = width_of(preds_enc[0]) if preds_enc else default_width
+            emit(KEY_SWITCH, node, size, w_in)
+            emit(PBS, node, size, w_in)
         elif name in ("tlu", "univariate", "multivariate"):
             preds_enc = [q for q in preds if enc(q)]
             w_in = max((width_of(q) for q in preds_enc),

@@ -23,7 +23,8 @@ from concrete_tpu.representation import Graph, Node, Operation
 
 # ops whose (encrypted) output is a *fresh* encoding — everything else keeps
 # its operands' encoding
-TLU_OPS = ("tlu", "univariate", "multivariate", "extract_bits")
+TLU_OPS = ("tlu", "univariate", "multivariate", "extract_bits",
+           "dynamic_tlu")
 
 
 class _UnionFind:

@@ -105,6 +105,29 @@ def monomial_mul_rolls(polys, r):
     return ext[..., :n]
 
 
+def encode_expand_lut_jnp(table_vals, poly_size: int, message_bits: int,
+                          out_bits: int, signed: bool = False):
+    """Traceable (in-jit) version of refimpl.encode_expand_lut for dynamic
+    table lookups: the table arrives as a runtime clear tensor, so the
+    accumulator polynomial is built inside the compiled circuit.
+
+    table_vals: (2^message_bits,) integer tensor (raw entries; wrapped mod
+    2^(out_bits+1) like the static path).  Bit-identical to
+    refimpl.encode_expand_lut for equal inputs.
+    """
+    mask = jnp.int64((1 << (out_bits + 1)) - 1)
+    lut = (table_vals.astype(jnp.int64) & mask).astype(U64)
+    if signed:
+        half = lut.shape[-1] // 2
+        lut = jnp.concatenate([lut[half:], lut[:half]])
+    scaled = lut << U64(64 - out_bits - 1)
+    mega = poly_size // lut.shape[-1]
+    naive = jnp.repeat(scaled, mega)
+    ext = jnp.concatenate([naive, U64(0) - naive])      # negacyclic ext
+    shift = 2 * poly_size - mega // 2                   # X^{-mega/2}
+    return jnp.roll(ext, shift)[..., :poly_size]
+
+
 # ---------------------------------------------------------------------------
 # Exact negacyclic limb convolution (the MXU workhorse)
 # ---------------------------------------------------------------------------

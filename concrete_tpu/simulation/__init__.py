@@ -113,6 +113,26 @@ def simulate_graph(graph, specs, *inputs, rng=None):
             else:
                 variances[node] = br_var
             variances[node] += crossing_var(p_in, w_out)
+        elif name == "dynamic_tlu":
+            # runtime-table lookup: the same decision-noise model as a
+            # static TLU, with the table read from the clear operand
+            table = np.asarray(args[0])
+            x = np.asarray(args[1])
+            p_in = encoding_width(preds[1], p_default)
+            w_out = encoding_width(node, p_default)
+            _, br_var, ks_var, ms_var, _ = stages(p_in)
+            step = 2.0 ** -(p_in + 1)
+            total_var = variances[preds[1]] + ks_var + ms_var
+            noise = rng.normal(0.0, np.sqrt(total_var), x.shape)
+            shifted = x + np.round(noise / step).astype(np.int64)
+            domain = 1 << p_in
+            shifted = ((shifted % domain) + domain) % domain
+            if node.inputs[1].dtype.is_signed:
+                half = domain // 2
+                shifted = np.where(shifted >= half, shifted - domain,
+                                   shifted)
+            values[node] = table[shifted]
+            variances[node] = br_var + crossing_var(p_in, w_out)
         elif name == "extract_bits":
             # lsb-cascade (executor extract_bits lowering): peel bits LSB
             # first with one sign-PBS decision per bit; a flipped decision

@@ -116,6 +116,22 @@ class Tracer:
         return self
 
     def __getitem__(self, index):
+        if isinstance(index, Tracer):
+            # dynamic TLU: a CLEAR runtime tensor indexed by an encrypted
+            # value lowers to a PBS whose table is built at run time
+            # (reference Pipeline.cpp DynamicTLU / FHE.apply_lookup_table
+            # with a tensor operand)
+            if self.node.output.is_encrypted:
+                raise TypeError(
+                    "indexing an encrypted tensor by an encrypted index is "
+                    "not supported; dynamic table lookups need a CLEAR "
+                    "table (or use fhe.LookupTable for static tables)")
+
+            def ev(t, i):
+                return np.asarray(t)[np.asarray(i)]
+
+            output = Tracer._infer_output("dynamic_tlu", ev, [self, index])
+            return Tracer._generic("dynamic_tlu", [self, index], ev, output)
         ev = lambda x: x[index]  # noqa: E731
         output = Tracer._infer_output("index", ev, [self])
         return Tracer._generic("index", [self], ev, output, index=index)

@@ -316,3 +316,56 @@ def test_trace_extension(capsys):
             break
     else:
         raise AssertionError("trace circuit execution failed")
+
+
+def test_dynamic_tlu():
+    """Runtime-table lookup: a clear tensor input indexed by an encrypted
+    value (reference DynamicTLU, Pipeline.cpp:234-245)."""
+    import concrete_tpu as fhe
+    from concrete_tpu.params import TEST_PARAMS_TINY
+
+    @fhe.compiler({"table": "clear", "x": "encrypted"})
+    def f(table, x):
+        return table[x] + 1
+
+    inputset = [(np.random.randint(0, 8, (8,)), np.random.randint(0, 8))
+                for _ in range(30)]
+    cfg = fhe.Configuration(forced_parameters=TEST_PARAMS_TINY)
+    circuit = f.compile(inputset, cfg)
+    table = np.array([5, 0, 3, 1, 7, 2, 6, 4])
+    # different tables at run time, no recompilation
+    assert circuit.graph(table, 2) == 4        # table[2]+1 = 3+1
+    assert circuit.graph(table[::-1].copy(), 2) == 3   # rev[2]+1 = 2+1
+    assert circuit.simulate(table, 2) in range(9)
+    circuit.keygen(seed=13)
+    for _ in range(4):
+        if circuit.encrypt_run_decrypt(table, 2) == 4 \
+                and circuit.encrypt_run_decrypt(table[::-1].copy(), 2) == 3:
+            return
+    raise AssertionError("dynamic TLU execution failed")
+
+
+def test_dynamic_tlu_wrong_size_rejected():
+    import concrete_tpu as fhe
+    from concrete_tpu.params import TEST_PARAMS_TINY
+
+    @fhe.compiler({"table": "clear", "x": "encrypted"})
+    def f(table, x):
+        return table[x]
+
+    inputset = [(np.random.randint(0, 8, (6,)), np.random.randint(0, 6))
+                for _ in range(30)]
+    cfg = fhe.Configuration(forced_parameters=TEST_PARAMS_TINY)
+    with pytest.raises(ValueError, match="entries"):
+        f.compile(inputset, cfg)
+
+
+def test_encrypted_by_encrypted_index_rejected():
+    import concrete_tpu as fhe
+
+    @fhe.compiler({"t": "encrypted", "x": "encrypted"})
+    def f(t, x):
+        return t[x]
+
+    with pytest.raises(TypeError, match="encrypted index"):
+        f.compile([(np.arange(4), 1)])
