@@ -38,6 +38,12 @@ class Compiler:
             raise ValueError("inputset must not be empty")
         sample = inputset[0]
 
+        def progress(stage: str):
+            # Configuration.show_progress (reference compile-progress bar)
+            if config.show_progress:
+                title = config.progress_title or self.function.__name__
+                print(f"[{title}] {stage}", flush=True)
+
         if config.auto_adjust_rounders or config.auto_adjust_truncators:
             # run the clear function over the inputset so AutoRounders /
             # AutoTruncators observe their inputs before the real trace
@@ -45,6 +51,7 @@ class Compiler:
             from concrete_tpu.extensions.rounding import AutoRounder
             AutoRounder.adjust(self.function, inputset)
 
+        progress("tracing")
         graph = Tracer.trace(self.function,
                              self.parameter_encryption_statuses,
                              sample=sample, name=self.function.__name__)
@@ -60,6 +67,7 @@ class Compiler:
                                   is Exactness.APPROXIMATE))
         for processor in config.additional_pre_processors:
             processor(graph)
+        progress("transforms + bounds measurement")
         graph.measure_bounds(inputset)
         graph.update_dtypes_from_bounds()
         from concrete_tpu.compilation.configuration import ComparisonStrategy
@@ -90,6 +98,7 @@ class Compiler:
         if config.verbose or config.show_bit_width_assignments:
             for node, w in sorted(widths.items(), key=lambda kv: kv[0].uid):
                 print(f"  %{node.uid} [{node.name}] : {w} bits")
+        progress("parameter optimization")
         norm2 = graph.max_norm2()
         native_patterns, wide_inputs, wop_triples = tlu_pattern_split(graph)
 
@@ -169,6 +178,7 @@ class Compiler:
                   f"ks=({params.ks_level},{params.ks_base_log}) "
                   f"p_error<={p_error:.2e}"
                   + (f" wop_gadgets={wop_gadgets}" if wop_gadgets else ""))
+        progress("lowering")
         circuit = Circuit(graph, specs, configuration=config)
         if config.show_mlir:
             # the IR analog of the reference's MLIR dump: the per-node
