@@ -69,3 +69,58 @@ def test_polymul_linearity_prop(avals, bvals):
     lhs2 = ref.monomial_mul(ref.negacyclic_polymul(a, b), 1)
     rhs2 = ref.negacyclic_polymul(ref.monomial_mul(a, 1), b)
     assert np.array_equal(lhs2, rhs2)
+
+
+# -- round-2 features: chunked comparisons, dynamic TLU (clear semantics) -----
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 31), st.integers(0, 31),
+       st.sampled_from(["gt", "ge", "lt", "le", "eq", "ne"]))
+def test_chunked_comparison_prop(a, b, op):
+    """The chunked rewrite preserves exact comparison semantics on the
+    full operand domain (clear graph evaluation)."""
+    import concrete_tpu as fhe
+    from concrete_tpu.params import TEST_PARAMS_TINY
+    fns = {"gt": lambda x, y: x > y, "ge": lambda x, y: x >= y,
+           "lt": lambda x, y: x < y, "le": lambda x, y: x <= y,
+           "eq": lambda x, y: x == y, "ne": lambda x, y: x != y}
+    fn = fns[op]
+    key = ("cmp", op)
+    circuit = _CIRCUIT_CACHE.get(key)
+    if circuit is None:
+        def make(fn):
+            @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+            def f(x, y):
+                return fn(x, y)
+            return f
+        cfg = fhe.Configuration(forced_parameters=TEST_PARAMS_TINY)
+        inputset = [(i, j) for i in (0, 31) for j in (0, 31)]
+        circuit = make(fn).compile(inputset, cfg)
+        # 5-bit operands with a 6-bit signed diff at TINY params (native 5)
+        # must have been chunked: no WoP specs
+        assert not circuit.server._executor.wop_specs
+        _CIRCUIT_CACHE[key] = circuit
+    assert circuit.graph(a, b) == int(fn(a, b))
+
+
+_CIRCUIT_CACHE: dict = {}
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(0, 7), min_size=8, max_size=8),
+       st.integers(0, 7))
+def test_dynamic_tlu_prop(table, idx):
+    import concrete_tpu as fhe
+    from concrete_tpu.params import TEST_PARAMS_TINY
+    circuit = _CIRCUIT_CACHE.get("dyn")
+    if circuit is None:
+        @fhe.compiler({"table": "clear", "x": "encrypted"})
+        def f(table, x):
+            return table[x]
+        cfg = fhe.Configuration(forced_parameters=TEST_PARAMS_TINY)
+        inputset = [(np.random.randint(0, 8, (8,)),
+                     np.random.randint(0, 8)) for _ in range(30)]
+        circuit = f.compile(inputset, cfg)
+        _CIRCUIT_CACHE["dyn"] = circuit
+    t = np.asarray(table)
+    assert circuit.graph(t, idx) == t[idx]
