@@ -106,10 +106,16 @@ class Compiler:
         if config.global_p_error is not None:
             # split the global budget across PBS count (union bound),
             # reference V0Parameters.cpp:70-119 binary-search equivalent
-            n_pbs = max(sum(
-                max(int(np.prod(n.output.shape)), 1)
-                for n in graph.graph.nodes
-                if n.name in ("tlu", "univariate")), 1)
+            def pbs_of(n):
+                size = max(int(np.prod(n.output.shape)), 1)
+                if n.name in ("tlu", "univariate", "multivariate",
+                              "dynamic_tlu"):
+                    return size
+                if n.name == "extract_bits":
+                    pos = n.properties["kwargs"]["positions"]
+                    return size * (max(int(q) for q in pos) + 1)
+                return 0
+            n_pbs = max(sum(pbs_of(n) for n in graph.graph.nodes), 1)
             p_error = config.global_p_error / n_pbs
 
         from concrete_tpu.compilation.configuration import \

@@ -93,7 +93,7 @@ class ApproximateRoundingConfig:
     symetrize_deltas: bool = True
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class RangeRestriction:
     """Restrict the optimizer's search space (reference
     optimize/restriction.rs RangeRestriction).  Empty sequences = no

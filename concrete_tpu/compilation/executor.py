@@ -59,22 +59,29 @@ class WopTluSpec:
     offsets: list = None
 
 
-def _materialize_wop_table(node: Node, p_in: int, p_out: int) -> WopTluSpec:
+def _materialize_wop_table(node: Node, p_in: int, p_out: int,
+                           lsbs: int = 0) -> WopTluSpec:
     """Build the bit-indexed table for a wide TLU.
 
     Unsigned p-bit input: nb = p, index = value.  Signed: nb = p+1 (the
     encoding's p+1-bit pattern, sign wrap at the top), index =
     value mod 2^(p+1) — entries in the unused middle range are don't-care
-    (filled with f of the wrapped value)."""
+    (filled with f of the wrapped value).
+
+    `lsbs` > 0 is fused rounding (ProcessRounding for the WoP path): only
+    the top p_in - lsbs message bits are extracted — bit extraction floors
+    the value for free; entry j maps the rounded value j << lsbs."""
     signed = isinstance(node.inputs[0].dtype, Integer) \
         and node.inputs[0].dtype.is_signed
-    nb = p_in + (1 if signed else 0)
+    p_eff = max(p_in - lsbs, 1)
+    nb = p_eff + (1 if signed else 0)
     idx = np.arange(1 << nb)
     if signed:
         dom = 1 << nb
-        sval = np.where(idx < (1 << p_in), idx, idx - dom)
+        sval = np.where(idx < (1 << p_eff), idx, idx - dom)
     else:
         sval = idx
+    sval = sval << lsbs
     if node.name == "tlu":
         table = np.asarray(node.properties["kwargs"]["table"],
                            dtype=np.int64)
@@ -83,7 +90,7 @@ def _materialize_wop_table(node: Node, p_in: int, p_out: int) -> WopTluSpec:
         fn = node.properties["kwargs"]["function"]
         vals = np.vectorize(fn, otypes=[np.int64])(sval)
     return WopTluSpec(node_uid=node.uid, table=vals.astype(np.int64),
-                      nb_bits=nb, delta_log=63 - p_in, out_bits=p_out)
+                      nb_bits=nb, delta_log=63 - p_eff, out_bits=p_out)
 
 
 def raw_table(node: Node, p: int, shift: int = 0) -> np.ndarray:
@@ -167,16 +174,32 @@ def packed_layout(graph: Graph, node: Node):
     return mins, widths, offsets
 
 
-def _materialize_multivariate(graph: Graph, node: Node, p_in: int,
-                              p_out: int,
-                              params: CryptoParams) -> MultivariateSpec:
-    fn = node.properties["kwargs"]["function"]
+def multivariate_raw_table(graph: Graph, node: Node,
+                           p_in: int) -> np.ndarray:
+    """2^p_in-entry packed-index table of a multivariate node (from its
+    callable, or the explicit table of a deserialized archive node)."""
+    kwargs = node.properties["kwargs"]
+    if "table" in kwargs:
+        t = np.asarray(kwargs["table"], dtype=np.int64)
+        if len(t) < (1 << p_in):
+            # width class wider than the packed range: upper entries are
+            # unreachable don't-cares
+            t = np.resize(t, 1 << p_in)
+        return t
+    fn = kwargs["function"]
     mins, widths, offsets = packed_layout(graph, node)
     idx = np.arange(1 << p_in)
     operands = []
     for mn, w, off in zip(mins, widths, offsets):
         operands.append(((idx >> off) & ((1 << w) - 1)) + mn)
-    lut_vals = np.vectorize(fn, otypes=[np.int64])(*operands)
+    return np.vectorize(fn, otypes=[np.int64])(*operands)
+
+
+def _materialize_multivariate(graph: Graph, node: Node, p_in: int,
+                              p_out: int,
+                              params: CryptoParams) -> MultivariateSpec:
+    mins, widths, offsets = packed_layout(graph, node)
+    lut_vals = multivariate_raw_table(graph, node, p_in)
     lut_enc = lut_vals & ((1 << (p_out + 1)) - 1)
     lut_poly = ref.encode_expand_lut(
         lut_enc.astype(np.uint64), params.polynomial_size, p_in,
@@ -233,7 +256,7 @@ class GraphExecutor:
                 if max(p_in - lsbs, 1) > self.max_native_bits(p_in):
                     self._require_wop(node, p_in)
                     self.wop_specs[node.uid] = _materialize_wop_table(
-                        node, p_in, self.width_of(node))
+                        node, p_in, self.width_of(node), lsbs=lsbs)
                 else:
                     self.tlu_specs[node.uid] = _materialize_table(
                         node, p_in, self.width_of(node), pparams, lsbs=lsbs)
@@ -243,12 +266,8 @@ class GraphExecutor:
                 p_in = max((self.width_of(q) for q in preds), default=p)
                 if p_in > self.max_native_bits(p_in):
                     self._require_wop(node, p_in)
-                    fn = node.properties["kwargs"]["function"]
                     mins, mwidths, offsets = packed_layout(graph, node)
-                    idx = np.arange(1 << p_in)
-                    operands = [((idx >> off) & ((1 << w) - 1)) + mn
-                                for mn, w, off in zip(mins, mwidths, offsets)]
-                    vals = np.vectorize(fn, otypes=[np.int64])(*operands)
+                    vals = multivariate_raw_table(graph, node, p_in)
                     self.wop_specs[node.uid] = WopTluSpec(
                         node_uid=node.uid, table=vals, nb_bits=p_in,
                         delta_log=63 - p_in, out_bits=self.width_of(node),
@@ -311,6 +330,15 @@ class GraphExecutor:
         out = np.zeros(enc.shape + (n_big + 1,), dtype=np.uint64)
         out[..., -1] = enc
         return jnp.asarray(out)
+
+    def _trivial_traced(self, value, width: int) -> jnp.ndarray:
+        """_trivial for values only known inside the jit (runtime clear
+        inputs): same encoding, jnp ops throughout."""
+        enc = (jnp.asarray(value).astype(jnp.int64).astype(jnp.uint64)
+               << jnp.uint64(64 - width - 1))
+        n_big = self.params_for_width(width).n_big
+        out = jnp.zeros(jnp.shape(enc) + (n_big + 1,), dtype=jnp.uint64)
+        return out.at[..., -1].set(enc)
 
     # -- the lowered evaluation -------------------------------------------
 
@@ -594,10 +622,11 @@ class GraphExecutor:
                 values[node] = cross(out, p_in, p_out)
             elif name in ("round_bit_pattern", "truncate_bit_pattern"):
                 # fused rounding (ProcessRounding): the consumer TLU's LUT
-                # is built at the reduced width, so the modulus switch does
-                # the rounding — the ciphertext passes through untouched.
-                # Truncation (floor) additionally biases by a half step so
-                # the round-to-nearest of the modswitch becomes a floor.
+                # is built at the reduced width, so the consumer's
+                # round-to-nearest (the native path's modulus switch OR the
+                # WoP path's lowest bit-extraction decision — both round on
+                # the dropped bits) performs the rounding for free.
+                # Truncation (floor) additionally biases by -half a step.
                 ct = args[0]
                 if name == "truncate_bit_pattern" \
                         and not node.properties.get("approximate"):
@@ -611,10 +640,14 @@ class GraphExecutor:
             elif name == "hint":
                 values[node] = args[0]
             elif name == "array":
-                # fhe.array: stack scalar ciphertexts into one tensor
+                # fhe.array: stack scalar ciphertexts into one tensor;
+                # clear entries are trivially encrypted first
                 shape = node.output.shape
-                values[node] = jnp.stack(args).reshape(
-                    tuple(shape) + (args[0].shape[-1],))
+                w = self.width_of(node)
+                cts = [a if flag else self._trivial_traced(a, w)
+                       for a, flag in zip(args, enc_flags)]
+                values[node] = jnp.stack(cts).reshape(
+                    tuple(shape) + (cts[0].shape[-1],))
             elif name == "trace_message":
                 # Tracing dialect analog: free identity in execution; with
                 # CONCRETE_TPU_TRACE=1 emits a runtime print of the

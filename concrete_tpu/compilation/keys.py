@@ -66,6 +66,7 @@ class Keys:
         from concrete_tpu.utils.csprng import SecureGenerator
         rng = SecureGenerator(seed)
         self._seed = seed
+        self._foreign_key = glwe_key is not None
         self._secret, self._server = kg.keygen(rng, self.params,
                                                glwe_key=glwe_key)
         self._packed_ksk = None
@@ -174,8 +175,11 @@ class Keys:
             rng = SecureGenerator()
             self._pfpksk[key] = wop.pfpksk_gen(
                 rng, self._secret, wop_params).pfpksk
-            if self.cache_directory is not None:
-                # refresh the cache so the PFPKSK is not regenerated
+            if self.cache_directory is not None \
+                    and not getattr(self, "_foreign_key", False):
+                # refresh the cache so the PFPKSK is not regenerated —
+                # but NEVER cache keysets derived from an injected
+                # (TFHE-rs shared) secret key, mirroring generate()
                 path = self._cache_path(getattr(self, "_seed", None))
                 if os.path.exists(path):
                     self.save(path)

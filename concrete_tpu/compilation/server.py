@@ -97,7 +97,9 @@ class Server:
         archive contains no Python callables.
         """
         import networkx as nx
-        from concrete_tpu.compilation.executor import raw_table
+        from concrete_tpu.compilation.executor import (multivariate_raw_table,
+                                                       packed_layout,
+                                                       raw_table)
         from concrete_tpu.compilation.graph_io import serialize_graph
         from concrete_tpu.compilation.widths import encoding_width
         p = self.client_specs.message_bits
@@ -108,6 +110,14 @@ class Server:
                 p_in = encoding_width(preds[0], p) if preds else p
                 mapping[node] = node.materialized_as_tlu(
                     raw_table(node, p_in))
+            elif node.name == "multivariate" \
+                    and "table" not in node.properties["kwargs"]:
+                from concrete_tpu.compilation.widths import packed_width
+                p_in = packed_width(self.graph, node)
+                mins, widths, offsets = packed_layout(self.graph, node)
+                mapping[node] = node.materialized_as_multivariate(
+                    multivariate_raw_table(self.graph, node, p_in),
+                    mins, widths, offsets)
         g2 = nx.relabel_nodes(self.graph.graph, mapping, copy=True) \
             if mapping else self.graph.graph
         graph2 = Graph(

@@ -247,7 +247,14 @@ def tlu_pattern_split(graph: Graph):
             else:
                 native.append((p_in, n2))
     for node in graph.ordered_outputs:
-        if node.output.is_encrypted:
+        if node.output.is_encrypted \
+                and encoding_width(node, default) > MAX_NATIVE_TLU_BITS:
+            # wide outputs (e.g. WoP results) only need decodable noise —
+            # they pass through no further LUT, so no N >= 2^(p+1)
+            # mega-case requirement
+            wide_in.append((encoding_width(node, default),
+                            max(boundary.get(node, 1), 1)))
+        elif node.output.is_encrypted:
             native.append((encoding_width(node, default),
                            max(manp.get(node, 1), 1)))
     return (tuple(native) or ((1, 1),), tuple(wide_in), tuple(wop))

@@ -39,7 +39,8 @@ def array(values) -> Tracer:
     def evaluator(*vals):
         return np.asarray(vals, dtype=np.int64).reshape(arr.shape)
 
-    return Tracer._generic("array", tracers, evaluator, out_desc)
+    return Tracer._generic("array", tracers, evaluator, out_desc,
+                       shape=tuple(arr.shape))
 
 
 def inputset(*annotations, n: int = 100, seed=None):

@@ -110,6 +110,23 @@ class Node:
         self.evaluator = _rebuild_evaluator(
             self.operation, self.properties)
 
+    def materialized_as_multivariate(self, table: np.ndarray, mins, widths,
+                                     offsets) -> "Node":
+        """Copy of a multivariate node with its packed-index table and
+        layout made explicit (data-only, for deployment archives)."""
+        props = {k: v for k, v in self.properties.items() if k != "kwargs"}
+        props.update({"name": "multivariate",
+                      "kwargs": {"table": np.asarray(table),
+                                 "mins": tuple(int(m) for m in mins),
+                                 "widths": tuple(int(w) for w in widths),
+                                 "offsets": tuple(int(o) for o in offsets)}})
+        node = Node(self.operation, self.inputs, self.output,
+                    evaluator=None, properties=props)
+        node.evaluator = _rebuild_evaluator(self.operation, props)
+        node.bounds = self.bounds
+        node.uid = self.uid
+        return node
+
     def materialized_as_tlu(self, table: np.ndarray) -> "Node":
         """Return a copy of this univariate/tlu node with an explicit table
         (used before deployment serialization)."""
@@ -195,4 +212,57 @@ def _rebuild_evaluator(operation: Operation, properties: dict):
     if name == "truncate_bit_pattern":
         lsbs = kwargs["lsbs_to_remove"]
         return lambda x: (np.asarray(x, dtype=np.int64) >> lsbs) << lsbs
+    if name == "multivariate" and "table" in kwargs:
+        table = np.asarray(kwargs["table"])
+        mins = list(kwargs["mins"])
+        offsets = list(kwargs["offsets"])
+
+        def _mv(*xs):
+            idx = 0
+            for x, mn, off in zip(xs, mins, offsets):
+                idx = idx + ((np.asarray(x, dtype=np.int64) - mn) << off)
+            return table[idx % len(table)]
+        return _mv
+    if name == "dynamic_tlu":
+        return lambda t, i: np.asarray(t)[np.asarray(i)]
+    if name == "extract_bits":
+        positions = tuple(kwargs["positions"])
+
+        def _bits(v):
+            v = np.asarray(v, dtype=np.int64)
+            out = np.zeros_like(v)
+            for j, b in enumerate(positions):
+                out |= ((v >> np.int64(b)) & np.int64(1)) << np.int64(j)
+            return out
+        return _bits
+    if name in ("hint", "trace_message"):
+        return lambda x: x
+    if name == "array":
+        shape = tuple(kwargs["shape"])
+        return lambda *xs: np.asarray(xs, dtype=np.int64).reshape(shape)
+    if name == "conv":
+        weight = np.asarray(kwargs["weight"], dtype=np.int64)
+        bias = kwargs.get("bias")
+        strides = tuple(kwargs.get("strides", (1, 1)))
+        padding = tuple(kwargs.get("padding", (0, 0)))
+
+        def _conv(v):
+            v = np.asarray(v, dtype=np.int64)
+            n, c, h, w = v.shape
+            o, _i, kh, kw = weight.shape
+            ph, pw = padding
+            v = np.pad(v, ((0, 0), (0, 0), (ph, ph), (pw, pw)))
+            oh = (h + 2 * ph - kh) // strides[0] + 1
+            ow = (w + 2 * pw - kw) // strides[1] + 1
+            out = np.zeros((n, o, oh, ow), dtype=np.int64)
+            for y in range(oh):
+                for x in range(ow):
+                    patch = v[:, :, y * strides[0]:y * strides[0] + kh,
+                              x * strides[1]:x * strides[1] + kw]
+                    out[:, :, y, x] = np.tensordot(
+                        patch, weight, axes=([1, 2, 3], [1, 2, 3]))
+            if bias is not None:
+                out += np.asarray(bias, dtype=np.int64)[None, :, None, None]
+            return out
+        return _conv
     return None  # univariate without materialized table: not executable

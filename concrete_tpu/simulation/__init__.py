@@ -113,6 +113,34 @@ def simulate_graph(graph, specs, *inputs, rng=None):
             else:
                 variances[node] = br_var
             variances[node] += crossing_var(p_in, w_out)
+        elif name == "multivariate":
+            # packed TLU: decision noise on the packed index at the packed
+            # width (executor packed_layout semantics); output variance
+            # resets to one blind-rotate like any PBS
+            from concrete_tpu.compilation.executor import (
+                multivariate_raw_table, packed_layout)
+            from concrete_tpu.compilation.widths import packed_width
+            preds_enc = [q for q in preds if q.output.is_encrypted]
+            p_in = max(encoding_width(q, p_default) for q in preds_enc)
+            w_out = encoding_width(node, p_default)
+            _, br_var, ks_var, ms_var, _ = stages(p_in)
+            mins, widths_, offsets = packed_layout(graph, node)
+            packed = 0
+            var_in = 0.0
+            for q, val, mn, off in zip(preds, args, mins, offsets):
+                packed = packed + ((np.asarray(val, dtype=np.int64) - mn)
+                                   << off)
+                var_in += variances[q] * float(1 << off) ** 2 \
+                    if q.output.is_encrypted else 0.0
+            table = multivariate_raw_table(graph, node, p_in)
+            step = 2.0 ** -(p_in + 1)
+            total_var = var_in + ks_var + ms_var
+            noise = rng.normal(0.0, np.sqrt(total_var), np.shape(packed))
+            shifted = packed + np.round(noise / step).astype(np.int64)
+            domain = 1 << p_in
+            shifted = ((shifted % domain) + domain) % domain
+            values[node] = table[shifted]
+            variances[node] = br_var + crossing_var(p_in, w_out)
         elif name == "dynamic_tlu":
             # runtime-table lookup: the same decision-noise model as a
             # static TLU, with the table read from the clear operand

@@ -122,3 +122,61 @@ def test_composition_policies():
     assert isinstance(fhe.Wired([fhe.Wire(fhe.Output("f", 0),
                                           fhe.Input("g", 0))]),
                       fhe.CompositionPolicy)
+
+
+def test_range_restriction_compiles():
+    """RangeRestriction must be hashable (review finding: the lru_cached
+    optimizer crashed on it) and actually restrict the search."""
+    r = fhe.RangeRestriction(glwe_log_polynomial_sizes=(11,),
+                             glwe_dimensions=(1,))
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return (x + 1) % 4
+
+    circuit = f.compile(range(4),
+                        fhe.Configuration(range_restriction=r))
+    p = circuit.client_specs.params
+    assert p.polynomial_size == 1 << 11
+    assert p.glwe_dimension == 1
+
+
+def test_array_with_clear_tracer_entry():
+    """fhe.array mixing an encrypted scalar with a CLEAR tracer entry
+    (review finding: the executor stacked raw clear values and crashed)."""
+    @fhe.compiler({"x": "encrypted", "c": "clear"})
+    def f(x, c):
+        return np.sum(fhe.array([x, c]))
+
+    circuit = f.compile([(i, j) for i in range(4) for j in range(4)],
+                        CFG)
+    circuit.keygen(seed=33)
+    for _ in range(4):
+        if circuit.encrypt_run_decrypt(2, 3) == 5:
+            return
+    raise AssertionError("array with clear tracer failed")
+
+
+def test_wop_cache_never_stores_foreign_keysets(tmp_path):
+    """Keys generated from an injected (shared) glwe key must never land
+    in the insecure cache, including via wop_evaluation's refresh."""
+    from concrete_tpu.compilation.keys import Keys
+    from concrete_tpu.core.wop import WopParams
+    from concrete_tpu.params import TEST_PARAMS_TINY_WIDE as P
+    cache = str(tmp_path)
+    normal = Keys(P, cache_directory=cache)
+    normal.generate(seed=None)
+    import os
+    files = {f: os.path.getmtime(os.path.join(cache, f))
+             for f in os.listdir(cache)}
+    assert files, "normal keyset should be cached"
+    foreign = Keys(P, cache_directory=cache)
+    shared = np.random.default_rng(0).integers(
+        0, 2, (P.glwe_dimension, P.polynomial_size)).astype(np.uint64)
+    foreign.generate(seed=None, glwe_key=shared)
+    wp = WopParams(base=P, cbs_level=3, cbs_base_log=6,
+                   pfks_level=8, pfks_base_log=4)
+    foreign.wop_evaluation(wp)
+    files2 = {f: os.path.getmtime(os.path.join(cache, f))
+              for f in os.listdir(cache)}
+    assert files2 == files, "foreign keyset leaked into the cache"

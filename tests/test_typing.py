@@ -83,3 +83,38 @@ def test_encryption_flip_rejected():
     _tamper(path, bad, flip)
     with pytest.raises(GraphTypeError):
         fhe.Server.load(bad)
+
+
+def test_multivariate_archive_roundtrip():
+    """enc % enc lowers to a multivariate TLU; its archive must be data-only
+    and still executable after Server.load (review finding: the callable
+    kwarg was silently dropped, corrupting every such archive)."""
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def f(x, y):
+        return x % y
+
+    inputset = [(np.random.randint(0, 8), np.random.randint(1, 4))
+                for _ in range(30)]
+    circuit = f.compile(inputset, CFG)
+    path = tempfile.mktemp(suffix=".zip")
+    circuit.server.save(path)
+    server = fhe.Server.load(path)
+    circuit.keygen(seed=31)
+    for _ in range(4):
+        enc = circuit.encrypt(7, 3)
+        out = server.run(*enc, evaluation_keys=circuit._evaluation_keys())
+        if circuit.decrypt(out[0]) == 1:
+            return
+    raise AssertionError("archived multivariate circuit failed")
+
+
+def test_extract_bits_and_trace_archive_roundtrip():
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return fhe.bits(x)[1] + fhe.trace(x, "x") * 0
+
+    circuit = f.compile(range(8), CFG)
+    path = tempfile.mktemp(suffix=".zip")
+    circuit.server.save(path)
+    server = fhe.Server.load(path)
+    assert server.graph(6) == 1

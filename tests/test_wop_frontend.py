@@ -117,3 +117,59 @@ def test_wop_optimizer_path():
     assert v_out * 4 + v_ks + v_ms < safe_variance_bound(6, 6.3e-5)
     # security floor holds
     assert params.security_level == 128
+
+
+def test_wop_fused_truncate_correctness():
+    """truncate_bit_pattern fused into a WIDE TLU: WoP bit extraction
+    floors for free, so the spec must be sized at the reduced width and
+    carry no half-step bias (review finding: nb was built at full width
+    and the native-path bias corrupted the lookup)."""
+    table = fhe.LookupTable([(3 * v + 1) % 16 for v in range(1 << 12)])
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return table[fhe.truncate_bit_pattern(x, lsbs_to_remove=2)]
+
+    inputset = [0, 1111, 2502, (1 << 12) - 1]
+    c = f.compile(inputset, fhe.Configuration(**CFG))
+    spec = next(iter(c.server._executor.wop_specs.values()))
+    assert spec.nb_bits == 10, spec.nb_bits   # 12 - 2 fused lsbs
+    for x in (0, 1111, 2502, 4095):
+        want = (3 * ((x >> 2) << 2) + 1) % 16
+        got = _retry(c, (x,), want)
+        assert got == want, (x, got, want)
+
+
+def test_wop_fused_round_correctness():
+    """round_bit_pattern fused into a wide TLU: the WoP path needs the
+    +half bias so its flooring extraction rounds to nearest."""
+    table = fhe.LookupTable([(v + 5) % 16 for v in range(1 << 12)])
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return table[fhe.round_bit_pattern(x, lsbs_to_remove=2)]
+
+    inputset = [0, 1113, 2503, (1 << 12) - 5]
+    c = f.compile(inputset, fhe.Configuration(**CFG))
+    for x in (0, 1113, 2503):
+        r = ((x + 2) >> 2) << 2          # round to multiple of 4
+        want = (r + 5) % 16
+        got = _retry(c, (x,), want)
+        assert got == want, (x, got, want)
+
+
+def test_wide_output_compiles():
+    """A wide encrypted output (no further TLU) must not impose the
+    N >= 2^(p+1) mega-case requirement (review finding: compilation of
+    13-bit outputs failed infeasibly)."""
+    table = fhe.LookupTable(list(range(1 << 6)))
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return table[fhe.truncate_bit_pattern(x, lsbs_to_remove=7) >> 7] * 3
+
+    inputset = [int(v) for v in
+                np.random.default_rng(1).integers(0, 1 << 13, 40)] \
+        + [0, (1 << 13) - 1]
+    circuit = f.compile(inputset)     # must not raise
+    assert circuit.graph(1 << 12) == ((1 << 12) >> 7) * 3
