@@ -90,8 +90,14 @@ class Wired(CompositionPolicy):
         self.wires = list(wires)
 
     def unified_functions(self, names):
+        names = set(names)
         out = set()
         for w in self.wires:
             out.add(w.output.func_name)
             out.add(w.input.func_name)
-        return out & set(names)
+        unknown = out - names
+        if unknown:
+            raise ValueError(
+                f"Wired composition references unknown module function(s) "
+                f"{sorted(unknown)}; known: {sorted(names)}")
+        return out

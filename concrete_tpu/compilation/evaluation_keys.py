@@ -38,6 +38,12 @@ class EvaluationKeys:
     @classmethod
     def from_keys(cls, keys) -> "EvaluationKeys":
         """Extract the public material from a generated Keys object."""
+        from concrete_tpu.compilation.keys import MultiKeys
+        if isinstance(keys, MultiKeys):
+            raise NotImplementedError(
+                "EvaluationKeys covers mono keysets; multi-partition "
+                "deployments currently ship Circuit._evaluation_keys "
+                "(per-partition packed keys) directly")
         keys._require()
         return cls(params=keys.params,
                    bsk=np.asarray(keys.server.bsk),
@@ -48,25 +54,38 @@ class EvaluationKeys:
 
     def packed(self, message_bits: Optional[int] = None, norm2: int = 1,
                wop_params=None):
-        """(LimbKSK, LimbBSK[, packed PFPKSK]) for Server.run, mirroring
-        Keys.evaluation_for's packing choices."""
-        from concrete_tpu.core import kernels as kn
-        ksk = kn.pack_ksk(self.ksk, self.params)
-        truncate = 0
-        if message_bits is not None:
-            from concrete_tpu.params import choose_truncate_limbs
-            truncate = choose_truncate_limbs(self.params, message_bits,
-                                             norm2=norm2)
-        bsk = kn.pack_bsk(self.bsk, self.params, truncate_limbs=truncate)
-        if wop_params is None:
-            return ksk, bsk
-        from concrete_tpu.core import kernels_wop as kw
-        key = (wop_params.pfks_level, wop_params.pfks_base_log)
-        if key not in self.pfpksk:
-            raise ValueError(
-                f"evaluation keys carry no PFPKSK for gadget {key}; "
-                "regenerate them from a keyset with WoP keys")
-        return ksk, bsk, kw.pack_pfpksk(self.pfpksk[key], wop_params)
+        """(LimbKSK, BSK[, packed PFPKSK]) for Server.run — the SAME
+        packing policy as Keys.evaluation_for (noise-budget BSK
+        truncation, NTT switchover at N >= Keys.NTT_MIN_POLY_SIZE),
+        implemented by delegating to a transient Keys holding only the
+        public material.  Results are cached on the instance: Server.run
+        repacks nothing on repeat calls."""
+        from concrete_tpu.compilation.keys import Keys
+        from concrete_tpu.core.refimpl import SecretKeys, ServerKeys
+        wop_key = None if wop_params is None else \
+            (wop_params.pfks_level, wop_params.pfks_base_log)
+        cache_key = (message_bits, norm2, wop_key)
+        if not hasattr(self, "_packed_cache"):
+            object.__setattr__(self, "_packed_cache", {})
+        if cache_key in self._packed_cache:
+            return self._packed_cache[cache_key]
+        holder = Keys(self.params)
+        holder._secret = SecretKeys(
+            lwe_small=np.zeros(self.params.n_small, dtype=np.uint64),
+            glwe=np.zeros((self.params.glwe_dimension,
+                           self.params.polynomial_size), dtype=np.uint64))
+        holder._server = ServerKeys(bsk=self.bsk, ksk=self.ksk)
+        out = holder.evaluation_for(message_bits, norm2=norm2)
+        if wop_params is not None:
+            from concrete_tpu.core import kernels_wop as kw
+            if wop_key not in self.pfpksk:
+                raise ValueError(
+                    f"evaluation keys carry no PFPKSK for gadget "
+                    f"{wop_key}; regenerate them from a keyset with WoP "
+                    "keys")
+            out = out + (kw.pack_pfpksk(self.pfpksk[wop_key], wop_params),)
+        self._packed_cache[cache_key] = out
+        return out
 
     # -- serialization -------------------------------------------------------
 

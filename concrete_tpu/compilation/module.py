@@ -207,10 +207,19 @@ class ModuleCompiler:
         client0 = None
         functions = {}
         for name, g in graphs.items():
+            from concrete_tpu.compilation.widths import encoding_width
             specs = ClientSpecs(
                 params=params, message_bits=p,
                 inputs=[n.output for n in g.ordered_inputs],
-                outputs=[n.output for n in g.ordered_outputs])
+                outputs=[n.output for n in g.ordered_outputs],
+                # per-position encoding widths: unified functions use the
+                # module width, NotComposable/unwired ones their own
+                # (without these the client would encode at message_bits
+                # while the executor uses per-node widths -> garbage)
+                input_widths=[encoding_width(n, p)
+                              for n in g.ordered_inputs],
+                output_widths=[encoding_width(n, p)
+                               for n in g.ordered_outputs])
             client = Client(specs, keys)
             client0 = client0 or client
             functions[name] = FheFunction(name, g, specs, client)

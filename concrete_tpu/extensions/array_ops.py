@@ -19,10 +19,32 @@ def array(values) -> Tracer:
 
     Clear entries are trivially encrypted; all entries must be scalars.
     """
-    arr = np.asarray(values, dtype=object)
-    flat = list(arr.reshape(-1))
+    def walk(v):
+        """Recursive flatten treating Tracers as leaves (np.asarray would
+        descend INTO tensor tracers via __getitem__, exploding them into
+        per-element index nodes)."""
+        if isinstance(v, Tracer):
+            if v.node.output.shape != ():
+                raise ValueError("fhe.array entries must be scalars")
+            return [v], ()
+        if isinstance(v, (list, tuple)):
+            parts = [walk(x) for x in v]
+            if not parts:
+                return [], (0,)
+            shapes = {s for _, s in parts}
+            if len(shapes) != 1:
+                raise ValueError("fhe.array entries have ragged shapes")
+            flat = [x for p, _ in parts for x in p]
+            return flat, (len(parts),) + parts[0][1]
+        return [v], ()
+
+    flat, shape = walk(values)
     if not any(isinstance(v, Tracer) for v in flat):
         return np.asarray(values, dtype=np.int64)
+
+    class arr:                         # shape carrier for the code below
+        pass
+    arr.shape = shape
 
     def sanitize(v):
         if isinstance(v, Tracer):

@@ -65,10 +65,22 @@ class ChaCha20Stream:
         self.counter = 0
         self._lib = _build_and_load()
 
+    def _bump_nonce(self) -> None:
+        v = int.from_bytes(self.nonce, "little") + 1
+        self.nonce = (v % (1 << 96)).to_bytes(12, "little")
+
     def random_bytes(self, n: int) -> bytes:
+        # the 32-bit block counter covers 256 GiB per nonce; advance the
+        # nonce before it wraps so keystream (thus LWE masks) never repeats
+        blocks = (n + 63) // 64
+        if blocks > 0xFFFFFFFF - self.counter:
+            self._bump_nonce()
+            self.counter = 0
         out = ctypes.create_string_buffer(n)
         self.counter = self._lib.chacha20_fill(
             self.seed, self.counter, self.nonce, out, n)
+        if self.counter == 0 and blocks:
+            self._bump_nonce()
         return out.raw
 
     def random_u64(self, shape) -> np.ndarray:

@@ -34,7 +34,16 @@ class Csprng {
   }
 
   void fill(uint8_t *out, uint64_t n) {
+    // the 32-bit block counter covers 256 GiB per nonce; advance the
+    // nonce before it wraps so keystream (and thus LWE masks) never
+    // repeats within one generator
+    uint64_t blocks = (n + 63) / 64;
+    if (blocks > 0xFFFFFFFFull - counter_) {
+      bump_nonce();
+      counter_ = 0;
+    }
     counter_ = chacha20_fill(key_, counter_, nonce_, out, n);
+    if (counter_ == 0 && blocks > 0) bump_nonce();
   }
 
   uint64_t next_u64() {
@@ -72,6 +81,11 @@ class Csprng {
   }
 
  private:
+  void bump_nonce() {
+    for (int i = 0; i < 12; i++)
+      if (++nonce_[i] != 0) break;
+  }
+
   uint8_t key_[32];
   uint8_t nonce_[12];
   uint32_t counter_ = 0;

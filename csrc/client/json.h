@@ -194,8 +194,15 @@ class JsonParser {
             text_[pos_] == '-'))
       pos_++;
     if (pos_ == start) fail("expected value");
+    std::string tok = text_.substr(start, pos_ - start);
     Json v; v.type = Json::Type::Num;
-    v.num = std::stod(text_.substr(start, pos_ - start));
+    size_t used = 0;
+    try {
+      v.num = std::stod(tok, &used);
+    } catch (const std::exception &) {
+      fail("bad number '" + tok + "'");
+    }
+    if (used != tok.size()) fail("bad number '" + tok + "'");
     return v;
   }
 };

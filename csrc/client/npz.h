@@ -79,6 +79,14 @@ inline NpyArray parse_npy(const uint8_t *p, uint64_t len) {
     out.shape.push_back(v);
   }
   out.data.assign(p + hoff + hlen, p + len);
+  size_t itemsize = 0;
+  for (char ch : out.descr)
+    if (ch >= '0' && ch <= '9') itemsize = itemsize * 10 + (ch - '0');
+  if (itemsize == 0 || out.data.size() != out.size() * itemsize)
+    throw std::runtime_error(
+        "npy: data is " + std::to_string(out.data.size()) +
+        " bytes but shape/descr require " +
+        std::to_string(out.size() * itemsize));
   return out;
 }
 
@@ -117,6 +125,8 @@ inline std::map<std::string, NpyArray> load_npz(const std::string &path) {
     uint16_t extlen = detail::rd16(&buf[p + 30]);
     uint16_t cmtlen = detail::rd16(&buf[p + 32]);
     uint32_t lho = detail::rd32(&buf[p + 42]);
+    if (p + 46 + static_cast<size_t>(fnlen) + extlen + cmtlen > buf.size())
+      throw std::runtime_error("npz: truncated central directory entry");
     std::string name(reinterpret_cast<const char *>(&buf[p + 46]), fnlen);
     if (method != 0)
       throw std::runtime_error("npz: compressed entry '" + name +

@@ -65,7 +65,7 @@ struct TransportValue {
     uint32_t hlen = 0;
     for (int i = 0; i < 4; i++)
       hlen |= static_cast<uint32_t>(blob[6 + i]) << (8 * i);
-    if (10 + hlen > blob.size())
+    if (10 + static_cast<size_t>(hlen) > blob.size())
       throw std::runtime_error("value: truncated header");
     Json h = JsonParser::parse(
         std::string(reinterpret_cast<const char *>(&blob[10]), hlen));
@@ -74,6 +74,21 @@ struct TransportValue {
     for (const Json &d : h["shape"].as_arr()) v.shape.push_back(d.as_int());
     v.is_encrypted = h["is_encrypted"].as_bool();
     v.payload.assign(blob.begin() + 10 + hlen, blob.end());
+    // fail closed on truncated/padded payloads (the Python side's
+    // np.frombuffer+reshape enforces the same invariant)
+    size_t itemsize;
+    if (v.dtype == "uint64" || v.dtype == "int64") itemsize = 8;
+    else if (v.dtype == "uint32" || v.dtype == "int32") itemsize = 4;
+    else throw std::runtime_error("value: unsupported dtype " + v.dtype);
+    uint64_t want = itemsize;
+    for (int64_t d : v.shape) {
+      if (d < 0) throw std::runtime_error("value: negative dimension");
+      want *= static_cast<uint64_t>(d);
+    }
+    if (v.payload.size() != want)
+      throw std::runtime_error(
+          "value: payload is " + std::to_string(v.payload.size()) +
+          " bytes, header declares " + std::to_string(want));
     return v;
   }
 

@@ -180,3 +180,55 @@ def test_wop_cache_never_stores_foreign_keysets(tmp_path):
     files2 = {f: os.path.getmtime(os.path.join(cache, f))
               for f in os.listdir(cache)}
     assert files2 == files, "foreign keyset leaked into the cache"
+
+
+def test_not_composable_module_runs_correctly():
+    """NotComposable functions keep per-value widths; the client must
+    encode/decode at those widths (review finding: specs omitted
+    input/output widths so results were garbage)."""
+    @fhe.module()
+    class Isolated2:
+        composition = fhe.NotComposable()
+
+        @fhe.function({"x": "encrypted"})
+        def small(x):
+            return x + 1
+
+        @fhe.function({"x": "encrypted"})
+        def big(x):
+            return (x + 1) % 32
+
+    m = Isolated2.compile({"small": range(2), "big": range(31)},
+                          fhe.Configuration(
+                              forced_parameters=TEST_PARAMS_TINY))
+    m.keygen(seed=41)
+    for _ in range(4):
+        if m.small.encrypt_run_decrypt(1) == 2 \
+                and m.big.encrypt_run_decrypt(30) == 31:
+            return
+    raise AssertionError("NotComposable module returned wrong results")
+
+
+def test_wired_unknown_function_rejected():
+    with pytest.raises(ValueError, match="unknown module function"):
+        @fhe.module()
+        class Bad:
+            composition = fhe.Wired([fhe.Wire(fhe.Output("nope", 0),
+                                              fhe.Input("inc", 0))])
+
+            @fhe.function({"x": "encrypted"})
+            def inc(x):
+                return x + 1
+
+        Bad.compile({"inc": range(4)},
+                    fhe.Configuration(forced_parameters=TEST_PARAMS_TINY))
+
+
+def test_array_rejects_tensor_entries():
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return fhe.array([x])     # x is a tensor -> must fail fast
+
+    with pytest.raises(ValueError, match="scalars"):
+        f.compile([np.array([1, 2, 3])],
+                  fhe.Configuration(forced_parameters=TEST_PARAMS_TINY))
