@@ -126,6 +126,51 @@ def bench_mlp(batch: int = 64) -> None:
                       "vs_baseline": round(batch / dt / 10.0, 3)}))
 
 
+def bench_levelled_llm(small: bool = False) -> None:
+    """Reference levelled LLM-ish fixture (BASELINE: end_to_end_fixture/
+    benchmarks_cpu/levelled_llm.yaml): encrypted-clear matmul
+    (19, 3072) @ (3072, 768) with a 22-bit signed result — a pure levelled
+    circuit (no PBS), exercising the u64 contraction path and wide-output
+    decodability."""
+    import numpy as np
+    import concrete_tpu as fhe
+
+    m, k, n = (19, 96, 24) if small else (19, 3072, 768)
+    rng = np.random.default_rng(5)
+    w = rng.integers(-2, 3, (k, n))
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return x @ w
+
+    lo, hi = -7, 8
+    inputset = [rng.integers(lo, hi, (m, k)) for _ in range(8)]
+    # force the extreme rows so bounds cover the true 22-bit range
+    ext = np.full((m, k), hi - 1)
+    ext[::2] = lo
+    inputset.append(ext)
+    t0 = time.time()
+    circuit = f.compile(inputset)
+    circuit.keygen()
+    print(f"# compile+keygen: {time.time() - t0:.1f}s "
+          f"(output {circuit.client_specs.outputs[0].dtype.bit_width}-bit "
+          f"signed, 0 PBS)", file=sys.stderr)
+    x = rng.integers(lo, hi, (m, k))
+    enc = circuit.encrypt(x)
+    circuit.run(enc)                           # warmup/compile
+    t0 = time.time()
+    out = circuit.run(enc)
+    dt = time.time() - t0
+    got = np.asarray(circuit.decrypt(out))
+    want = x @ w
+    errs = int((got != want).sum())
+    print(f"# correctness: {want.size - errs}/{want.size} outputs",
+          file=sys.stderr)
+    print(json.dumps({"metric": "levelled_llm_matmul_latency",
+                      "value": round(dt * 1e3, 1), "unit": "ms",
+                      "vs_baseline": 1.0}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32768)
@@ -139,7 +184,7 @@ def main() -> None:
                                          "tiny"],
                     default="4bit-tpuopt")
     ap.add_argument("--config", choices=["pbs", "quickstart", "radix16",
-                                         "mlp"],
+                                         "mlp", "llm"],
                     default="pbs", help="BASELINE benchmark config")
     ap.add_argument("--ntt", action=argparse.BooleanOptionalAction,
                     default=None,
@@ -154,6 +199,9 @@ def main() -> None:
         return
     if args.config == "mlp":
         bench_mlp()
+        return
+    if args.config == "llm":
+        bench_levelled_llm(small=args.quick)
         return
 
     import concrete_tpu.jax_config  # noqa: F401

@@ -75,12 +75,17 @@ class Client:
 
     def _secret_for(self, width: int):
         """(big LWE secret key, encryption std) of the partition a
-        `width`-bit value lives in (mono: the single keyset)."""
+        `width`-bit value lives in (mono: the single keyset).
+
+        Fresh inputs encrypt under the BIG key (dimension k*N), whose
+        curve-minimal noise is glwe_std — using the small key's (much
+        larger) lwe_std here would needlessly drown levelled circuits
+        (e.g. wide matmuls with no PBS) in fresh noise."""
         from concrete_tpu.compilation.keys import MultiKeys
         if isinstance(self.keys, MultiKeys):
             return (self.keys.secret_for(width).lwe_big,
-                    self.specs.params_for_width(width).lwe_std)
-        return self.keys.secret.lwe_big, self.specs.params.lwe_std
+                    self.specs.params_for_width(width).glwe_std)
+        return self.keys.secret.lwe_big, self.specs.params.glwe_std
 
     def _validate(self, arr, spec, pos):
         dtype = spec.dtype

@@ -32,7 +32,9 @@ def simulate_graph(graph, specs, *inputs, rng=None):
         mono circuits resolve every width to the single keyset."""
         params = specs.params_for_width(width) \
             if hasattr(specs, "params_for_width") else specs.params
-        fresh = params.lwe_std ** 2
+        # fresh inputs are encrypted under the BIG key at glwe_std
+        # (client.py _secret_for)
+        fresh = params.glwe_std ** 2
         br = pp.variance_blind_rotate(
             params.n_small, params.glwe_dimension, params.polynomial_size,
             params.pbs_base_log, params.pbs_level, params.glwe_std ** 2)
