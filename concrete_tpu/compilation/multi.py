@@ -45,10 +45,13 @@ from concrete_tpu.representation import Graph
 class Crossing:
     """A partition frontier: a PBS in partition `src` whose output value
     lives in partition `dst`, with the downstream decision constraints
-    (width, norm2) its noise must satisfy after conversion."""
+    (width, norm2) its noise must satisfy after conversion.  src_wop_nb
+    is the bit count when the source PBS is a WoP TLU (whose fresh noise
+    is the vertical-packing variance, not one blind rotate), else 0."""
     src: int
     dst: int
     constraints: tuple  # ((width, norm2), ...)
+    src_wop_nb: int = 0
 
 
 @dataclasses.dataclass
@@ -113,14 +116,21 @@ def partition_pattern_split(graph: Graph):
             pt.native.append((p_eff, n2))
         if w_out != w_in:
             cons = tuple(decision_constraints_after(graph, node, default))
-            crossings.append(Crossing(src=w_in, dst=w_out,
-                                      constraints=cons))
+            crossings.append(Crossing(
+                src=w_in, dst=w_out, constraints=cons,
+                src_wop_nb=wop_nb_bits(graph, node, default)
+                if p_eff > MAX_NATIVE_TLU_BITS else 0))
     for node in graph.ordered_outputs:
         if node.output.is_encrypted:
             w = encoding_width(node, default)
             n2 = max(manp.get(node, 1), 1)
             pt = part(w)
-            pt.native.append((w, n2))
+            if w > MAX_NATIVE_TLU_BITS:
+                # wide outputs only need decodable noise: no native-LUT
+                # N >= 2^(w+1) requirement (widths.tlu_pattern_split)
+                pt.wide_in.append((w, n2))
+            else:
+                pt.native.append((w, n2))
             pt.max_norm2 = max(pt.max_norm2, n2)
     # encrypted inputs whose partition has no PBS still need params (for
     # encryption + leveled ops + decode at the consumer's frontier)
@@ -177,8 +187,8 @@ def plan_partitions(graph: Graph, p_error: float = 6.3e-5,
         budgets: dict[tuple, float] = {}
         for c in crossings:
             key = (c.src, c.dst)
-            b = min(safe_variance_bound(p, p_error)
-                    for p, _ in c.constraints) / 8.0
+            b = min(safe_variance_bound(p, p_error) / float(n2) ** 2
+                    for p, n2 in c.constraints) / 8.0
             budgets[key] = min(budgets.get(key, b), b)
         fks = {}
         fks_var: dict[tuple, float] = {}
@@ -190,38 +200,53 @@ def plan_partitions(graph: Graph, p_error: float = 6.3e-5,
         frontier_by_w: dict[int, list] = {}
         for c in crossings:
             _, v_ks_d, v_ms_d = _partition_noise(params[c.dst])
-            extra = fks_var[(c.src, c.dst)] + v_ks_d + v_ms_d
+            v_f = fks_var[(c.src, c.dst)]
             frontier_by_w.setdefault(c.src, []).extend(
-                (p, n2, extra) for p, n2 in c.constraints)
+                (p, n2, v_f * float(n2) ** 2 + v_ks_d + v_ms_d)
+                for p, n2 in c.constraints)
         new_params = solve(frontier_by_w)
         if new_params == params:
             break
         params = new_params
 
+    wop_gadgets = {}
+    for w, pt in patterns.items():
+        wop_cons = list(pt.wop)
+        # crossings sourced at this partition's WoP TLUs constrain the
+        # gadget choice too (conservatively, without the dst extras — the
+        # exact check below raises if the margin is actually violated)
+        for c in crossings:
+            if c.src == w and c.src_wop_nb:
+                wop_cons.extend((c.src_wop_nb, p, n2)
+                                for p, n2 in c.constraints)
+        if wop_cons:
+            nb_max = max(nb for nb, _, _ in wop_cons)
+            cons = tuple(sorted({(p, n2) for _, p, n2 in wop_cons}))
+            wp = choose_wop_gadgets(params[w], nb_max, cons, p_error=p_error)
+            wop_gadgets[w] = (wp.cbs_level, wp.cbs_base_log,
+                              wp.pfks_level, wp.pfks_base_log)
+
     # exact feasibility check of every crossing with the final parameters
     for c in crossings:
-        v_br_s, _, _ = _partition_noise(params[c.src])
+        if c.src_wop_nb and c.src in wop_gadgets:
+            cbs_l, cbs_b, pfks_l, pfks_b = wop_gadgets[c.src]
+            v_src = pp.wop_output_variance(params[c.src], c.src_wop_nb,
+                                           cbs_b, cbs_l, pfks_b, pfks_l)
+        else:
+            v_src, _, _ = _partition_noise(params[c.src])
         _, v_ks_d, v_ms_d = _partition_noise(params[c.dst])
         lvl, base = fks[(c.src, c.dst)]
         v_fks = pp.variance_keyswitch(params[c.src].n_big, base, lvl,
                                       params[c.dst].glwe_std ** 2)
         for p, n2 in c.constraints:
-            total = v_br_s * float(n2) ** 2 + v_fks + v_ks_d + v_ms_d
+            total = ((v_src + v_fks) * float(n2) ** 2
+                     + v_ks_d + v_ms_d)
             if total >= safe_variance_bound(p, p_error):
                 raise ValueError(
                     f"multi-partition plan infeasible: crossing "
                     f"{c.src}->{c.dst} violates the {p}-bit decision margin "
                     f"(noise {total:.3e} >= "
                     f"{safe_variance_bound(p, p_error):.3e})")
-
-    wop_gadgets = {}
-    for w, pt in patterns.items():
-        if pt.wop:
-            nb_max = max(nb for nb, _, _ in pt.wop)
-            cons = tuple(sorted({(p, n2) for _, p, n2 in pt.wop}))
-            wp = choose_wop_gadgets(params[w], nb_max, cons, p_error=p_error)
-            wop_gadgets[w] = (wp.cbs_level, wp.cbs_base_log,
-                              wp.pfks_level, wp.pfks_base_log)
     return PartitionPlan(
         params=params, wop_gadgets=wop_gadgets, fks=fks,
         norm2={w: pt.max_norm2 for w, pt in patterns.items()})

@@ -204,12 +204,11 @@ def decision_constraints_after(graph: Graph, node: Node,
             else:
                 frontier.append(succ)
     for out_node in graph.ordered_outputs:
+        # `node` itself is in `seen`, so this also covers the TLU being a
+        # direct circuit output
         if out_node in seen and out_node.output.is_encrypted:
             out.append((encoding_width(out_node, default),
                         max(manp.get(out_node, 1), 1)))
-    if node in graph.ordered_outputs and node.output.is_encrypted:
-        out.append((encoding_width(node, default),
-                    max(manp.get(node, 1), 1)))
     return out or [(1, 1)]
 
 
@@ -251,9 +250,11 @@ def tlu_pattern_split(graph: Graph):
                 and encoding_width(node, default) > MAX_NATIVE_TLU_BITS:
             # wide outputs (e.g. WoP results) only need decodable noise —
             # they pass through no further LUT, so no N >= 2^(p+1)
-            # mega-case requirement
+            # mega-case requirement.  norm2 from the MANP map (boundary
+            # only covers TLU nodes; leveled amplification after the last
+            # PBS must still be counted)
             wide_in.append((encoding_width(node, default),
-                            max(boundary.get(node, 1), 1)))
+                            max(manp.get(node, 1), 1)))
         elif node.output.is_encrypted:
             native.append((encoding_width(node, default),
                            max(manp.get(node, 1), 1)))

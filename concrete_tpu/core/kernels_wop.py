@@ -247,7 +247,7 @@ def extract_bits_to(lwe_big, positions, out_scale_logs, delta_log: int,
     positions = tuple(int(p) for p in positions)
     out_of = {p: i for i, p in enumerate(positions)}
     outs: dict[int, jnp.ndarray] = {}
-    max_bit = positions[-1]
+    max_bit = max(positions)
     for i in range(max_bit + 1):
         pos = delta_log + i
         shifted = acc * (U64(1) << U64(_Q_LOG - 1 - pos))

@@ -16,6 +16,15 @@ import dataclasses
 import json
 
 
+def _parse_std(d: dict, key: str) -> float:
+    """Noise stdev from either tfhe-rs JSON shape: the nested
+    {"Gaussian": {"std": x}} distribution or a flat "<key>_stdev" float."""
+    v = d.get(key)
+    if isinstance(v, dict):
+        return float(v.get("Gaussian", {}).get("std", 0.0))
+    return float(d.get(f"{key}_stdev", 0.0))
+
+
 @dataclasses.dataclass(frozen=True)
 class CryptoParams:
     """TFHE-rs parameter subset relevant to interop (reference
@@ -41,13 +50,10 @@ class CryptoParams:
             polynomial_size=d["polynomial_size"],
             pbs_base_log=d["pbs_base_log"],
             pbs_level=d["pbs_level"],
-            lwe_noise_distribution_stdev=d.get(
-                "lwe_noise_distribution", {}).get("Gaussian", {}).get(
-                "std", 0.0) if isinstance(
-                d.get("lwe_noise_distribution"), dict) else
-            d.get("lwe_noise_distribution_stdev", 0.0),
-            glwe_noise_distribution_stdev=d.get(
-                "glwe_noise_distribution_stdev", 0.0),
+            lwe_noise_distribution_stdev=_parse_std(
+                d, "lwe_noise_distribution"),
+            glwe_noise_distribution_stdev=_parse_std(
+                d, "glwe_noise_distribution"),
             message_modulus=d["message_modulus"],
             carry_modulus=d["carry_modulus"],
         )

@@ -27,6 +27,17 @@ def to_native(value, dtype: TFHERSIntegerType):
     msg_mod = dtype.msg_modulus
     weights = np.array([msg_mod ** i for i in range(dtype.n_blocks)],
                        dtype=np.int64)
+    if isinstance(value, (tuple, list)):
+        # from_native's traced form: one tracer per block
+        from concrete_tpu.extensions.univariate import univariate
+        out = None
+        for i, block in enumerate(value):
+            clean = univariate(lambda v: int(v) % msg_mod)(block) \
+                if isinstance(block, Tracer) else \
+                np.asarray(block) % msg_mod
+            term = clean * int(weights[i])
+            out = term if out is None else out + term
+        return out
     if not isinstance(value, Tracer):
         blocks = np.asarray(value) % msg_mod
         return (blocks * weights).sum(axis=-1)
@@ -48,6 +59,5 @@ def from_native(value, dtype: TFHERSIntegerType):
     for i in range(dtype.n_blocks):
         blocks.append(univariate(
             lambda v, i=i: (int(v) >> (i * w)) & (msg_mod - 1))(value))
-    out = blocks[0].reshape(1) if blocks[0].shape == () else None
-    # stack blocks on a new trailing axis via reshape+concat-free tuple
+    # one tracer per radix block; to_native accepts this tuple directly
     return tuple(blocks) if len(blocks) > 1 else blocks[0]
