@@ -129,7 +129,8 @@ class Compiler:
             # circuit has a single partition (mono IS the multi solution)
             from concrete_tpu.compilation.multi import plan_partitions
             plan = plan_partitions(graph, p_error=p_error,
-                                   security_level=config.security_level)
+                                   security_level=config.security_level,
+                                   restriction=config.range_restriction)
 
         wop_gadgets = config.forced_wop_parameters
         if plan is not None:

@@ -110,12 +110,14 @@ def partition_pattern_split(graph: Graph):
         elif p_eff > MAX_NATIVE_TLU_BITS:
             pt.wide_in.append((p_eff, n2))
             nb = wop_nb_bits(graph, node, default)
-            for w, n2o in decision_constraints_after(graph, node, default):
+            for w, n2o in decision_constraints_after(
+                    graph, node, default, (manp, boundary)):
                 pt.wop.append((nb, w, n2o))
         else:
             pt.native.append((p_eff, n2))
         if w_out != w_in:
-            cons = tuple(decision_constraints_after(graph, node, default))
+            cons = tuple(decision_constraints_after(
+                graph, node, default, (manp, boundary)))
             crossings.append(Crossing(
                 src=w_in, dst=w_out, constraints=cons,
                 src_wop_nb=wop_nb_bits(graph, node, default)
@@ -157,7 +159,8 @@ def _partition_noise(params: pp.CryptoParams):
 
 def plan_partitions(graph: Graph, p_error: float = 6.3e-5,
                     security_level: int = 128,
-                    max_iterations: int = 4) -> PartitionPlan | None:
+                    max_iterations: int = 4,
+                    restriction=None) -> PartitionPlan | None:
     """Choose per-partition parameters + conversion keyswitches.
 
     Returns None when the circuit has a single partition (mono compilation
@@ -175,7 +178,8 @@ def plan_partitions(graph: Graph, p_error: float = 6.3e-5,
                 security_level=security_level,
                 noise_only=tuple(pt.wide_in),
                 wop_patterns=tuple(pt.wop),
-                frontier=tuple(frontier_by_w.get(w, ())))
+                frontier=tuple(frontier_by_w.get(w, ())),
+                restriction=restriction)
         return out
 
     params = solve({})

@@ -185,10 +185,15 @@ def wop_nb_bits(graph: Graph, node: Node, default: int) -> int:
 
 
 def decision_constraints_after(graph: Graph, node: Node,
-                               default: int) -> list[tuple[int, int]]:
+                               default: int,
+                               manp_pair=None) -> list[tuple[int, int]]:
     """(width, norm2) decision points consuming `node`'s output: successor
-    TLU inputs (walked through leveled ops) and circuit outputs."""
-    manp, boundary = graph.manp_map()
+    TLU inputs (walked through leveled ops) and circuit outputs.
+
+    manp_pair: precomputed graph.manp_map() result — callers iterating
+    many TLUs pass it to avoid one full dataflow pass per call."""
+    manp, boundary = manp_pair if manp_pair is not None \
+        else graph.manp_map()
     out: list[tuple[int, int]] = []
     seen = {node}
     frontier = [node]
@@ -240,8 +245,8 @@ def tlu_pattern_split(graph: Graph):
             elif p_in > MAX_NATIVE_TLU_BITS:
                 wide_in.append((p_in, n2))
                 nb = wop_nb_bits(graph, node, default)
-                for w, n2o in decision_constraints_after(graph, node,
-                                                         default):
+                for w, n2o in decision_constraints_after(
+                        graph, node, default, (manp, boundary)):
                     wop.append((nb, w, n2o))
             else:
                 native.append((p_in, n2))
