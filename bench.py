@@ -189,7 +189,13 @@ def main() -> None:
     ap.add_argument("--ntt", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="CRT-NTT blind rotate (default: auto, N>=2048)")
+    ap.add_argument("--ntt-pallas", action="store_true",
+                    help="fused Pallas NTT kernels (ops/pallas_ntt.py; "
+                         "requires hardware-validated Mosaic build)")
     args = ap.parse_args()
+    if args.ntt_pallas:
+        import os
+        os.environ["CONCRETE_TPU_NTT_PALLAS"] = "1"
 
     if args.config == "quickstart":
         bench_quickstart()

@@ -46,3 +46,29 @@ def test_simulation_tracks_leveled_noise_growth():
     circuit = shallow.compile(range(8), CFG)
     # shallow circuit exists and simulates fine
     assert circuit.simulate(3) in range(8)
+
+
+def test_simulation_multivariate_error_rate():
+    """The multivariate (packed TLU) simulation branch samples real PBS
+    decision noise: error rate within a factor of the model (round-2
+    review finding: multivariate previously simulated noiselessly)."""
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def f(x, y):
+        return fhe.multivariate(lambda a, b: (a + 2 * b) % 4)(x, y)
+
+    circuit = f.compile([(i % 4, (i // 4) % 4) for i in range(16)], CFG)
+    pe_model = circuit.p_error
+    rng = np.random.default_rng(1)
+    trials = 2000
+    errors = 0
+    for _ in range(trials):
+        a, b = int(rng.integers(0, 4)), int(rng.integers(0, 4))
+        if circuit.simulate(a, b) != (a + 2 * b) % 4:
+            errors += 1
+    measured = errors / trials
+    # must show SOME errors when the model predicts a noisy packed TLU,
+    # and not wildly more than predicted
+    assert measured < max(4 * pe_model, 0.03), (measured, pe_model)
+    if pe_model > 5e-3:
+        assert errors > 0, "multivariate simulation never errs " \
+                           f"(model p_error {pe_model:.3g})"
