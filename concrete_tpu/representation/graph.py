@@ -225,6 +225,47 @@ class Graph:
 
     # -- formatting --------------------------------------------------------
 
+    def to_dot(self) -> str:
+        """Graphviz DOT text of the computation graph (the dependency-free
+        core of the reference's Graph.draw; render with `dot -Tpng`)."""
+        lines = ["digraph G {", "  rankdir=TB;",
+                 "  node [shape=box, fontname=monospace];"]
+        order = self.topological_order()
+        ids = {n: i for i, n in enumerate(order)}
+        for n in order:
+            enc = "enc" if n.output.is_encrypted else "clear"
+            label = f"%{ids[n]} {n.name}\\n{enc} {n.output.dtype} " \
+                f"{tuple(n.output.shape)}"
+            style = ' style=filled fillcolor="#e8f0fe"' \
+                if n.output.is_encrypted else ""
+            lines.append(f'  n{ids[n]} [label="{label}"{style}];')
+        for u, v, data in self.graph.edges(data=True):
+            lines.append(f"  n{ids[u]} -> n{ids[v]} "
+                         f"[label=\"{data.get('input_idx', 0)}\"];")
+        lines.append("}")
+        return "\n".join(lines)
+
+    def draw(self, path: str = None) -> str:
+        """Write the DOT drawing (reference Graph.draw analog).  Returns
+        the path written; renders to an image instead when `path` ends in
+        .png/.svg and the graphviz `dot` binary exists."""
+        import shutil
+        import subprocess
+        import tempfile
+        dot = self.to_dot()
+        if path is None:
+            path = tempfile.mktemp(suffix=".dot")
+        if path.endswith((".png", ".svg")) and shutil.which("dot"):
+            fmt = path.rsplit(".", 1)[1]
+            subprocess.run(["dot", f"-T{fmt}", "-o", path],
+                           input=dot.encode(), check=True)
+        else:
+            if path.endswith((".png", ".svg")):
+                path = path.rsplit(".", 1)[0] + ".dot"
+            with open(path, "w") as f:
+                f.write(dot)
+        return path
+
     def format(self) -> str:
         lines = []
         names: dict[Node, str] = {}

@@ -970,3 +970,17 @@ def test_signed_tensor_tlu_sweep(width):
     # spot execution at the extremes
     x = np.array([lo, hi, -1])
     check_execution(circuit, lambda x: np.abs(x) + (x < 0), x, retries=6)
+
+
+def test_graph_draw_dot():
+    """Graph.draw emits DOT (reference Graph.draw analog)."""
+    import tempfile
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return x + 1
+
+    circuit = f.compile(range(4), CFG)
+    path = circuit.graph.draw(tempfile.mktemp(suffix=".dot"))
+    text = open(path).read()
+    assert text.startswith("digraph G {") and "add" in text
