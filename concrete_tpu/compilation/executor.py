@@ -111,6 +111,11 @@ def raw_table(node: Node, p: int, shift: int = 0) -> np.ndarray:
     vals = vals << shift
     if node.name == "tlu":
         table = np.asarray(node.properties["kwargs"]["table"], dtype=np.int64)
+        if table.ndim > 1:
+            # per-element tables (apply_multi_lookup_table): one row of
+            # raw entries per flattened element
+            flat = table.reshape(-1, table.shape[-1])
+            return flat[:, vals % table.shape[-1]]
         return table[vals % len(table)]
     fn = node.properties["kwargs"]["function"]
     return np.vectorize(fn, otypes=[np.int64])(vals)

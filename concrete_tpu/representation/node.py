@@ -199,7 +199,12 @@ def _rebuild_evaluator(operation: Operation, properties: dict):
         shape = kwargs["shape"]
         return lambda x: np.broadcast_to(x, shape)
     if name == "tlu":
-        table = kwargs["table"]
+        table = np.asarray(kwargs["table"])
+        if table.ndim > 1:
+            def _mtlu(x):
+                idx = (np.asarray(x) % table.shape[-1])[..., None]
+                return np.take_along_axis(table, idx, axis=-1)[..., 0]
+            return _mtlu
         return lambda x: table[np.asarray(x) % len(table)]
     if name == "encrypted_constant":
         value = kwargs["value"]

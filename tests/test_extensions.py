@@ -369,3 +369,65 @@ def test_encrypted_by_encrypted_index_rejected():
 
     with pytest.raises(TypeError, match="encrypted index"):
         f.compile([(np.arange(4), 1)])
+
+
+def test_multi_lookup_table():
+    """A (2, 4)-shaped LookupTable applies a different table per element
+    (FHELinalg apply_multi_lookup_table analog) in ONE batched PBS."""
+    import concrete_tpu as fhe
+    from concrete_tpu.params import TEST_PARAMS_TINY
+    table = fhe.LookupTable([[0, 3, 1, 2], [3, 2, 1, 0]])
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return table[x]
+
+    inputset = [np.random.randint(0, 4, (2,)) for _ in range(20)]
+    cfg = fhe.Configuration(forced_parameters=TEST_PARAMS_TINY)
+    circuit = f.compile(inputset, cfg)
+    x = np.array([1, 1])
+    want = np.array([3, 2])
+    assert np.array_equal(circuit.graph(x), want)
+    # one batched PBS for the whole tensor
+    assert circuit.programmable_bootstrap_count == 2
+    circuit.keygen(seed=17)
+    for _ in range(6):
+        if np.array_equal(circuit.encrypt_run_decrypt(x), want):
+            break
+    else:
+        raise AssertionError("multi-table TLU execution failed")
+    # mapped variant: precompute table[map] in the clear
+    mapped = fhe.LookupTable(np.asarray(table.table)[[1, 0]])
+    assert np.array_equal(mapped._apply_clear(np.array([1, 1])), [2, 3])
+
+
+def test_multi_lookup_table_shape_mismatch():
+    import concrete_tpu as fhe
+    table = fhe.LookupTable([[0, 1, 2, 3], [3, 2, 1, 0]])
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return table[x]
+
+    with pytest.raises(ValueError, match="cannot index"):
+        f.compile([np.random.randint(0, 4, (3,)) for _ in range(5)])
+
+
+def test_multi_lookup_table_archive():
+    """Multi-table TLUs survive the deployment archive round trip."""
+    import tempfile
+    import concrete_tpu as fhe
+    from concrete_tpu.params import TEST_PARAMS_TINY
+    table = fhe.LookupTable([[1, 0, 3, 2], [2, 3, 0, 1]])
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return table[x]
+
+    cfg = fhe.Configuration(forced_parameters=TEST_PARAMS_TINY)
+    circuit = f.compile([np.random.randint(0, 4, (2,))
+                         for _ in range(20)], cfg)
+    path = tempfile.mktemp(suffix=".zip")
+    circuit.server.save(path)
+    server = fhe.Server.load(path)
+    assert np.array_equal(server.graph(np.array([0, 0])), [1, 2])
