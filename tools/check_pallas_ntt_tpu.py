@@ -85,10 +85,7 @@ t_inv = bench("pallas ntt_inv (B*Cin, N)",
 t_pw = bench("pallas pointwise (B, Cin, N)",
              lambda x: pn.pointwise_pallas(
                  x.reshape(B, CIN, N), spec_j[0], plan,
-                 interpret=False).reshape(B * CIN // (K + 1) * (K + 1), N)
-             [:B * CIN].reshape(B * CIN, N) if False else
-             pn.pointwise_pallas(x.reshape(B, CIN, N), spec_j[0], plan,
-                                 interpret=False).reshape(-1, N), res)
+                 interpret=False).reshape(-1, N), res)
 
 
 def ext(d):
