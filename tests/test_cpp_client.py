@@ -136,3 +136,50 @@ def test_cpp_tensor_and_range_validation(client_bin, deployment):
          "99", "0"], capture_output=True, text=True)
     assert r.returncode != 0
     assert "outside the compiled range" in r.stderr
+
+
+def test_cpp_client_survives_malformed_inputs(client_bin, circuit,
+                                              deployment):
+    """Mutation fuzz of the native parsers (ctv/npz): every malformed file
+    must produce a clean nonzero exit — never a crash (signal)."""
+    import random
+    run_cli(client_bin, "encrypt", "--specs", deployment["specs"],
+            "--keys", deployment["keys"], "--out", deployment["dir"],
+            "1", "2")
+    ctv = open(os.path.join(deployment["dir"], "arg0.ctv"), "rb").read()
+    keys = open(deployment["keys"], "rb").read()
+    rnd = random.Random(0)
+
+    def mutate(blob):
+        b = bytearray(blob)
+        mode = rnd.randrange(3)
+        if mode == 0:                       # truncate
+            del b[rnd.randrange(1, len(b)):]
+        elif mode == 1:                     # flip bytes
+            for _ in range(8):
+                i = rnd.randrange(len(b))
+                b[i] ^= rnd.randrange(1, 256)
+        else:                               # garbage header
+            b[:16] = bytes(rnd.randrange(256) for _ in range(16))
+        return bytes(b)
+
+    for i in range(25):
+        bad_ctv = os.path.join(deployment["dir"], "fuzz.ctv")
+        with open(bad_ctv, "wb") as f:
+            f.write(mutate(ctv))
+        r = subprocess.run(
+            [client_bin, "decrypt", "--specs", deployment["specs"],
+             "--keys", deployment["keys"], bad_ctv],
+            capture_output=True, text=True)
+        assert r.returncode >= 0 and r.returncode != -11, \
+            f"crash on mutated ctv (iter {i})"
+        # either clean failure or (rare) survivable decode of valid frames
+    for i in range(25):
+        bad_keys = os.path.join(deployment["dir"], "fuzz.npz")
+        with open(bad_keys, "wb") as f:
+            f.write(mutate(keys))
+        r = subprocess.run(
+            [client_bin, "encrypt", "--specs", deployment["specs"],
+             "--keys", bad_keys, "--out", deployment["dir"], "1", "2"],
+            capture_output=True, text=True)
+        assert r.returncode >= 0, f"crash on mutated npz (iter {i})"
