@@ -431,3 +431,38 @@ def test_multi_lookup_table_archive():
     circuit.server.save(path)
     server = fhe.Server.load(path)
     assert np.array_equal(server.graph(np.array([0, 0])), [1, 2])
+
+
+def test_auto_adjust_rounders_config():
+    """Configuration.auto_adjust_rounders runs the clear function over the
+    inputset so AutoRounders self-calibrate before tracing (reference
+    round_bit_pattern.py:74)."""
+    import concrete_tpu as fhe
+    from concrete_tpu.params import TEST_PARAMS_TINY
+    rounder = fhe.AutoRounder(target_msbs=3)
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return fhe.round_bit_pattern(x, lsbs_to_remove=rounder) // 4
+
+    cfg = fhe.Configuration(forced_parameters=TEST_PARAMS_TINY,
+                            auto_adjust_rounders=True)
+    circuit = f.compile(list(range(32)), cfg)
+    # 5-bit inputs, 3 target msbs -> 2 lsbs removed
+    assert rounder.lsbs_to_remove == 2
+    assert rounder.is_adjusted
+    assert circuit.graph(21) == round(21 / 4)
+
+
+def test_auto_rounder_static_adjust():
+    """AutoRounder.adjust(function, inputset) — the reference's static
+    calibration entry point."""
+    import concrete_tpu as fhe
+    rounder = fhe.AutoRounder(target_msbs=2)
+
+    def f(x):
+        return fhe.round_bit_pattern(x + 10, lsbs_to_remove=rounder)
+
+    fhe.AutoRounder.adjust(f, list(range(22)))
+    # max observed is 31 -> 5 bits -> remove 3 to keep 2 msbs
+    assert rounder.lsbs_to_remove == 3
