@@ -232,3 +232,63 @@ def test_array_rejects_tensor_entries():
     with pytest.raises(ValueError, match="scalars"):
         f.compile([np.array([1, 2, 3])],
                   fhe.Configuration(forced_parameters=TEST_PARAMS_TINY))
+
+
+def test_show_flags_smoke(capsys):
+    """show_graph/show_mlir/show_optimizer/show_bit_width_assignments and
+    show_progress all print something and never crash."""
+    table = fhe.LookupTable([0, 2, 1, 3])
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return table[x] + 1
+
+    cfg = fhe.Configuration(
+        forced_parameters=TEST_PARAMS_TINY, show_graph=True, show_mlir=True,
+        show_optimizer=True, show_bit_width_assignments=True,
+        show_statistics=True, show_progress=True, progress_title="demo")
+    f.compile(range(4), cfg)
+    out = capsys.readouterr().out
+    assert "keyswitch+pbs" in out          # show_mlir lowering plan
+    assert "[demo] tracing" in out         # show_progress
+    assert "bits" in out                   # width assignments
+
+
+def test_approximate_rounding_skips_bias():
+    """Exactness.APPROXIMATE truncation skips the half-step bias (cheaper,
+    off-by-half on ties) but still computes a plausible rounding."""
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return fhe.truncate_bit_pattern(x, lsbs_to_remove=2) // 4
+
+    cfg = fhe.Configuration(forced_parameters=TEST_PARAMS_TINY,
+                            rounding_exactness="approximate")
+    circuit = f.compile(list(range(16)), cfg)
+    circuit.keygen(seed=51)
+    got = circuit.encrypt_run_decrypt(13)
+    assert got in (2, 3, 4)   # 13//4=3 with a half-step tolerance
+
+
+def test_evaluation_keys_with_wop(tmp_path):
+    """EvaluationKeys carries PFPKSKs; a wide-TLU circuit runs from the
+    deserialized public material."""
+    from concrete_tpu.params import TEST_PARAMS_TINY_WIDE
+    table = fhe.LookupTable([(v + 3) % 16 for v in range(1 << 10)])
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return table[x]
+
+    cfg = fhe.Configuration(forced_parameters=TEST_PARAMS_TINY_WIDE,
+                            forced_wop_parameters=(3, 6, 8, 4))
+    c = f.compile([0, 513, 1023], cfg)
+    c.keygen(seed=52)
+    # materialize the PFPKSK on the client, then ship public material
+    c.keys.wop_evaluation(c.client_specs.wop_params())
+    ek = fhe.EvaluationKeys.deserialize(c.client.evaluation_keys.serialize())
+    for _ in range(4):
+        enc = c.encrypt(513)
+        out = c.server.run(enc, evaluation_keys=ek)
+        if c.decrypt(out[0]) == (513 + 3) % 16:
+            return
+    raise AssertionError("WoP run from shipped EvaluationKeys failed")
