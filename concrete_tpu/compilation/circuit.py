@@ -108,7 +108,10 @@ class Circuit:
     def simulate(self, *args):
         """Noise-accurate plaintext simulation (no keys needed)."""
         from concrete_tpu.simulation import simulate_graph
-        return simulate_graph(self.graph, self.client_specs, *args)
+        detect = bool(self.configuration is not None and
+                      self.configuration.detect_overflow_in_simulation)
+        return simulate_graph(self.graph, self.client_specs, *args,
+                              detect_overflow=detect)
 
     def run_async(self, *args):
         """Run on the dataflow scheduler; returns a Future.  Arguments may

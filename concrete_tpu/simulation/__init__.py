@@ -18,13 +18,35 @@ from concrete_tpu.representation import Operation
 __all__ = ["simulate_graph"]
 
 
-def simulate_graph(graph, specs, *inputs, rng=None):
-    """Evaluate with simulated noise; returns outputs like the real circuit."""
+def simulate_graph(graph, specs, *inputs, rng=None,
+                   detect_overflow: bool = False):
+    """Evaluate with simulated noise; returns outputs like the real circuit.
+
+    detect_overflow: warn when an encrypted value exceeds its encoding
+    width (the reference's detect_overflow_in_simulation: overflow wraps
+    silently in FHE, so simulation is where it is catchable)."""
     import functools
+    import warnings
 
     from concrete_tpu.compilation.widths import encoding_width
     rng = rng or np.random.default_rng()
     p_default = specs.message_bits
+
+    def check_overflow(node, value):
+        if not detect_overflow or not node.output.is_encrypted:
+            return
+        w = encoding_width(node, p_default)
+        v = np.asarray(value)
+        signed = getattr(node.output.dtype, "is_signed", False)
+        lo = -(1 << (w - 1)) if signed else 0
+        hi = (1 << (w - 1)) - 1 if signed else (1 << w) - 1
+        if v.size and (v.min() < lo or v.max() > hi):
+            warnings.warn(
+                f"simulation overflow at %{node.uid} [{node.name}]: "
+                f"value range [{v.min()}, {v.max()}] exceeds the "
+                f"{w}-bit {'signed' if signed else 'unsigned'} encoding "
+                f"[{lo}, {hi}] (would wrap silently in FHE)",
+                RuntimeWarning, stacklevel=3)
 
     @functools.lru_cache(maxsize=None)
     def stages(width):
@@ -245,6 +267,8 @@ def simulate_graph(graph, specs, *inputs, rng=None):
             else:
                 variances[node] = max((variances[q] for q in preds),
                                       default=0.0)
+
+        check_overflow(node, values[node])
 
     outs = tuple(values[n] for n in graph.ordered_outputs)
     return outs[0] if len(outs) == 1 else outs

@@ -72,3 +72,27 @@ def test_simulation_multivariate_error_rate():
     if pe_model > 5e-3:
         assert errors > 0, "multivariate simulation never errs " \
                            f"(model p_error {pe_model:.3g})"
+
+
+def test_detect_overflow_in_simulation():
+    """Configuration.detect_overflow_in_simulation warns when a value
+    escapes its encoding (silent wrap in real FHE)."""
+    import warnings
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return x + 6
+
+    cfg = fhe.Configuration(forced_parameters=TEST_PARAMS_TINY,
+                            detect_overflow_in_simulation=True)
+    circuit = f.compile(range(2), cfg)     # bounds say x in [0,1], out <= 7
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        circuit.simulate(3)                # out-of-inputset input: 9 > 7
+    assert any("overflow" in str(w.message) for w in caught), \
+        [str(w.message) for w in caught]
+    # in-range values stay silent
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        circuit.simulate(1)
+    assert not any("overflow" in str(w.message) for w in caught)
