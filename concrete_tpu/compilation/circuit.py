@@ -46,7 +46,9 @@ class Circuit:
     # -- the full pipeline -------------------------------------------------
 
     def encrypt(self, *args):
-        return self.client.encrypt(*args)
+        compress = bool(self.configuration is not None and
+                        self.configuration.compress_input_ciphertexts)
+        return self.client.encrypt(*args, compress=compress)
 
     def _evaluation_keys(self):
         specs = self.client_specs
@@ -94,8 +96,12 @@ class Circuit:
         Under Configuration.simulate_encrypt_run_decrypt the call runs the
         noise-accurate simulator instead of real encryption (reference
         configuration.py field of the same name)."""
-        if (self.configuration is not None
-                and self.configuration.simulate_encrypt_run_decrypt):
+        cfg = self.configuration
+        if cfg is not None and (cfg.simulate_encrypt_run_decrypt
+                                or (cfg.fhe_simulation
+                                    and not cfg.fhe_execution)):
+            # simulate_encrypt_run_decrypt, or a simulation-only build
+            # (fhe_execution disabled) — reference configuration semantics
             return self.simulate(*args)
         enc = self.encrypt(*args)
         if len(self.client_specs.inputs) == 1:

@@ -185,7 +185,9 @@ class Configuration:
         dataclasses.field(default_factory=ApproximateRoundingConfig)
 
     # -- TLU optimization --------------------------------------------------
-    optimize_tlu_based_on_measured_bounds: bool = False
+    optimize_tlu_based_on_measured_bounds: bool = False   # inherent here:
+    #   widths always come from measured bounds (compilation/widths.py), so
+    #   every TLU is already sized to what the inputset actually produced
     enable_tlu_fusing: bool = True
     print_tlu_fusing: bool = False
     optimize_tlu_based_on_original_bit_width: Union[bool, int] = 8
@@ -196,7 +198,9 @@ class Configuration:
     simulate_encrypt_run_decrypt: bool = False
     detect_overflow_in_simulation: bool = False
 
-    # -- dynamic indexing checks ------------------------------------------
+    # -- dynamic indexing checks (dynamic tables validate their size
+    #    against the index width at compile time — executor.py dynamic_tlu;
+    #    encrypted-index fancy ops beyond that are rejected at trace) ------
     dynamic_indexing_check_out_of_bounds: bool = True
     dynamic_assignment_check_out_of_bounds: bool = True
 

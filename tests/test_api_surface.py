@@ -292,3 +292,35 @@ def test_evaluation_keys_with_wop(tmp_path):
         if c.decrypt(out[0]) == (513 + 3) % 16:
             return
     raise AssertionError("WoP run from shipped EvaluationKeys failed")
+
+
+def test_compress_input_ciphertexts_config():
+    """compress_input_ciphertexts makes Circuit.encrypt emit seeded
+    ciphertexts, which Server.run decompresses transparently."""
+    from concrete_tpu.core.compression import SeededLweCiphertext
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return x + 1
+
+    cfg = fhe.Configuration(forced_parameters=TEST_PARAMS_TINY,
+                            compress_input_ciphertexts=True)
+    c = f.compile(range(4), cfg)
+    c.keygen(seed=61)
+    enc = c.encrypt(2)
+    assert isinstance(enc, SeededLweCiphertext)
+    assert c.decrypt(c.run(enc)) == 3
+
+
+def test_simulation_only_build():
+    """fhe_simulation=True + fhe_execution=False routes
+    encrypt_run_decrypt through the simulator (no keys)."""
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return x + 1
+
+    cfg = fhe.Configuration(forced_parameters=TEST_PARAMS_TINY,
+                            fhe_simulation=True, fhe_execution=False)
+    c = f.compile(range(4), cfg)
+    assert c.encrypt_run_decrypt(2) == 3   # no keygen happened
+    assert not c.keys.are_generated
