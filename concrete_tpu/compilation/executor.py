@@ -21,6 +21,7 @@ import dataclasses
 import numpy as np
 
 import concrete_tpu.jax_config  # noqa: F401
+import jax
 import jax.numpy as jnp
 
 from concrete_tpu.core import kernels as kn
@@ -79,6 +80,11 @@ def _materialize_wop_table(node: Node, p_in: int, p_out: int,
     if signed:
         dom = 1 << nb
         sval = np.where(idx < (1 << p_eff), idx, idx - dom)
+        # the middle band of the nb-bit pattern space is unreachable
+        # (don't-care); clamp into the declared signed domain so partial
+        # user functions are never evaluated out of range
+        half = 1 << (p_eff - 1)
+        sval = np.clip(sval, -half, half - 1)
     else:
         sval = idx
     sval = sval << lsbs
@@ -291,8 +297,14 @@ class GraphExecutor:
                         "native LUT width; dynamic tables cannot lower to "
                         "WoP-PBS (their contents are only known at run "
                         "time) — round/truncate the index first")
-                table_len = preds[0].output.shape[-1] \
-                    if preds[0].output.shape else 0
+                tshape = tuple(preds[0].output.shape)
+                if len(tshape) != 1:
+                    raise ValueError(
+                        "dynamic table lookups need a 1-D clear table "
+                        f"(got shape {tshape}); per-element dynamic "
+                        "tables are not supported — use a static "
+                        "multi-dimensional LookupTable")
+                table_len = tshape[-1] if tshape else 0
                 if table_len != (1 << p_in):
                     raise ValueError(
                         f"dynamic table needs exactly 2^{p_in} = "
@@ -325,6 +337,10 @@ class GraphExecutor:
     # -- helpers -----------------------------------------------------------
 
     def _encode_clear(self, value, width: int) -> jnp.ndarray:
+        if hasattr(value, "aval"):
+            # runtime clear input (jit-traced): encode with jnp ops
+            return (jnp.asarray(value).astype(jnp.int64)
+                    .astype(jnp.uint64) << jnp.uint64(64 - width - 1))
         return jnp.asarray(ref.encode(np.asarray(value), width))
 
     def _trivial(self, value, width: int) -> jnp.ndarray:
@@ -414,6 +430,33 @@ class GraphExecutor:
             args = [values[pr] for pr in preds]
             enc_flags = [is_ct(pr) for pr in preds]
 
+            if not is_ct(node) and not any(enc_flags) \
+                    and node.operation == Operation.Generic:
+                # fully-clear subcomputation (the encrypted branches below
+                # assume at least one ciphertext operand).  Clear INPUTS
+                # are jit-traced arrays, so numpy-reduction evaluators
+                # cannot run; dispatch the np.* shapes to jnp and rely on
+                # operator/ufunc evaluators dispatching natively otherwise.
+                kw = node.properties.get("kwargs", {})
+                if name == "sum":
+                    values[node] = jnp.sum(args[0], axis=kw.get("axis"))
+                elif name == "reshape":
+                    values[node] = jnp.reshape(args[0], kw["shape"])
+                elif name == "transpose":
+                    values[node] = jnp.transpose(args[0], kw["axes"])
+                elif name == "broadcast_to":
+                    values[node] = jnp.broadcast_to(args[0], kw["shape"])
+                elif name == "concatenate":
+                    values[node] = jnp.concatenate(args, axis=kw["axis"])
+                elif name in ("tlu", "univariate", "dynamic_tlu") \
+                        and any(hasattr(a, "aval") for a in args):
+                    raise NotImplementedError(
+                        f"clear {name} over a runtime clear input is not "
+                        "supported; precompute it outside the circuit")
+                else:
+                    values[node] = node(*args)
+                continue
+
             if name == "add" or name == "subtract":
                 a, b = args
                 ea, eb = enc_flags
@@ -440,8 +483,7 @@ class GraphExecutor:
                         "encrypted x encrypted multiplication lowers to two "
                         "TLUs ((x+y)^2/4 - (x-y)^2/4); planned")
                 ct, clear = (a, b) if ea else (b, a)
-                c = jnp.asarray(np.asarray(clear, dtype=np.int64)
-                                .astype(np.uint64))
+                c = jnp.asarray(clear).astype(jnp.int64).astype(jnp.uint64)
                 values[node] = ct * c[..., None]
             elif name == "negative":
                 values[node] = jnp.uint64(0) - args[0]

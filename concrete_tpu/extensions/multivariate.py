@@ -25,6 +25,12 @@ def multivariate(function):
         if not any(isinstance(a, Tracer) for a in args):
             return function(*args)
         operands = [Tracer.sanitize(a) for a in args]
+        for i, op in enumerate(operands):
+            if not op.node.output.is_encrypted:
+                raise ValueError(
+                    f"fhe.multivariate operand {i} is not encrypted — all "
+                    "operands must be encrypted (the packed TLU adds them "
+                    "into one ciphertext index)")
 
         def evaluator(*vals):
             return np.vectorize(function, otypes=[np.int64])(*vals)

@@ -57,5 +57,12 @@ class GameOfLife:
             return tuple(c for row in rows for c in row)
 
         rng = np.random.default_rng(seed)
-        inputset = [rng.integers(0, 2, (h, w)) for _ in range(inputset_size)]
+        # the all-ones/all-zeros grids pin the measured neighbor-count
+        # bounds to the full [0, 8] range — random Bernoulli grids almost
+        # never exhibit count 8, which would undersize the packed TLU and
+        # wrap at run time
+        inputset = [np.ones((h, w), dtype=np.int64),
+                    np.zeros((h, w), dtype=np.int64)]
+        inputset += [rng.integers(0, 2, (h, w))
+                     for _ in range(inputset_size)]
         return step.compile(inputset, configuration)

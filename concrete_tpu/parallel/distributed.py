@@ -45,7 +45,8 @@ def initialize(coordinator_address: Optional[str] = None,
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes or int(os.environ["JAX_NUM_PROCESSES"]),
-        process_id=process_id or int(os.environ["JAX_PROCESS_ID"]))
+        process_id=process_id if process_id is not None
+        else int(os.environ["JAX_PROCESS_ID"]))
 
 
 def global_mesh(axis_name: str = "batch") -> Mesh:

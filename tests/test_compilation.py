@@ -984,3 +984,46 @@ def test_graph_draw_dot():
     path = circuit.graph.draw(tempfile.mktemp(suffix=".dot"))
     text = open(path).read()
     assert text.startswith("digraph G {") and "add" in text
+
+
+def test_clear_only_subcomputation():
+    """Fully-clear subgraphs evaluate with plain numpy (review finding:
+    the encrypted add/mul branches crashed on two clear operands)."""
+    @fhe.compiler({"x": "encrypted", "c": "clear", "d": "clear"})
+    def f(x, c, d):
+        return x + (c + d) * 2 - c
+
+    inputset = [(np.random.randint(0, 4), np.random.randint(0, 2),
+                 np.random.randint(0, 2)) for _ in range(20)]
+    circuit = f.compile(inputset, CFG)
+    circuit.keygen(seed=71)
+    for _ in range(6):
+        if circuit.encrypt_run_decrypt(1, 1, 1) == 1 + 4 - 1:
+            return
+    raise AssertionError("clear subcomputation circuit failed")
+
+
+def test_trace_with_runtime_print(monkeypatch):
+    """CONCRETE_TPU_TRACE=1 emits jax.debug.print without crashing
+    (review finding: NameError on the unimported jax module)."""
+    monkeypatch.setenv("CONCRETE_TPU_TRACE", "1")
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return fhe.trace(x + 1, "mid")
+
+    circuit = f.compile(range(4), CFG)
+    circuit.keygen(seed=72)
+    for _ in range(4):
+        if circuit.encrypt_run_decrypt(2) == 3:
+            return
+    raise AssertionError("traced circuit failed under CONCRETE_TPU_TRACE")
+
+
+def test_multivariate_rejects_clear_operand():
+    with pytest.raises(ValueError, match="not encrypted"):
+        @fhe.compiler({"x": "encrypted", "c": "clear"})
+        def f(x, c):
+            return fhe.multivariate(lambda a, b: a + b)(x, c)
+
+        f.compile([(1, 1), (2, 0)], CFG)
