@@ -10,6 +10,9 @@ from concrete_tpu.models.mlp import QuantizedMLP
 from concrete_tpu.models.game_of_life import GameOfLife
 from concrete_tpu.models.levenshtein import LevenshteinDistance
 from concrete_tpu.models.kvdb import StaticKeyValueDatabase
+from concrete_tpu.models.xor_distance import HammingDistance
+from concrete_tpu.models.pir import PrivateInformationRetrieval
 
 __all__ = ["QuantizedMLP", "GameOfLife", "LevenshteinDistance",
-           "StaticKeyValueDatabase"]
+           "StaticKeyValueDatabase", "HammingDistance",
+           "PrivateInformationRetrieval"]

@@ -4,7 +4,9 @@ import numpy as np
 import pytest
 
 import concrete_tpu as fhe
-from concrete_tpu.models import (GameOfLife, LevenshteinDistance,
+from concrete_tpu.models import (GameOfLife, HammingDistance,
+                                 LevenshteinDistance,
+                                 PrivateInformationRetrieval,
                                  QuantizedMLP, StaticKeyValueDatabase)
 from concrete_tpu.params import TEST_PARAMS_TINY_WIDE
 
@@ -58,3 +60,32 @@ def test_static_kvdb():
                 break
         else:
             raise AssertionError((key, got))
+
+
+@pytest.mark.parametrize("via", ["packed", "xor"])
+def test_hamming_distance(via):
+    hd = HammingDistance(n_words=4, word_bits=2)
+    circuit = hd.compile(CFG, via=via)
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 4, 4)
+    y = rng.integers(0, 4, 4)
+    want = hd.distance_clear(x, y)
+    for _ in range(4):
+        got = circuit.encrypt_run_decrypt(x, y)
+        if int(got) == want:
+            return
+    raise AssertionError(f"{got} != {want}")
+
+
+def test_pir_row_fetch():
+    db = np.array([[1, 2, 0], [3, 0, 1], [0, 1, 2], [2, 3, 3]])
+    pir = PrivateInformationRetrieval(db)
+    circuit = pir.compile(CFG)
+    for idx in (0, 3):
+        want = pir.query_clear(idx)
+        for _ in range(4):
+            got = np.asarray(circuit.encrypt_run_decrypt(idx))
+            if np.array_equal(got, want):
+                break
+        else:
+            raise AssertionError((idx, got, want))
