@@ -12,7 +12,9 @@ from concrete_tpu.models.levenshtein import LevenshteinDistance
 from concrete_tpu.models.kvdb import StaticKeyValueDatabase
 from concrete_tpu.models.xor_distance import HammingDistance
 from concrete_tpu.models.pir import PrivateInformationRetrieval
+from concrete_tpu.models.prime_match import PrimeMatch
+from concrete_tpu.models.sha1 import Sha1
 
 __all__ = ["QuantizedMLP", "GameOfLife", "LevenshteinDistance",
            "StaticKeyValueDatabase", "HammingDistance",
-           "PrivateInformationRetrieval"]
+           "PrivateInformationRetrieval", "PrimeMatch", "Sha1"]

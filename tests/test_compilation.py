@@ -310,10 +310,15 @@ def test_module_composition():
         {"inc": list(range(15)), "double": list(range(8))}, CFG)
     assert mod.function_names == ["double", "inc"] or \
         set(mod.function_names) == {"inc", "double"}
-    enc = mod.inc.encrypt(3)
-    mid = mod.inc.run(enc)          # 4
-    out = mod.double.run(mid)       # 8, composed without decryption
-    assert mod.double.decrypt(out) == 8
+    # tiny test params have a ~1-2% per-PBS p_error: retry the chain
+    for _ in range(4):
+        enc = mod.inc.encrypt(3)
+        mid = mod.inc.run(enc)          # 4
+        out = mod.double.run(mid)       # 8, composed without decryption
+        if mod.double.decrypt(out) == 8:
+            break
+    else:
+        raise AssertionError(mod.double.decrypt(out))
 
 
 def test_debug_artifacts(tmp_path):

@@ -5,7 +5,7 @@ import pytest
 
 import concrete_tpu as fhe
 from concrete_tpu.models import (GameOfLife, HammingDistance,
-                                 LevenshteinDistance,
+                                 LevenshteinDistance, PrimeMatch,
                                  PrivateInformationRetrieval,
                                  QuantizedMLP, StaticKeyValueDatabase)
 from concrete_tpu.params import TEST_PARAMS_TINY_WIDE
@@ -89,3 +89,54 @@ def test_pir_row_fetch():
                 break
         else:
             raise AssertionError((idx, got, want))
+
+
+def test_prime_match():
+    """Multi-output order matching: opposite sides on the same symbol fill
+    at min(quantities); both result vectors decrypt correctly."""
+    pm = PrimeMatch(n_bank=3, n_client=2, n_symbols=3, max_quantity=3)
+    circuit = pm.compile(CFG)
+    args = (np.array([0, 1, 0]), np.array([0, 1, 2]), np.array([3, 2, 1]),
+            np.array([1, 0]), np.array([0, 1]), np.array([2, 3]))
+    bank_want, client_want = pm.match_clear(*args)
+    assert bank_want.tolist() == [2, 2, 0] and client_want.tolist() == [2, 2]
+    for _ in range(4):
+        bank_got, client_got = circuit.encrypt_run_decrypt(*args)
+        if (np.array_equal(bank_got, bank_want)
+                and np.array_equal(client_got, client_want)):
+            break
+    else:
+        raise AssertionError((bank_got, client_got))
+
+
+def test_sha1_simulation_matches_hashlib():
+    """Full 80-round SHA1 through the module simulator (optimizer-chosen
+    128-bit parameters, noise-accurate) equals hashlib on multi-chunk
+    messages."""
+    import hashlib
+
+    from concrete_tpu.models import Sha1
+
+    sha = Sha1()
+    sha.compile()
+    for message in (b"abc", b"x" * 77):  # 77 bytes forces two chunks
+        assert sha.hexdigest(message) == hashlib.sha1(message).hexdigest()
+
+
+def test_sha1_encrypted_primitives():
+    """The module's adder composes across functions under encryption:
+    encrypt via one function's input encoding, run another, decrypt."""
+    from concrete_tpu.models import Sha1
+    from concrete_tpu.models.sha1 import split32, unsplit32
+
+    sha = Sha1()
+    m = sha.compile(CFG)
+    x, y = 0xDEADBEEF, 0x12345678
+    want = (x + y) % 2**32
+    for _ in range(4):
+        ex = m.rotate30.encrypt(split32(x))
+        ey = m.rotate30.encrypt(split32(y))
+        got = unsplit32(np.asarray(m.add2.decrypt(m.add2.run(ex, ey))))
+        if got == want:
+            return
+    raise AssertionError((hex(got), hex(want)))
