@@ -21,7 +21,8 @@ import enum as _enum
 
 from concrete_tpu.version import __version__
 
-from concrete_tpu.compilation.artifacts import DebugArtifacts
+from concrete_tpu.compilation.artifacts import (DebugArtifacts,
+    FunctionDebugArtifacts, ModuleDebugArtifacts)
 from concrete_tpu.compilation import (Circuit, Client, Compiler,
                                       Configuration, Keys, Server, compiler,
                                       function, module)
@@ -44,18 +45,21 @@ from concrete_tpu.compilation.specs import ClientSpecs
 from concrete_tpu.compilation.value import TransportValue, Value
 from concrete_tpu.tracing import typing as _typing
 import sys as _sys
-for _w in range(1, 17):
+for _w in range(1, 65):
     setattr(_sys.modules[__name__], f"uint{_w}", getattr(_typing, f"uint{_w}"))
     setattr(_sys.modules[__name__], f"int{_w}", getattr(_typing, f"int{_w}"))
 tensor = _typing.tensor
+f32 = _typing.f32
+f64 = _typing.f64
 from concrete_tpu.dtypes import Float, Integer
 from concrete_tpu.extensions import (AutoRounder, AutoTruncator, LookupTable,
                                      array, bits, constant, conv, hint,
                                      identity, if_then_else, inputset,
                                      maxpool, multivariate, mux, one, ones,
+                                     ones_like,
                                      refresh, relu, round_bit_pattern, tag,
                                      trace, truncate_bit_pattern, univariate,
-                                     zero, zeros)
+                                     zero, zeros, zeros_like)
 from concrete_tpu.params import CryptoParams
 from concrete_tpu.representation import Graph, Node, Operation
 from concrete_tpu.tracing import Tracer
@@ -104,6 +108,8 @@ __all__ = [
     "LookupTable", "univariate", "multivariate", "constant", "identity",
     "trace", "array", "inputset",
     "refresh", "zero", "zeros", "one", "ones",
+    "zeros_like", "ones_like", "f32", "f64",
+    "FunctionDebugArtifacts", "ModuleDebugArtifacts",
     "AutoRounder", "AutoTruncator", "round_bit_pattern",
     "truncate_bit_pattern", "bits", "if_then_else", "mux", "relu",
     "conv", "maxpool", "tag", "hint", "DebugArtifacts",

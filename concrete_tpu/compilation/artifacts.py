@@ -50,3 +50,10 @@ class DebugArtifacts:
             path = os.path.join(self.output_directory, f"{name}.txt")
             with open(path, "w") as f:
                 f.write(content + "\n")
+
+
+# Reference splits artifacts into per-function and module-level classes
+# (artifacts.py FunctionDebugArtifacts/ModuleDebugArtifacts); here both are
+# the same section-keyed store, exported under the reference names.
+FunctionDebugArtifacts = DebugArtifacts
+ModuleDebugArtifacts = DebugArtifacts

@@ -47,6 +47,18 @@ def constant(value):
     return _encrypted_constant(value)
 
 
+def zeros_like(array):
+    """Encrypted zeros with the shape of `array` (reference
+    extensions/zeros.py zeros_like)."""
+    return zeros(getattr(array, "shape", np.asarray(array).shape))
+
+
+def ones_like(array):
+    """Encrypted ones with the shape of `array` (reference
+    extensions/ones.py ones_like)."""
+    return ones(getattr(array, "shape", np.asarray(array).shape))
+
+
 def identity(x):
     """Identity TLU: refreshes noise via one bootstrap.
 

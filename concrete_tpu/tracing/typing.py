@@ -65,11 +65,31 @@ def _make(width: int, signed: bool):
 
 
 _globals = globals()
-for _w in range(1, 17):
+for _w in range(1, 65):
     _globals[f"uint{_w}"] = _make(_w, False)
     _globals[f"int{_w}"] = _make(_w, True)
 
 tensor = _IntAnnotation  # fhe.tensor[fhe.uint3, 4] via the metaclass
+
+
+class _FloatAnnotationMeta(type):
+    def __getitem__(cls, shape):
+        if not isinstance(shape, tuple):
+            shape = (shape,)
+        return _TensorAnnotation(cls, shape)
+
+
+class f32(metaclass=_FloatAnnotationMeta):
+    """Float annotation for fused subgraph intermediates (reference
+    tracing/typing.py f32). Floats must be fused away before lowering."""
+    bit_width = 32
+    is_signed = True
+    is_float = True
+    shape = ()
+
+
+class f64(f32):
+    bit_width = 64
 
 
 def annotation_sample(ann):

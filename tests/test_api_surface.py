@@ -324,3 +324,45 @@ def test_simulation_only_build():
     c = f.compile(range(4), cfg)
     assert c.encrypt_run_decrypt(2) == 3   # no keygen happened
     assert not c.keys.are_generated
+
+
+def test_every_reference_export_exists():
+    """Static parity: every public name exported by the reference's
+    concrete.fhe __init__ exists on concrete_tpu."""
+    import ast
+    from pathlib import Path
+
+    ref_init = Path("/root/reference/frontends/concrete-python/concrete/"
+                    "fhe/__init__.py")
+    if not ref_init.exists():
+        pytest.skip("reference tree not available")
+    names = set()
+    for node in ast.walk(ast.parse(ref_init.read_text())):
+        if isinstance(node, (ast.ImportFrom, ast.Import)):
+            for alias in node.names:
+                names.add(alias.asname or alias.name.split(".")[0])
+    missing = sorted(n for n in names
+                     if not n.startswith("_") and not hasattr(fhe, n))
+    assert missing == [], missing
+
+
+def test_zeros_like_ones_like():
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return np.sum(fhe.ones_like(x) + fhe.zeros_like(x)) + np.sum(x)
+
+    c = f.compile([np.array([0, 1, 2])], CFG)
+    assert c.graph(np.array([1, 1, 1])) == 6
+    for _ in range(4):
+        if c.encrypt_run_decrypt(np.array([1, 1, 1])) == 6:
+            return
+    raise AssertionError("zeros_like/ones_like circuit failed")
+
+
+def test_wide_annotations_and_floats():
+    """int17..int64 / f32/f64 annotations exist; wide widths give exact
+    ranges (used by direct circuits and tfhers dtypes)."""
+    assert fhe.uint24.dtype_range == (0, 2**24 - 1)
+    assert fhe.int40.dtype_range == (-(2**39), 2**39 - 1)
+    assert fhe.tensor[fhe.uint20, 3].shape == (3,)
+    assert fhe.f32.is_float and fhe.f64.bit_width == 64
