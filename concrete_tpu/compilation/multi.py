@@ -118,10 +118,14 @@ def partition_pattern_split(graph: Graph):
         if w_out != w_in:
             cons = tuple(decision_constraints_after(
                 graph, node, default, (manp, boundary)))
+            # extract_bits never lowers to WoP-PBS (its source noise is a
+            # sign-PBS output, mirroring tlu_pattern_split's wide_in-only
+            # treatment), so only genuine wide TLUs tag the crossing
             crossings.append(Crossing(
                 src=w_in, dst=w_out, constraints=cons,
                 src_wop_nb=wop_nb_bits(graph, node, default)
-                if p_eff > MAX_NATIVE_TLU_BITS else 0))
+                if (p_eff > MAX_NATIVE_TLU_BITS
+                    and node.name != "extract_bits") else 0))
     for node in graph.ordered_outputs:
         if node.output.is_encrypted:
             w = encoding_width(node, default)

@@ -196,6 +196,7 @@ def decision_constraints_after(graph: Graph, node: Node,
         else graph.manp_map()
     out: list[tuple[int, int]] = []
     seen = {node}
+    leveled_reach = {node}   # node + leveled ops its raw noise flows through
     frontier = [node]
     while frontier:
         cur = frontier.pop()
@@ -208,10 +209,13 @@ def decision_constraints_after(graph: Graph, node: Node,
                             max(boundary.get(succ, 1), 1)))
             else:
                 frontier.append(succ)
+                leveled_reach.add(succ)
     for out_node in graph.ordered_outputs:
-        # `node` itself is in `seen`, so this also covers the TLU being a
-        # direct circuit output
-        if out_node in seen and out_node.output.is_encrypted:
+        # decode constraints apply only where `node`'s own noise reaches
+        # the output through leveled ops (including the node itself being
+        # an output); a successor TLU's output re-encodes the noise, and
+        # its input constraint was already recorded above
+        if out_node in leveled_reach and out_node.output.is_encrypted:
             out.append((encoding_width(out_node, default),
                         max(manp.get(out_node, 1), 1)))
     return out or [(1, 1)]

@@ -112,11 +112,13 @@ def private_packing_keyswitch_batch(lwe_ct, pfpksk: LimbPFPKSK):
 # Runtime-weight exact negacyclic product (grouped limb convolution)
 # ---------------------------------------------------------------------------
 
-def negacyclic_conv_runtime(d_digits, w_u64):
+def negacyclic_conv_runtime(d_digits, w_u64, a_limbs_n: int = 2):
     """Exact  out[b, co] = sum_ci  d[b, ci] (*) w[b, ci, co]  (mod 2^64).
 
-    d_digits: (B, Cin, N) int32 gadget digits (|d| < 2^15 so 2 limbs cover).
+    d_digits: (B, Cin, N) int32 gadget digits.
     w_u64:    (B, Cin, Cout, N) u64 runtime weights (GGSW rows).
+    digit_limbs: int8 limbs needed for the digits
+                 (lb.num_digit_limbs(base_log); 2 covers base_log <= 15).
     Returns   (B, Cout, N) u64.
 
     Grouped convolution with per-batch filters: lhs channels = Cin, spatial
@@ -125,7 +127,6 @@ def negacyclic_conv_runtime(d_digits, w_u64):
     """
     b_ct, cin, n = d_digits.shape
     cout = w_u64.shape[2]
-    a_limbs_n = 2
     d_limbs = lb.i32_digits_to_balanced_i8(d_digits, a_limbs_n)
     lhs = jnp.moveaxis(d_limbs, -1, 2)               # (B, Cin, A, N)
     w_limbs = lb.u64_to_balanced_i8(w_u64)           # (B, Cin, Cout, N, 8)
@@ -159,7 +160,8 @@ def external_product_batch(ggsw, glwe, base_log: int, levels: int):
     # Cin = j * (k+1) + r  (level-major to match ggsw[j, r])
     d = jnp.transpose(digits, (0, 3, 1, 2)).reshape(b_ct, l * kp1, n)
     w = ggsw.reshape(b_ct, l * kp1, kp1, n)
-    return negacyclic_conv_runtime(d, w)
+    return negacyclic_conv_runtime(d, w,
+                                   a_limbs_n=lb.num_digit_limbs(base_log))
 
 
 def cmux_batch(ggsw, ct0, ct1, base_log: int, levels: int):

@@ -104,8 +104,14 @@ class Bridge:
         self._shared_key = key.ravel()
         self._build_conversion_keys()
 
+    def _p_error(self) -> float:
+        """The circuit's configured per-PBS error budget (conversion keys
+        must honor the same target, not a hardcoded default)."""
+        cfg = getattr(self.circuit, "configuration", None)
+        pe = getattr(cfg, "p_error", None) if cfg is not None else None
+        return pe if pe is not None else 6.3e-5
+
     def _build_conversion_keys(self) -> None:
-        from concrete_tpu import params as pp
         from concrete_tpu.core import keygen as kg
         from concrete_tpu.optimizer.v0 import safe_variance_bound
         from concrete_tpu.utils.csprng import SecureGenerator
@@ -114,9 +120,10 @@ class Bridge:
         keys = self.circuit.keys
         key = self._shared_key
         rng = SecureGenerator()
+        p_error = self._p_error()
         width = max([specs.input_width(i) for i in self.input_types
                      or range(len(specs.inputs))] or [specs.message_bits])
-        budget = safe_variance_bound(width, 6.3e-5) / 8.0
+        budget = safe_variance_bound(width, p_error) / 8.0
         lvl_in, base_in = _choose_conversion_gadget(
             key.size, params.glwe_std, budget)
         ksk_in = kg.make_ksk(rng, key, keys.secret.lwe_big,
@@ -129,7 +136,7 @@ class Bridge:
         t_std = (t_params.glwe_noise_distribution_stdev
                  or params.glwe_std) if t_params else params.glwe_std
         lvl_out, base_out = _choose_conversion_gadget(
-            params.n_big, t_std, safe_variance_bound(t_bits, 6.3e-5) / 8.0)
+            params.n_big, t_std, safe_variance_bound(t_bits, p_error) / 8.0)
         ksk_out = kg.make_ksk(rng, keys.secret.lwe_big, key,
                               base_out, lvl_out, t_std)
         self._import_ksk = self._pack(ksk_in, base_in, lvl_in)
@@ -182,7 +189,22 @@ class Bridge:
                      dtype: TFHERSIntegerType) -> np.ndarray:
         """Circuit output -> raw TFHE-rs radix blocks (from_native must have
         produced one ciphertext per block); keyswitches back to the shared
-        key when dimensions differ."""
+        key when dimensions differ.
+
+        The block ciphertexts ship unrescaled, so their native encoding
+        delta must equal the TFHE-rs delta — from_native hints each block
+        to msg+carry bits to guarantee this; anything else is rejected
+        (a phase at the wrong delta decodes to garbage on the other side).
+        """
+        specs = self.circuit.client_specs
+        native_delta_log2 = 64 - specs.output_width(output_idx) - 1
+        if native_delta_log2 != dtype.delta_log2:
+            raise ValueError(
+                f"output {output_idx} is encoded at delta 2^"
+                f"{native_delta_log2} but the TFHE-rs dtype expects 2^"
+                f"{dtype.delta_log2}; produce the blocks with "
+                "tfhers.from_native (it sizes each block to msg+carry "
+                "bits)")
         out = np.asarray(ct, dtype=np.uint64)
         if self._export_ksk is not None:
             out = self._keyswitch(out, self._export_ksk)

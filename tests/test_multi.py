@@ -142,3 +142,55 @@ def test_multi_simulation(multi_circuit):
 def test_multi_pbs_widths_stay_per_partition(multi_circuit):
     per_width = multi_circuit.programmable_bootstrap_count_per_bit_width
     assert per_width.get(2) == 1 and per_width.get(BIG) == 1
+
+
+def test_decision_constraints_stop_at_successor_tlu_outputs():
+    """A successor TLU that is also a circuit output re-encodes the noise:
+    the upstream TLU's constraint list must contain the successor's INPUT
+    width but not a decode constraint at the successor's output width
+    (regression: the output loop swept in every walked node)."""
+    from concrete_tpu.compilation.transforms import run_default_transforms
+    from concrete_tpu.compilation.widths import (assign_encoding_widths,
+                                                 decision_constraints_after)
+
+    table_small = fhe.LookupTable(TABLE_SMALL)
+    wide_table = fhe.LookupTable(list(range(1 << 10)))
+
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def f(x, y):
+        return wide_table[table_small[x] * 256 + y]
+
+    graph = f.trace([(int(i % 4), int((i * 77) % 256)) for i in range(40)])
+    run_default_transforms(graph)
+    graph_default = graph.max_bit_width
+    assign_encoding_widths(graph)
+    tlu_nodes = [n for n in graph.topological_order() if n.name == "tlu"]
+    small = next(n for n in tlu_nodes if n.output.dtype.bit_width <= 2)
+    cons = decision_constraints_after(graph, small, graph_default)
+    widths = [w for w, _ in cons]
+    # the wide TLU's input decode point (10 bits) is a constraint...
+    assert 10 in widths
+    # ...but its output width must NOT constrain the small TLU's noise
+    # (the bootstrap re-encodes); with one successor TLU that is the only
+    # entry
+    assert len(cons) == 1, cons
+
+
+def test_extract_bits_crossing_needs_no_wop_gadgets():
+    """extract_bits lowers to a sign-PBS cascade, never WoP: a wide
+    extract_bits whose output crosses into a narrower partition must not
+    force WoP gadget selection (and its PFPKSK) on the source partition."""
+    from concrete_tpu.compilation.transforms import run_default_transforms
+    from concrete_tpu.compilation.widths import assign_encoding_widths
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return fhe.bits(x)[0] + fhe.bits(x)[1]
+
+    graph = f.trace([int((i * 997) % (1 << 12)) for i in range(50)])
+    run_default_transforms(graph)
+    assign_encoding_widths(graph)
+    plan = plan_partitions(graph)
+    if plan is None:
+        return  # single partition: equally fine, nothing forced WoP
+    assert plan.wop_gadgets == {}, plan.wop_gadgets

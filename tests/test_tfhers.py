@@ -284,3 +284,81 @@ def test_bridge_serialized_roundtrip():
     back = deserialize_radix(blob_out)
     assert back.n_blocks == t.n_blocks
     assert np.array_equal(back.blocks, cts)
+
+
+def test_to_native_signed():
+    """Signed radix blocks recombine to the true signed value (the MSB
+    block's TLU folds in the sign), both clear and under encryption."""
+    t = tfhers.TFHERSIntegerType(True, 4, 2, 2, tfhers.uint8_2_2().params)
+
+    # clear path
+    for v in (-8, -3, -1, 0, 5, 7):
+        blocks = np.array(t.encode_blocks(v))
+        assert int(tfhers.to_native(blocks, t)) == v, v
+
+    @fhe.compiler({"blocks": "encrypted"})
+    def f(blocks):
+        return tfhers.to_native(blocks, t)
+
+    inputset = [np.array(t.encode_blocks(v)) for v in range(-8, 8)]
+    circuit = f.compile(inputset, CFG)
+    for v in (-8, -3, 7):
+        blocks = np.array(t.encode_blocks(v))
+        for _ in range(4):
+            got = circuit.encrypt_run_decrypt(blocks)
+            if int(got) == v:
+                break
+        else:
+            raise AssertionError((v, got))
+
+
+def test_from_native_blocks_carry_tfhers_delta():
+    """from_native blocks are encoded at msg+carry bits so the exported
+    ciphertext phase sits at the TFHE-rs delta; export_value validates."""
+    t = tfhers.TFHERSIntegerType(False, 4, 2, 2, tfhers.uint8_2_2().params)
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return tfhers.from_native(x, t)
+
+    circuit = f.compile(range(16), CFG)
+    specs = circuit.client_specs
+    for pos in range(t.n_blocks):
+        assert specs.output_width(pos) == t.msg_width + t.carry_width
+        assert 64 - specs.output_width(pos) - 1 == t.delta_log2
+    circuit.keygen()
+    bridge = tfhers.new_bridge(circuit, {0: t})
+    enc = circuit.encrypt(9)
+    outs = circuit.run(enc)
+    blob = bridge.export_ciphertext(outs, 0, t)
+    radix = tfhers.deserialize_radix(blob) if hasattr(
+        tfhers, "deserialize_radix") else None
+    if radix is not None:
+        # decrypt each exported block under the big key at the tfhers delta
+        sk = circuit.keys.secret.lwe_big
+        decoded = []
+        for b in np.asarray(radix.blocks):
+            phase = ref.lwe_decrypt(sk, b.astype(np.uint64))
+            decoded.append(
+                int((int(phase) + (1 << (t.delta_log2 - 1)))
+                    >> t.delta_log2) % t.msg_modulus)
+        assert t.decode_blocks(decoded) == 9
+
+
+def test_export_value_rejects_wrong_delta():
+    """A circuit output not produced by from_native (wrong encoding width)
+    is rejected rather than exported at a wrong delta."""
+    t = tfhers.TFHERSIntegerType(False, 4, 2, 2, tfhers.uint8_2_2().params)
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return x + 1   # 2-bit-ish output, not msg+carry
+
+    circuit = f.compile(range(2), CFG)
+    circuit.keygen()
+    bridge = tfhers.new_bridge(circuit, {0: t})
+    enc = circuit.encrypt(1)
+    out = circuit.run(enc)
+    with pytest.raises(ValueError, match="delta"):
+        bridge.export_value(np.asarray(out.data if hasattr(out, "data")
+                                       else out), 0, t)

@@ -125,3 +125,24 @@ def test_wop_pbs_batch_bit_exact_vs_oracle(keyset):
     got = np.asarray(kw.wop_pbs_batch(ct[None], table, p, delta, out_bits,
                                       ksk, bsk, pfp, WP))[0]
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("base_log,levels", [(16, 1), (12, 2)])
+def test_external_product_wide_gadget_base(keyset, base_log, levels):
+    """Gadget bases above 15 bits produce digits needing 3 int8 limbs;
+    the runtime conv must size its limb split from base_log (regression:
+    it hardcoded 2 limbs and silently wrapped 2^15-magnitude digits)."""
+    rng, sk, server, wop_keys, ksk, bsk, pfp = keyset
+    params = WP.base
+    k, n = params.glwe_dimension, params.polynomial_size
+    b = 2
+    ggsws = np.stack([
+        ref.ggsw_encrypt(rng, sk.glwe, bit, base_log, levels,
+                         params.glwe_std)
+        for bit in (0, 1)])
+    glwes = ref.sample_uniform_u64(rng, (b, k + 1, n))
+    got = np.asarray(kw.external_product_batch(ggsws, glwes,
+                                               base_log, levels))
+    for bi in range(b):
+        want = ref.external_product(ggsws[bi], glwes[bi], base_log, levels)
+        np.testing.assert_array_equal(got[bi], want)
