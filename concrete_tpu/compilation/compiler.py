@@ -59,6 +59,7 @@ class Compiler:
         from concrete_tpu.compilation.transforms import run_default_transforms
         from concrete_tpu.compilation.widths import (assign_encoding_widths,
                                                      encoding_width,
+                                                     output_encoding_width,
                                                      tlu_pattern_split)
         run_default_transforms(
             graph, enable_tlu_fusing=config.enable_tlu_fusing,
@@ -167,7 +168,7 @@ class Compiler:
             outputs=[n.output for n in graph.ordered_outputs],
             input_widths=[encoding_width(n, p)
                           for n in graph.ordered_inputs],
-            output_widths=[encoding_width(n, p)
+            output_widths=[output_encoding_width(n, p)
                            for n in graph.ordered_outputs],
             wop_gadgets=wop_gadgets if wop_triples and plan is None else None,
             partitions=plan.params if plan is not None else None,

@@ -91,7 +91,13 @@ def _materialize_wop_table(node: Node, p_in: int, p_out: int,
     if node.name == "tlu":
         table = np.asarray(node.properties["kwargs"]["table"],
                            dtype=np.int64)
-        vals = table[sval % len(table)]
+        if table.ndim > 1:
+            # per-element tables (apply_multi_lookup_table): one row per
+            # flattened element, matching the flattened PBS batch order
+            flat = table.reshape(-1, table.shape[-1])
+            vals = flat[:, sval % table.shape[-1]]
+        else:
+            vals = table[sval % len(table)]
     else:
         fn = node.properties["kwargs"]["function"]
         vals = np.vectorize(fn, otypes=[np.int64])(sval)
@@ -259,6 +265,11 @@ class GraphExecutor:
         self.wop_specs: dict[int, WopTluSpec] = {}
         self.multivariate_specs: dict[int, MultivariateSpec] = {}
         for node in graph.topological_order():
+            if not node.output.is_encrypted:
+                # clear-output ops never bootstrap (a TLU on a clear value
+                # evaluates in the clear-subgraph path): no spec, no WoP
+                # requirement, no 2^p table evaluation of the user function
+                continue
             if node.name in ("tlu", "univariate"):
                 preds = graph.ordered_preds_of(node)
                 p_in = self.width_of(preds[0]) if preds else p
@@ -360,6 +371,13 @@ class GraphExecutor:
         n_big = self.params_for_width(width).n_big
         out = jnp.zeros(jnp.shape(enc) + (n_big + 1,), dtype=jnp.uint64)
         return out.at[..., -1].set(enc)
+
+    def _trivial_any(self, value, width: int) -> jnp.ndarray:
+        """Trivial encryption routing jit-traced values (runtime clear
+        inputs and clear-subgraph results) through the traced path."""
+        if hasattr(value, "aval"):
+            return self._trivial_traced(value, width)
+        return self._trivial(value, width)
 
     # -- the lowered evaluation -------------------------------------------
 
@@ -495,30 +513,44 @@ class GraphExecutor:
                 ea, eb = enc_flags
                 if ea and eb:
                     raise NotImplementedError("enc x enc matmul planned")
+                # traced-safe clear conversion: runtime clear inputs are
+                # jit tracers, so no np.asarray here
+                def u64_clear(v):
+                    return (jnp.asarray(v).astype(jnp.int64)
+                            .astype(jnp.uint64))
                 if ea:
-                    ct, w = a, np.asarray(b, dtype=np.int64).astype(np.uint64)
+                    ct, w = a, u64_clear(b)
                     if w.ndim == 1:
-                        out = (ct * jnp.asarray(w)[..., None]).sum(axis=-2)
-                    else:
+                        out = (ct * w[..., None]).sum(axis=-2)
+                    elif w.ndim == 2:
                         # (..., K, d) x (K, M) -> (..., M, d)
                         out = (ct[..., :, None, :]
-                               * jnp.asarray(w)[:, :, None]).sum(axis=-3)
-                else:
-                    w = np.asarray(a, dtype=np.int64).astype(np.uint64)
-                    ct = b
-                    if w.ndim == 1:
-                        out = (jnp.asarray(w)[:, None] * ct).sum(axis=-2)
-                    elif ct.ndim == 2:
-                        # (M, K) x (K, d) -> (M, d)
-                        out = (jnp.asarray(w)[..., None]
-                               * ct[None, ...]).sum(axis=1)
+                               * w[:, :, None]).sum(axis=-3)
                     else:
+                        raise NotImplementedError(
+                            "matmul with a clear operand above 2-D is not "
+                            "lowered; reshape to a stack of 2-D matmuls")
+                else:
+                    w, ct = u64_clear(a), b
+                    if w.ndim == 1:
+                        # (K,) x (K, ..., d): contract the leading K axis
+                        # whatever the encrypted rank
+                        out = (w.reshape((-1,) + (1,) * (ct.ndim - 1))
+                               * ct).sum(axis=0)
+                    elif w.ndim == 2 and ct.ndim == 2:
+                        # (M, K) x (K, d) -> (M, d)
+                        out = (w[..., None] * ct[None, ...]).sum(axis=1)
+                    elif w.ndim == 2:
                         # (M, K) x (..., K, P, d) -> (..., M, P, d):
                         # numpy matmul broadcasts the clear matrix over the
                         # encrypted stack, contracting the ct's axis -2
                         # (axis -3 with the trailing ciphertext dim)
-                        out = (jnp.asarray(w)[:, :, None, None]
+                        out = (w[:, :, None, None]
                                * ct[..., None, :, :, :]).sum(axis=-3)
+                    else:
+                        raise NotImplementedError(
+                            "matmul with a clear operand above 2-D is not "
+                            "lowered; reshape to a stack of 2-D matmuls")
                 values[node] = out
             elif name == "sum":
                 axis = node.properties["kwargs"].get("axis")
@@ -751,9 +783,9 @@ class GraphExecutor:
                 if is_ct(node):
                     w = self.width_of(node)
                     if not ex:
-                        x = self._trivial(x, w)
+                        x = self._trivial_any(x, w)
                     if not ev_:
-                        v = self._trivial(v, w)
+                        v = self._trivial_any(v, w)
                     idx_t = index if isinstance(index, tuple) else (index,)
                     values[node] = x.at[idx_t + (slice(None),)].set(v)
                 else:
@@ -773,9 +805,14 @@ class GraphExecutor:
                     f"operation '{name}' is not lowered yet")
 
         outs = []
+        from concrete_tpu.compilation.widths import output_encoding_width
         for out_node in graph.ordered_outputs:
             v = values[out_node]
             if not is_ct(out_node):
-                v = self._trivial(v, self.width_of(out_node))
+                # clear outputs may derive from runtime clear inputs (jit
+                # tracers): traced encoder, at a width covering the clear
+                # value's full range (must match ClientSpecs.output_widths)
+                v = self._trivial_any(
+                    v, output_encoding_width(out_node, self.p))
             outs.append(v)
         return tuple(outs)

@@ -207,7 +207,8 @@ class ModuleCompiler:
         client0 = None
         functions = {}
         for name, g in graphs.items():
-            from concrete_tpu.compilation.widths import encoding_width
+            from concrete_tpu.compilation.widths import (
+                encoding_width, output_encoding_width)
             specs = ClientSpecs(
                 params=params, message_bits=p,
                 inputs=[n.output for n in g.ordered_inputs],
@@ -218,7 +219,7 @@ class ModuleCompiler:
                 # while the executor uses per-node widths -> garbage)
                 input_widths=[encoding_width(n, p)
                               for n in g.ordered_inputs],
-                output_widths=[encoding_width(n, p)
+                output_widths=[output_encoding_width(n, p)
                                for n in g.ordered_outputs])
             client = Client(specs, keys)
             client0 = client0 or client

@@ -192,11 +192,20 @@ class Server:
                                    p.ks_base_log))
         total = 0.0
         for n in self.graph.graph.nodes:
-            if n.name not in ("tlu", "univariate", "multivariate"):
+            if n.name not in ("tlu", "univariate", "multivariate",
+                              "dynamic_tlu", "extract_bits") \
+                    or not n.output.is_encrypted:
                 continue
             size = max(int(np.prod(n.output.shape)), 1)
             w_in = tlu_input_width(self.graph, n, default)
             p = ex.params_for_width(w_in)
+            if n.name == "extract_bits":
+                # lsb cascade: cleans + per-requested-bit sign-PBS
+                # (statistics.py extract_bits accounting)
+                positions = n.properties["kwargs"]["positions"]
+                n_pbs = max(int(b) for b in positions) + len(positions)
+                total += size * n_pbs * atomic_cost(p)
+                continue
             spec = ex.wop_specs.get(n.uid)
             wp = ex.wop_params_for(w_in)
             if spec is not None and wp is not None:
@@ -213,7 +222,10 @@ class Server:
         return total
 
     def programmable_bootstrap_count(self) -> int:
-        return sum(
-            max(int(np.prod(n.output.shape)), 1)
-            for n in self.graph.graph.nodes
-            if n.name in ("tlu", "univariate"))
+        """PBS count from the statistics grid (one source of truth with
+        Circuit.programmable_bootstrap_count; counts multivariate packing,
+        dynamic lookups, and bit extraction, skips clear-output TLUs)."""
+        from concrete_tpu.compilation import statistics as st
+        records = st.collect(self.graph, self._executor,
+                             self.client_specs.message_bits)
+        return st.total(records, st.PBS)

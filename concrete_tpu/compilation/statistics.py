@@ -157,9 +157,14 @@ def collect(graph, executor, default_width: int) -> list[Record]:
             positions = node.properties["kwargs"]["positions"]
             preds_enc = [q for q in preds if enc(q)]
             w_in = width_of(preds_enc[0]) if preds_enc else default_width
-            # lsb cascade: one KS+PBS per peeled bit position up to the
-            # highest requested one (executor.py extract_bits lowering)
-            n_steps = max(int(p) for p in positions) + 1
+            # lsb cascade (kernels_wop.extract_bits_to): one cleaning
+            # sign-PBS per peeled position below the highest, plus one
+            # output sign-PBS per requested bit.  The kernel shares a
+            # clean with an output when their torus scales coincide; that
+            # depends on runtime scales, so count the unshared upper bound
+            # (the global_p_error union bound must not be optimistic).
+            max_bit = max(int(p) for p in positions)
+            n_steps = max_bit + len(positions)
             per = _size(preds_enc[0]) if preds_enc else 1
             emit(KEY_SWITCH, node, per * n_steps, w_in)
             emit(PBS, node, per * n_steps, w_in)

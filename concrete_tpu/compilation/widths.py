@@ -125,6 +125,18 @@ def encoding_width(node: Node, default: int) -> int:
     return int(node.properties.get("encoding_width", default))
 
 
+def output_encoding_width(node: Node, default: int) -> int:
+    """Encoding width for a circuit OUTPUT.  Clear outputs are never
+    assigned widths by the noise-driven pass (they carry no noise), but
+    their trivial encryption must still cover the value range — otherwise
+    a clear value wider than the encrypted default decodes to garbage."""
+    w = encoding_width(node, default)
+    if not node.output.is_encrypted and isinstance(node.output.dtype,
+                                                   Integer):
+        w = max(w, node.output.dtype.bit_width)
+    return w
+
+
 ROUNDING_OPS = ("round_bit_pattern", "truncate_bit_pattern")
 
 

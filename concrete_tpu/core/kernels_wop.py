@@ -316,7 +316,9 @@ def circuit_bootstrap_batch(bit_lwes, ksk: kn.LimbKSK, bsk: kn.LimbBSK,
 # ---------------------------------------------------------------------------
 
 def vertical_packing_batch(lut_torus, ggsw_bits, wp: WopParams):
-    """lut (2^nb,) u64 shared; ggsw_bits (B, nb, l, k+1, k+1, N) MSB-first.
+    """lut u64: (2^nb,) shared across the batch, or (B, 2^nb) per-element
+    tables (the apply_multi_lookup_table path); ggsw_bits
+    (B, nb, l, k+1, k+1, N) MSB-first.
 
     Tree CMUXes fold the chunk-pair axis into the conv batch; the rotation
     phase runs log2(N)-ish sequential batched CMUXes.  Returns the extracted
@@ -328,17 +330,18 @@ def vertical_packing_batch(lut_torus, ggsw_bits, wp: WopParams):
     l, base = wp.cbs_level, wp.cbs_base_log
     b_ct, nb = ggsw_bits.shape[:2]
     lut = jnp.asarray(lut_torus, dtype=U64)
+    if lut.ndim == 1:
+        lut = jnp.broadcast_to(lut[None], (b_ct, lut.shape[0]))
     n_in_chunk = min(nb, int(np.log2(n)))
     n_tree = nb - n_in_chunk
 
-    chunks = lut.reshape(1 << n_tree, -1)
-    if chunks.shape[1] < n:
-        chunks = jnp.pad(chunks, ((0, 0), (0, n - chunks.shape[1])))
+    chunks = lut.reshape(b_ct, 1 << n_tree, -1)
+    if chunks.shape[2] < n:
+        chunks = jnp.pad(chunks, ((0, 0), (0, 0), (0, n - chunks.shape[2])))
     # layer: (B, L, k+1, N) trivial GLWEs (mask zeros, body = chunk)
     n_chunks = 1 << n_tree
     layer = jnp.zeros((b_ct, n_chunks, k + 1, n), dtype=U64)
-    layer = layer.at[:, :, k, :].set(
-        jnp.broadcast_to(chunks[None], (b_ct, n_chunks, n)))
+    layer = layer.at[:, :, k, :].set(chunks)
 
     for t in range(n_tree):
         half = layer.shape[1] // 2
@@ -374,8 +377,9 @@ def wop_pbs_batch(lwe_big, lut, nb_bits: int, delta_log: int, out_bits: int,
                   wp: WopParams):
     """Batched large-precision TLU: (B, n_big+1) u64 -> (B, n_big+1) u64.
 
-    `lut` holds raw integer entries (2^nb_bits,); output encoded at
-    out_bits.  Oracle: wop.wop_pbs.
+    `lut` holds raw integer entries — (2^nb_bits,) shared, or
+    (B, 2^nb_bits) per-element tables; output encoded at out_bits.
+    Oracle: wop.wop_pbs.
     """
     bits = extract_bits_batch(lwe_big, nb_bits, delta_log, ksk, bsk, wp.base)
     ggsws = circuit_bootstrap_batch(bits, ksk, bsk, pfpksk, wp)

@@ -1032,3 +1032,77 @@ def test_multivariate_rejects_clear_operand():
             return fhe.multivariate(lambda a, b: a + b)(x, c)
 
         f.compile([(1, 1), (2, 0)], CFG)
+
+
+def test_clear_vector_matmul_encrypted_matrix():
+    """w (K,) @ x (K, M): contraction must run over the shared K axis
+    (regression: the lowering right-aligned w against the column axis)."""
+    w = np.array([1, 2, 3])
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return w @ x
+
+    samples = [np.array([[1, 0], [0, 1], [1, 1]]),
+               np.array([[1, 1], [1, 1], [1, 1]])]
+    circuit = f.compile(samples, CFG)
+    x = np.array([[1, 0], [0, 1], [1, 1]])
+    want = w @ x                      # [4, 5]
+    assert np.array_equal(circuit.graph(x), want)
+    for _ in range(4):
+        got = np.asarray(circuit.encrypt_run_decrypt(x))
+        if np.array_equal(got, want):
+            return
+    raise AssertionError((got, want))
+
+
+def test_runtime_clear_matmul_operand():
+    """A clear INPUT as the matmul weight: inside Server.run it is a jit
+    tracer, so the lowering must not call np.asarray on it."""
+    @fhe.compiler({"x": "encrypted", "w": "clear"})
+    def f(x, w):
+        return x @ w
+
+    samples = [(np.array([1, 2]), np.array([[1, 0], [1, 1]])),
+               (np.array([3, 1]), np.array([[0, 1], [1, 0]]))]
+    circuit = f.compile(samples, CFG)
+    x, w = np.array([1, 2]), np.array([[1, 0], [1, 1]])
+    want = x @ w
+    for _ in range(4):
+        got = np.asarray(circuit.encrypt_run_decrypt(x, w))
+        if np.array_equal(got, want):
+            return
+    raise AssertionError((got, want))
+
+
+def test_assign_runtime_clear_value():
+    """x[0] = c with c a clear runtime input (jit tracer at run time)."""
+    @fhe.compiler({"x": "encrypted", "c": "clear"})
+    def f(x, c):
+        x[0] = c
+        return x
+
+    samples = [(np.array([1, 2, 3]), 2), (np.array([3, 1, 0]), 1)]
+    circuit = f.compile(samples, CFG)
+    x = np.array([1, 2, 3])
+    want = np.array([2, 2, 3])
+    for _ in range(4):
+        got = np.asarray(circuit.encrypt_run_decrypt(x, 2))
+        if np.array_equal(got, want):
+            return
+    raise AssertionError((got, want))
+
+
+def test_clear_output_from_clear_input():
+    """A clear output computed from a clear runtime input must encode
+    through the traced path (regression: numpy-only trivial encryption)."""
+    @fhe.compiler({"x": "encrypted", "c": "clear"})
+    def f(x, c):
+        return x + 1, c + 1
+
+    circuit = f.compile([(1, 2), (2, 3)], CFG)
+    for _ in range(4):
+        a, b = circuit.encrypt_run_decrypt(2, 3)
+        if int(a) == 3 and int(b) == 4:
+            return
+    raise AssertionError((a, b))

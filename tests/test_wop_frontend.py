@@ -173,3 +173,58 @@ def test_wide_output_compiles():
         + [0, (1 << 13) - 1]
     circuit = f.compile(inputset)     # must not raise
     assert circuit.graph(1 << 12) == ((1 << 12) >> 7) * 3
+
+
+def test_wide_multi_table():
+    """Per-element (multi-dimensional) LookupTables on a >8-bit input:
+    each element bootstraps through WoP with its own table row
+    (regression: the WoP materialization indexed table ROWS by value)."""
+    tables = fhe.LookupTable(np.stack([
+        [(3 * i + 1) % 16 for i in range(1 << 10)],
+        [(i // 2) % 16 for i in range(1 << 10)],
+    ]))
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return tables[x]
+
+    samples = [np.array([0, 1023]), np.array([517, 2]),
+               np.array([800, 31])]
+    c = f.compile(samples, fhe.Configuration(**CFG))
+    x = np.array([517, 40])
+    want = np.array([(3 * 517 + 1) % 16, (40 // 2) % 16])
+    got = _retry(c, (x,), want)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_clear_output_tlu_not_materialized():
+    """A clear-output univariate must not be materialized as a PBS spec at
+    compile time (regression: the executor required WoP gadgets for it and
+    evaluated the user function over the full wide domain).  Executing a
+    clear TLU over a runtime clear input is explicitly unsupported; the
+    compile itself and the spec skip are the contract."""
+    def partial_fn(v):
+        assert v < 4, "evaluated outside the observed clear domain"
+        return int(v) + 1
+
+    wide = fhe.LookupTable([i % 8 for i in range(1 << 10)])
+
+    @fhe.compiler({"x": "encrypted", "c": "clear"})
+    def g(x, c):
+        return wide[x] + fhe.univariate(partial_fn)(c)
+
+    # compiles without WoP-gadget demands for the clear univariate and
+    # without evaluating partial_fn over 2^10 values
+    c2 = g.compile([(0, 1), (1023, 3), (517, 2)],
+                   fhe.Configuration(**CFG))
+    clear_nodes = [n for n in c2.graph.topological_order()
+                   if n.name == "univariate"
+                   and not n.output.is_encrypted]
+    assert clear_nodes, "expected a clear univariate node"
+    ex = c2.server._executor
+    assert all(n.uid not in ex.tlu_specs and n.uid not in ex.wop_specs
+               for n in clear_nodes)
+    # the run-path contract: a clear TLU over a runtime clear input is an
+    # explicit NotImplementedError, not garbage
+    with pytest.raises(NotImplementedError, match="clear"):
+        c2.encrypt_run_decrypt(517, 2)
