@@ -226,27 +226,39 @@ class Circuit:
 
     @property
     def programmable_bootstrap_count_per_bit_width(self) -> dict:
-        """PBS counts keyed by each TLU's *input* encoding width — shows that
-        a mixed-precision circuit runs each PBS at its own width (reference
-        circuit.py programmable_bootstrap_count_per_parameter analog)."""
-        from concrete_tpu.compilation.widths import tlu_effective_input_width
+        """PBS counts keyed by each bootstrap's *input* encoding width —
+        shows that a mixed-precision circuit runs each PBS at its own width
+        (reference circuit.py programmable_bootstrap_count_per_parameter
+        analog).  Built from the statistics grid so extract_bits cascades,
+        dynamic lookups, and WoP bit extraction count here exactly as they
+        do in programmable_bootstrap_count (the dict sums to the total)."""
+        from concrete_tpu.compilation import statistics as st
         out: dict = {}
-        default = self.client_specs.message_bits
-        for n in self.graph.graph.nodes:
-            if n.name in ("tlu", "univariate", "multivariate"):
-                w = tlu_effective_input_width(self.graph, n, default)
-                out[w] = out.get(w, 0) + max(
-                    int(np.prod(n.output.shape)), 1)
+        for r in self._statistic_records:
+            if r.kind == st.PBS:
+                out[r.parameter] = out.get(r.parameter, 0) + r.count
         return out
 
     @property
     def p_error(self) -> float:
-        return self.client_specs.params.p_error(
-            self.client_specs.message_bits)
+        """Per-PBS failure probability at the circuit's worst decision
+        point (width at the circuit max, noise amplified by the measured
+        MANP — reporting norm2=1 would understate the real error)."""
+        specs = self.client_specs
+        if specs.is_multi and specs.partition_norm2:
+            return max(
+                specs.partitions[w].p_error(
+                    min(w, 8), norm2=specs.partition_norm2.get(w, 1))
+                for w in specs.partitions)
+        if not hasattr(self, "_norm2"):
+            self._norm2 = self.graph.max_norm2()
+        return specs.params.p_error(specs.message_bits, norm2=self._norm2)
 
     @property
     def global_p_error(self) -> float:
-        n = max(self.programmable_bootstrap_count, 1)
+        n = self.programmable_bootstrap_count
+        if n == 0:
+            return 0.0   # a PBS-free (levelled) circuit cannot misdecide
         pe = self.p_error
         return 1.0 - (1.0 - pe) ** n
 

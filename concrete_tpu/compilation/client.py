@@ -56,7 +56,12 @@ class Client:
         for pos, arg in enumerate(args):
             spec = self.specs.inputs[pos]
             if not spec.is_encrypted:
-                out.append(np.asarray(arg))
+                arr = np.asarray(arg)
+                # clear arguments get the same shape/range validation as
+                # encrypted ones (a wrong-shaped clear value would
+                # otherwise broadcast silently inside the jitted executor)
+                self._validate(np.asarray(arr, dtype=np.int64), spec, pos)
+                out.append(arr)
                 continue
             arr = np.asarray(arg, dtype=np.int64)
             self._validate(arr, spec, pos)
@@ -103,7 +108,13 @@ class Client:
     # -- decryption --------------------------------------------------------
 
     def decrypt(self, *results):
-        self.keygen()
+        if not self.keys.are_generated:
+            # never auto-generate here: decrypting under a fresh keyset
+            # would silently decode noise into plausible-looking integers
+            raise RuntimeError(
+                "keys are not generated/loaded; call keygen() or "
+                "Keys.load() with the keyset the inputs were encrypted "
+                "under before decrypting")
         out = []
         for pos, res in enumerate(results):
             spec = self.specs.outputs[pos]

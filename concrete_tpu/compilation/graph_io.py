@@ -107,10 +107,21 @@ def graph_to_records(graph: Graph) -> tuple[dict, dict[str, np.ndarray]]:
                 np.asarray(node.properties["constant"]), arrays,
                 f"n{ids[node]}_const")
         if "kwargs" in node.properties:
-            rec["kwargs"] = {
-                k: _encode_value(v, arrays, f"n{ids[node]}_{k}")
-                for k, v in node.properties["kwargs"].items()
-                if not callable(v)}
+            kwargs = {}
+            for k, v in node.properties["kwargs"].items():
+                if callable(v):
+                    # user TLU callables are materialized into tables by
+                    # Server.save (tlu/wop specs); anything else callable
+                    # cannot round-trip a data-only archive — fail at save,
+                    # not with a NoneType error at load
+                    if k == "function":
+                        continue
+                    raise TypeError(
+                        f"node %{node.uid} [{node.name}] kwarg '{k}' is a "
+                        "callable and cannot be serialized; materialize "
+                        "it into data first")
+                kwargs[k] = _encode_value(v, arrays, f"n{ids[node]}_{k}")
+            rec["kwargs"] = kwargs
         nodes.append(rec)
     edges = [[ids[u], ids[v], int(idx)]
              for u, v, idx in graph.graph.edges(data="input_idx")]

@@ -19,7 +19,6 @@ from concrete_tpu.compilation.keys import Keys
 from concrete_tpu.compilation.server import Server
 from concrete_tpu.compilation.specs import ClientSpecs
 from concrete_tpu.compilation.transforms import run_default_transforms
-from concrete_tpu.optimizer import optimize_v0
 from concrete_tpu.tracing import Tracer
 
 
@@ -33,6 +32,10 @@ class FunctionDef:
 
     def trace_and_measure(self, inputset):
         inputset = list(inputset)
+        if not inputset:
+            raise ValueError(
+                f"inputset for module function "
+                f"'{self.function.__name__}' must not be empty")
         graph = Tracer.trace(self.function, self.statuses,
                              sample=inputset[0],
                              name=self.function.__name__)
@@ -70,9 +73,13 @@ class FheFunction:
         self.client.keygen()
         if not hasattr(self, "_norm2"):
             self._norm2 = self.graph.max_norm2()
-        outs = self.server.run(
-            *args, evaluation_keys=self.client.keys.evaluation_for(
-                self.client_specs.message_bits, norm2=self._norm2))
+        eval_keys = self.client.keys.evaluation_for(
+            self.client_specs.message_bits, norm2=self._norm2)
+        wp = self.client_specs.wop_params()
+        if wp is not None:
+            # wide (>8-bit) TLUs need the packing keyswitch key too
+            eval_keys = eval_keys + (self.client.keys.wop_evaluation(wp),)
+        outs = self.server.run(*args, evaluation_keys=eval_keys)
         return outs if len(outs) != 1 else outs[0]
 
     def decrypt(self, *results):
@@ -197,14 +204,61 @@ class ModuleCompiler:
                         node.properties["encoding_width"] = p
             else:
                 assign_encoding_widths(g)
+        # composition soundness: a composable output re-enters as an input,
+        # and the atomic-pattern model assumes inputs start at one fresh
+        # blind-rotate noise — sound for arbitrarily long chains only when
+        # the output carries NO leveled amplification since its last PBS
+        # (reference composition rules require refreshed outputs)
+        for name in sorted(unified):
+            g = graphs[name]
+            manp, _ = g.manp_map()
+            for pos, out in enumerate(g.ordered_outputs):
+                if out.output.is_encrypted and manp.get(out, 1) > 1:
+                    raise ValueError(
+                        f"module function '{name}' output {pos} carries "
+                        f"leveled amplification (norm2^2 = "
+                        f"{manp.get(out)}) since its last bootstrap: "
+                        "composing it would compound noise beyond the "
+                        "parameter budget.  Refresh it (fhe.refresh / a "
+                        "final TLU) or mark the module NotComposable")
+        # pooled per-TLU constraints across every function (the module
+        # shares one keyset): each PBS runs at its own width; >8-bit TLUs
+        # add WoP constraints exactly as the single-function Compiler does
+        from concrete_tpu.compilation.widths import tlu_pattern_split
+        native_patterns: list = []
+        wide_inputs: list = []
+        wop_triples: list = []
+        for g in graphs.values():
+            nat, wide, wop = tlu_pattern_split(g)
+            native_patterns.extend(nat)
+            wide_inputs.extend(wide)
+            wop_triples.extend(wop)
+        p_error = config.p_error or 6.3e-5
+        wop_gadgets = config.forced_wop_parameters
         if config.forced_parameters is not None:
             params = config.forced_parameters
         else:
-            params = optimize_v0(p, norm2=norm2,
-                                 p_error=config.p_error or 6.3e-5,
-                                 security_level=config.security_level)
+            from concrete_tpu.optimizer.v0 import (choose_wop_gadgets,
+                                                   optimize_v0_multi)
+            params = optimize_v0_multi(
+                tuple(native_patterns) or ((p, norm2),), p_error=p_error,
+                security_level=config.security_level,
+                noise_only=tuple(wide_inputs),
+                wop_patterns=tuple(wop_triples))
+            if wop_triples and wop_gadgets is None:
+                nb_max = max(nb for nb, _, _ in wop_triples)
+                out_cons = tuple(sorted({(w, n2)
+                                         for _, w, n2 in wop_triples}))
+                wp = choose_wop_gadgets(params, nb_max, out_cons,
+                                        p_error=p_error)
+                wop_gadgets = (wp.cbs_level, wp.cbs_base_log,
+                               wp.pfks_level, wp.pfks_base_log)
+        if wop_triples and wop_gadgets is None:
+            raise ValueError(
+                "module contains >8-bit table lookups; forced_parameters "
+                "compilation also needs forced_wop_parameters "
+                "(cbs_level, cbs_base_log, pfks_level, pfks_base_log)")
         keys = Keys(params)
-        client0 = None
         functions = {}
         for name, g in graphs.items():
             from concrete_tpu.compilation.widths import (
@@ -220,9 +274,9 @@ class ModuleCompiler:
                 input_widths=[encoding_width(n, p)
                               for n in g.ordered_inputs],
                 output_widths=[output_encoding_width(n, p)
-                               for n in g.ordered_outputs])
+                               for n in g.ordered_outputs],
+                wop_gadgets=wop_gadgets if wop_triples else None)
             client = Client(specs, keys)
-            client0 = client0 or client
             functions[name] = FheFunction(name, g, specs, client)
         return FheModule(functions, keys)
 

@@ -137,9 +137,14 @@ def collect(graph, executor, default_width: int) -> list[Record]:
             emit(KEY_SWITCH, node, size, w_in)
             emit(PBS, node, size, w_in)
         elif name in ("tlu", "univariate", "multivariate"):
+            from concrete_tpu.compilation.widths import \
+                tlu_effective_input_width
             preds_enc = [q for q in preds if enc(q)]
-            w_in = max((width_of(q) for q in preds_enc),
-                       default=default_width)
+            # the width the PBS actually runs at: fused rounding shrinks
+            # the LUT index domain (per_bit_width must show the reduced
+            # cost; the keyset is the same within the mono partition)
+            w_in = tlu_effective_input_width(graph, node, default_width) \
+                if preds_enc else default_width
             spec = getattr(executor, "wop_specs", {}).get(node.uid)
             if spec is not None:
                 # WoP-PBS: nb bit-extract PBS, then a circuit bootstrap

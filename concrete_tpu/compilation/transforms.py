@@ -382,7 +382,11 @@ def chunk_wide_comparisons(graph: Graph, native_bits: int = 8) -> int:
         def extract(src, i):
             shift = c * i
             fn = (lambda s: (lambda v: (np.asarray(v) >> s) & mask))(shift)
-            n2 = Node.generic("univariate", [src.output], vd(shape, c),
+            # the extraction keeps the OPERAND's own shape (the comparison
+            # output shape is the broadcast of both operands; sizing the
+            # per-operand TLUs by it would overcount PBS work)
+            n2 = Node.generic("univariate", [src.output],
+                              vd(src.output.shape, c),
                               lambda v, f=fn: f(v).astype(np.int64),
                               function=fn)
             return add_node(n2, 0, mask, src)

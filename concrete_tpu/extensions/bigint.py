@@ -90,7 +90,6 @@ def radix_mul(a_limbs, b_limbs, limb_bits: int):
     # column-wise accumulation with carry TLUs
     out = []
     carry = None
-    max_col = (n + 1) * (mod - 1)  # bound for the column sums
     for c in range(n):
         s = None
         for term in zero_cols[c]:

@@ -25,7 +25,7 @@ def if_then_else(condition, when_true, when_false):
     Lowered arithmetically: b + c * (a - b); the encrypted multiplication
     becomes two TLUs (EncryptedMulToDoubleTLU).
     """
-    c = Tracer.sanitize(condition) if isinstance(condition, Tracer) else condition
+    c = condition
     a = when_true
     b = when_false
     return b + c * (a - b)

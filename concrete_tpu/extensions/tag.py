@@ -28,8 +28,15 @@ def current_tag() -> str:
 def hint(x, bit_width: int = None, can_store=None):
     """Bit-width hint (reference extensions/hint.py): widen the traced
     value's measured bounds so the compiler allocates at least `bit_width`
-    bits."""
+    bits.  `can_store` accepts a type annotation (fhe.uint8, a tensor
+    annotation, or an Integer dtype) as the reference API does."""
     from concrete_tpu.tracing.tracer import Tracer
+    if can_store is not None and bit_width is None:
+        bit_width = getattr(can_store, "bit_width", None)
+        if not bit_width:
+            raise TypeError(
+                f"can_store must carry a bit_width (e.g. fhe.uint8); "
+                f"got {can_store!r}")
     if not isinstance(x, Tracer) or bit_width is None:
         return x
     lo = 0

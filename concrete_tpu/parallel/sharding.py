@@ -38,8 +38,13 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "batch"
 
 
 def shard_ciphertexts(mesh: Mesh, ct, axis_name: str = "batch"):
-    """Place a ciphertext batch (B, n+1) sharded on its batch axis."""
-    spec = P(axis_name) if ct.ndim >= 1 else P()
+    """Place a ciphertext batch (B, n+1) sharded on its batch axis.
+
+    A single unbatched ciphertext (n+1,) has no batch axis — replicate it
+    (sharding the LWE-coefficient axis would split the mask across
+    devices, failing outright for n+1 not divisible by the device count).
+    """
+    spec = P(axis_name) if ct.ndim >= 2 else P()
     return jax.device_put(ct, NamedSharding(mesh, spec))
 
 

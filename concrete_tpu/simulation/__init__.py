@@ -1,11 +1,22 @@
 """Noise-accurate plaintext simulation.
 
-Reference: lib/Runtime/simulation.cpp (sim_* kernels: plaintext op + Gaussian
-noise drawn from the noise model) and the SimulateTFHE pass.  Simulation runs
-the traced graph on plaintexts while tracking each value's noise variance via
-the same formulas the optimizer uses, sampling Gaussian noise at every
-decision point (TLU index) to reproduce the real error probability —
-no keys, no crypto, so it is fast enough for test sweeps.
+Reference: lib/Runtime/simulation.cpp (sim_* kernels: plaintext op +
+Gaussian noise drawn from the noise model) and the SimulateTFHE pass.
+
+Like the reference runtime, simulation carries a concrete NOISE SAMPLE
+(torus units, float64) alongside every encrypted plaintext and pushes it
+through the leveled ops exactly: ``x + x`` doubles the same sample (4x the
+variance), broadcasts share samples, clear dots contract them with the
+real weights.  Decision points (TLU indices, sign-PBS) add fresh
+keyswitch/modulus-switch samples and may flip exactly as hardware does;
+each bootstrap output gets a fresh blind-rotate (or WoP vertical-packing)
+sample.  No keys, no crypto — fast enough for test sweeps.
+
+Leveled ops are affine in their encrypted operands, so their noise maps
+through the op's own evaluator: ``L(n) = f(n, clears) - f(0, clears)``.
+This needs no per-op noise rules and is exact for every linear lowering
+(add/sub/mul-by-clear/sum/dot/matmul/conv/index/reshape/broadcast/concat/
+assign).
 """
 
 from __future__ import annotations
@@ -16,6 +27,17 @@ from concrete_tpu import params as pp
 from concrete_tpu.representation import Operation
 
 __all__ = ["simulate_graph"]
+
+#: ops whose value passes through physically unchanged (the consumer PBS
+#: implements them), so the noise sample passes through too
+_PASSTHROUGH = ("round_bit_pattern", "truncate_bit_pattern", "hint")
+
+
+def _sim_cache(graph) -> dict:
+    """Per-graph memo for materialized simulation tables (the executor
+    builds its specs once; simulation must not re-vectorize user functions
+    on every simulate() call)."""
+    return graph.__dict__.setdefault("_sim_table_cache", {})
 
 
 def simulate_graph(graph, specs, *inputs, rng=None,
@@ -85,8 +107,61 @@ def simulate_graph(graph, specs, *inputs, rng=None,
         dst = specs.params_for_width(w_out)
         return pp.variance_keyswitch(src.n_big, base, lvl, dst.glwe_std ** 2)
 
+    def sample(var, shape):
+        return rng.normal(0.0, np.sqrt(var), shape) if var > 0 \
+            else np.zeros(shape)
+
+    def pbs_out_noise(node, p_in, w_out, lsbs, br_var, max_native_bits,
+                      shape, signed):
+        """Fresh output-noise sample of one bootstrap: blind-rotate for
+        native TLUs, vertical-packing for WoP (with the fused-rounding
+        reduced extraction count), plus the partition-crossing keyswitch."""
+        p_eff = max(p_in - lsbs, 1)
+        wop_gadgets = wop_gadgets_for(p_in)
+        if p_eff > max_native_bits and wop_gadgets is not None:
+            cbs_l, cbs_b, pfks_l, pfks_b = wop_gadgets
+            nb = p_eff + (1 if signed else 0)
+            var = pp.wop_output_variance(
+                specs.params_for_width(p_in)
+                if hasattr(specs, "params_for_width") else specs.params,
+                nb, cbs_b, cbs_l, pfks_b, pfks_l)
+        else:
+            var = br_var
+        return sample(var + crossing_var(p_in, w_out), shape)
+
     values: dict = {}
-    variances: dict = {}
+    noises: dict = {}   # torus-unit float64 noise samples (0.0 for clear)
+
+    def noise_of(node):
+        n = noises.get(node, 0.0)
+        return n if isinstance(n, np.ndarray) else np.asarray(n, np.float64)
+
+    def affine_noise(node, preds, args):
+        """Noise through a leveled op via its own evaluator:
+        f(noise, clears) - f(0, clears) = the op's linear map applied to
+        the noise samples (exact for every affine lowering)."""
+        nargs, zargs = [], []
+        for q, a in zip(preds, args):
+            if q.output.is_encrypted:
+                n = noise_of(q)
+                n = np.broadcast_to(n, np.shape(a)) if np.shape(a) else n
+                nargs.append(np.asarray(n, dtype=np.float64))
+                zargs.append(np.zeros(np.shape(a)))
+            else:
+                nargs.append(a)
+                zargs.append(a)
+        try:
+            return np.asarray(node(*nargs), dtype=np.float64) \
+                - np.asarray(node(*zargs), dtype=np.float64)
+        except Exception:
+            # non-affine or evaluator incompatible with floats: keep the
+            # loudest operand's sample (conservative magnitude, correlation
+            # lost only for this exotic op)
+            cands = [noise_of(q) for q in preds if q.output.is_encrypted]
+            if not cands:
+                return np.zeros(np.shape(values[node]))
+            return max(cands, key=lambda n: float(np.abs(n).max()
+                                                  if np.size(n) else 0.0))
 
     for node in graph.topological_order():
         name = node.name
@@ -94,18 +169,22 @@ def simulate_graph(graph, specs, *inputs, rng=None,
         if node.operation == Operation.Input:
             pos = next(q for q, n in graph.input_nodes.items() if n is node)
             values[node] = np.asarray(inputs[pos])
-            variances[node] = stages(encoding_width(node, p_default))[0] \
-                if node.output.is_encrypted else 0.0
+            if node.output.is_encrypted:
+                fresh = stages(encoding_width(node, p_default))[0]
+                noises[node] = sample(fresh, values[node].shape)
+            else:
+                noises[node] = 0.0
             continue
         if node.operation == Operation.Constant:
             values[node] = node()
-            variances[node] = 0.0
+            noises[node] = 0.0
             continue
         args = [values[q] for q in preds]
         if name in ("tlu", "univariate"):
             from concrete_tpu.compilation.widths import tlu_fused_lsbs
             x = np.asarray(args[0])
-            # sample the decision noise at the TLU boundary, at the input
+            # decide at the TLU boundary: the carried input sample plus
+            # fresh keyswitch + modulus-switch noise, at the input
             # partition's encoding width (multi-precision mono); fused
             # rounding enlarges the decision step by 2^lsbs
             p_in = encoding_width(preds[0], p_default)
@@ -113,58 +192,54 @@ def simulate_graph(graph, specs, *inputs, rng=None,
             _, br_var, ks_var, ms_var, max_native_bits = stages(p_in)
             lsbs = tlu_fused_lsbs(graph, node)
             step = 2.0 ** -(p_in + 1)   # torus width of one encoded step
-            total_var = variances[preds[0]] + ks_var + ms_var
-            noise = rng.normal(0.0, np.sqrt(total_var), x.shape)
+            noise = (np.broadcast_to(noise_of(preds[0]), x.shape)
+                     + sample(ks_var + ms_var, x.shape))
             quantum = 1 << lsbs
             shifted = x + quantum * np.round(
                 noise / (step * quantum)).astype(np.int64)
             domain = 1 << p_in
             shifted = ((shifted % domain) + domain) % domain
-            if node.inputs[0].dtype.is_signed:
+            signed = node.inputs[0].dtype.is_signed
+            if signed:
                 half = domain // 2
-                shifted = np.where(shifted >= half, shifted - domain, shifted)
+                shifted = np.where(shifted >= half, shifted - domain,
+                                   shifted)
             values[node] = np.asarray(node(shifted))
-            wop_gadgets = wop_gadgets_for(p_in)
-            if max(p_in - lsbs, 1) > max_native_bits \
-                    and wop_gadgets is not None:
-                # wide TLU: output noise is the vertical-packing variance
-                cbs_l, cbs_b, pfks_l, pfks_b = wop_gadgets
-                nb = p_in + (1 if node.inputs[0].dtype.is_signed else 0)
-                variances[node] = pp.wop_output_variance(
-                    specs.params_for_width(p_in)
-                    if hasattr(specs, "params_for_width") else specs.params,
-                    nb, cbs_b, cbs_l, pfks_b, pfks_l)
-            else:
-                variances[node] = br_var
-            variances[node] += crossing_var(p_in, w_out)
+            noises[node] = pbs_out_noise(node, p_in, w_out, lsbs, br_var,
+                                         max_native_bits,
+                                         values[node].shape, signed)
         elif name == "multivariate":
-            # packed TLU: decision noise on the packed index at the packed
-            # width (executor packed_layout semantics); output variance
-            # resets to one blind-rotate like any PBS
+            # packed TLU: the packed index carries each operand's own
+            # sample scaled by its packing offset (correlations exact)
             from concrete_tpu.compilation.executor import (
                 multivariate_raw_table, packed_layout)
-            from concrete_tpu.compilation.widths import packed_width
             preds_enc = [q for q in preds if q.output.is_encrypted]
             p_in = max(encoding_width(q, p_default) for q in preds_enc)
             w_out = encoding_width(node, p_default)
-            _, br_var, ks_var, ms_var, _ = stages(p_in)
-            mins, widths_, offsets = packed_layout(graph, node)
+            _, br_var, ks_var, ms_var, max_native_bits = stages(p_in)
+            cache = _sim_cache(graph)
+            key = ("multivariate", node.uid, p_in)
+            if key not in cache:
+                cache[key] = (packed_layout(graph, node),
+                              multivariate_raw_table(graph, node, p_in))
+            (mins, widths_, offsets), table = cache[key]
             packed = 0
-            var_in = 0.0
+            noise_in = 0.0
             for q, val, mn, off in zip(preds, args, mins, offsets):
                 packed = packed + ((np.asarray(val, dtype=np.int64) - mn)
                                    << off)
-                var_in += variances[q] * float(1 << off) ** 2 \
-                    if q.output.is_encrypted else 0.0
-            table = multivariate_raw_table(graph, node, p_in)
+                if q.output.is_encrypted:
+                    noise_in = noise_in + noise_of(q) * float(1 << off)
             step = 2.0 ** -(p_in + 1)
-            total_var = var_in + ks_var + ms_var
-            noise = rng.normal(0.0, np.sqrt(total_var), np.shape(packed))
+            noise = (np.broadcast_to(noise_in, np.shape(packed))
+                     + sample(ks_var + ms_var, np.shape(packed)))
             shifted = packed + np.round(noise / step).astype(np.int64)
             domain = 1 << p_in
             shifted = ((shifted % domain) + domain) % domain
             values[node] = table[shifted]
-            variances[node] = br_var + crossing_var(p_in, w_out)
+            noises[node] = pbs_out_noise(node, p_in, w_out, 0, br_var,
+                                         max_native_bits,
+                                         np.shape(values[node]), False)
         elif name == "dynamic_tlu":
             # runtime-table lookup: the same decision-noise model as a
             # static TLU, with the table read from the clear operand
@@ -172,10 +247,10 @@ def simulate_graph(graph, specs, *inputs, rng=None,
             x = np.asarray(args[1])
             p_in = encoding_width(preds[1], p_default)
             w_out = encoding_width(node, p_default)
-            _, br_var, ks_var, ms_var, _ = stages(p_in)
+            _, br_var, ks_var, ms_var, max_native_bits = stages(p_in)
             step = 2.0 ** -(p_in + 1)
-            total_var = variances[preds[1]] + ks_var + ms_var
-            noise = rng.normal(0.0, np.sqrt(total_var), x.shape)
+            noise = (np.broadcast_to(noise_of(preds[1]), x.shape)
+                     + sample(ks_var + ms_var, x.shape))
             shifted = x + np.round(noise / step).astype(np.int64)
             domain = 1 << p_in
             shifted = ((shifted % domain) + domain) % domain
@@ -184,7 +259,8 @@ def simulate_graph(graph, specs, *inputs, rng=None,
                 shifted = np.where(shifted >= half, shifted - domain,
                                    shifted)
             values[node] = table[shifted]
-            variances[node] = br_var + crossing_var(p_in, w_out)
+            noises[node] = sample(br_var + crossing_var(p_in, w_out),
+                                  np.shape(values[node]))
         elif name == "extract_bits":
             # lsb-cascade (executor extract_bits lowering): peel bits LSB
             # first with one sign-PBS decision per bit; a flipped decision
@@ -196,77 +272,45 @@ def simulate_graph(graph, specs, *inputs, rng=None,
             _, br_var, ks_var, ms_var, _ = stages(p_in)
             domain = np.int64(1) << np.int64(p_in)
             resid = ((x % domain) + domain) % domain
-            var_in = variances[preds[0]]
+            resid_noise = np.broadcast_to(
+                noise_of(preds[0]), resid.shape).astype(np.float64).copy()
             out = np.zeros_like(resid)
+            out_noise = np.zeros(resid.shape)
             for j_bit in range(max(positions) + 1):
-                # cleaning subtractions add one br noise per previous peel;
-                # shifting the bit to the torus MSB scales noise by
-                # 2^(p_in - 1 - j_bit); sign decision flips past 1/4 torus
-                var_acc = var_in + j_bit * br_var + ks_var + ms_var
+                # the sign decision sees the residual's accumulated sample
+                # plus fresh KS+MS, scaled to the torus MSB
+                dec = resid_noise + sample(ks_var + ms_var, resid.shape)
                 scale = 2.0 ** (p_in - 1 - j_bit)
-                noise = rng.normal(0.0, np.sqrt(var_acc), resid.shape) * scale
                 bit = (((resid >> np.int64(j_bit)) & 1)
-                       ^ (np.abs(noise) > 0.25)).astype(np.int64)
+                       ^ (np.abs(dec * scale) > 0.25)).astype(np.int64)
                 if j_bit in positions:
                     out |= bit << np.int64(positions.index(j_bit))
+                    out_noise = out_noise + sample(br_var, resid.shape)
                 resid = resid - (bit << np.int64(j_bit))
+                # the subtracted bit ciphertext carries one fresh BR noise
+                resid_noise = resid_noise + sample(br_var, resid.shape)
             values[node] = out
-            variances[node] = len(positions) * br_var + crossing_var(
-                p_in, encoding_width(node, p_default))
+            noises[node] = out_noise + sample(
+                crossing_var(p_in, encoding_width(node, p_default)),
+                resid.shape)
         elif name == "trace_message":
             # Tracing dialect analog (lib/Dialect/Tracing): simulation
             # prints the current plaintext, like sim trace_plaintext
             values[node] = args[0]
-            variances[node] = variances[preds[0]]
+            noises[node] = noise_of(preds[0])
             msg = node.properties["kwargs"].get("message", "trace")
             print(f"[trace] {msg}: {np.asarray(args[0])}")
+        elif name in _PASSTHROUGH:
+            # physically the ciphertext is untouched (rounding happens in
+            # the consumer PBS's modulus switch): value rounds, noise rides
+            values[node] = np.asarray(node(*args))
+            noises[node] = noise_of(preds[0])
         else:
             values[node] = np.asarray(node(*args))
-            # propagate variance through leveled ops (MANP-style)
-            if name in ("add", "subtract"):
-                variances[node] = sum(variances[q] for q in preds)
-            elif name == "negative":
-                variances[node] = variances[preds[0]]
-            elif name == "multiply":
-                enc = [q for q in preds if q.output.is_encrypted]
-                clear = [q for q in preds if not q.output.is_encrypted]
-                scale = 1.0
-                for c in clear:
-                    hi = max(abs(np.asarray(values[c]).min()),
-                             abs(np.asarray(values[c]).max()), 1)
-                    scale *= float(hi) ** 2
-                variances[node] = (variances[enc[0]] if enc else 0.0) * scale
-            elif name == "sum":
-                # variance scales by the number of elements actually summed
-                # along the reduced axes, not the whole tensor
-                src = [q for q in preds if q.output.is_encrypted]
-                base = variances[src[0]] if src else 0.0
-                in_size = max(preds[0].output.size, 1)
-                out_size = max(node.output.size, 1)
-                variances[node] = base * (in_size // out_size)
-            elif name in ("matmul", "dot"):
-                # clear-weight contractions amplify by the true squared
-                # 2-norm along the contraction axis (MANP semantics,
-                # MANP.cpp:55), matching graph.max_norm2's orientation
-                src = [q for q in preds if q.output.is_encrypted]
-                base = variances[src[0]] if src else 0.0
-                clear = [q for q in preds if not q.output.is_encrypted]
-                if clear:
-                    w = np.asarray(values[clear[0]], dtype=np.float64)
-                    if w.ndim <= 1:
-                        amp = float((w ** 2).sum())
-                    elif preds[0] is clear[0]:   # w @ ct: contract axis -1
-                        amp = float((w ** 2).sum(axis=-1).max())
-                    else:                        # ct @ w: contract axis 0
-                        amp = float((w ** 2).sum(axis=0).max())
-                    variances[node] = base * max(amp, 1.0)
-                else:
-                    k_len = preds[0].output.shape[-1] \
-                        if preds[0].output.shape else 1
-                    variances[node] = base * max(k_len, 1)
+            if node.output.is_encrypted:
+                noises[node] = affine_noise(node, preds, args)
             else:
-                variances[node] = max((variances[q] for q in preds),
-                                      default=0.0)
+                noises[node] = 0.0
 
         check_overflow(node, values[node])
 

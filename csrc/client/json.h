@@ -68,6 +68,7 @@ class JsonParser {
 
   const std::string &text_;
   size_t pos_ = 0;
+  int depth_ = 0;
 
   [[noreturn]] void fail(const std::string &msg) const {
     throw std::runtime_error("json: " + msg + " at byte " + std::to_string(pos_));
@@ -88,10 +89,13 @@ class JsonParser {
   }
 
   Json value() {
+    // untrusted input: bound the object/array nesting so a crafted
+    // header fails with a runtime_error instead of a stack overflow
+    if (depth_ > 256) fail("nesting too deep");
     skip_ws();
     switch (peek()) {
-      case '{': return object();
-      case '[': return array();
+      case '{': { depth_++; Json v = object(); depth_--; return v; }
+      case '[': { depth_++; Json v = array(); depth_--; return v; }
       case '"': { Json v; v.type = Json::Type::Str; v.str = string(); return v; }
       case 't': literal("true");  { Json v; v.type = Json::Type::Bool; v.boolean = true; return v; }
       case 'f': literal("false"); { Json v; v.type = Json::Type::Bool; v.boolean = false; return v; }

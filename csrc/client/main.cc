@@ -167,8 +167,11 @@ int cmd_encrypt(const Args &a) {
       out.payload.resize(vals.size() * (n + 1) * 8);
       uint64_t *ct = reinterpret_cast<uint64_t *>(out.payload.data());
       for (size_t i = 0; i < vals.size(); i++)
-        lwe_encrypt(rng, sk.data(), n, encode(vals[i], width), s.lwe_std,
-                    ct + i * (n + 1));
+        // fresh inputs encrypt under the BIG (glwe) key at its own
+        // curve-minimal noise (client.py _secret_for): the small
+        // key's much larger lwe_std would drown levelled circuits
+        lwe_encrypt(rng, sk.data(), n, encode(vals[i], width),
+                    s.glwe_std, ct + i * (n + 1));
     }
     std::string path = a.out + "/arg" + std::to_string(pos) + ".ctv";
     out.save(path);
@@ -194,7 +197,14 @@ int cmd_decrypt(const Args &a) {
     TransportValue v = TransportValue::load(a.rest[pos]);
     int width = s.output_width(pos);
     std::vector<int64_t> decoded(g.size());
+    if (v.is_encrypted != g.is_encrypted)
+      die("result " + std::to_string(pos) +
+          " encryption flag does not match the circuit specs");
     if (!v.is_encrypted) {
+      if (v.size() != g.size())
+        die("result " + std::to_string(pos) + " has " +
+            std::to_string(v.size()) + " elements, specs expect " +
+            std::to_string(g.size()));
       const int64_t *p = v.as_i64();
       for (int64_t i = 0; i < g.size(); i++) decoded[i] = p[i];
     } else {

@@ -53,7 +53,10 @@ inline NpyArray parse_npy(const uint8_t *p, uint64_t len) {
   uint8_t major = p[6];
   uint64_t hlen, hoff;
   if (major == 1) { hlen = rd16(p + 8); hoff = 10; }
-  else if (major == 2) { hlen = rd32(p + 8); hoff = 12; }
+  else if (major == 2) {
+    if (len < 12) throw std::runtime_error("npy: truncated header");
+    hlen = rd32(p + 8); hoff = 12;
+  }
   else throw std::runtime_error("npy: unsupported version");
   if (hoff + hlen > len) throw std::runtime_error("npy: truncated header");
   std::string header(reinterpret_cast<const char *>(p + hoff), hlen);

@@ -1106,3 +1106,101 @@ def test_clear_output_from_clear_input():
         if int(a) == 3 and int(b) == 4:
             return
     raise AssertionError((a, b))
+
+
+def test_p_error_accounts_for_norm2():
+    """circuit.p_error uses the measured MANP: a leveled amplification must
+    not report the norm2=1 tail (regression: systematic understatement)."""
+    table = fhe.LookupTable(list(range(4)))
+
+    @fhe.compiler({"x": "encrypted"})
+    def amplified(x):
+        return table[x] * 9 + 0 * table[x]  # norm2 > 1 into the output
+
+    @fhe.compiler({"x": "encrypted"})
+    def plain(x):
+        return table[x]
+
+    c_amp = amplified.compile(range(4), CFG)
+    c_plain = plain.compile(range(4), CFG)
+    assert c_amp.p_error >= c_plain.p_error
+    assert c_amp.p_error == CFG.forced_parameters.p_error(
+        c_amp.client_specs.message_bits, norm2=c_amp.graph.max_norm2())
+
+
+def test_global_p_error_zero_for_levelled_circuit():
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return x + 3
+
+    circuit = f.compile(range(4), CFG)
+    assert circuit.programmable_bootstrap_count == 0
+    assert circuit.global_p_error == 0.0
+
+
+def test_pbs_count_per_width_sums_to_total():
+    """The per-width PBS dict and the total come from one statistics grid
+    (regression: bits/dynamic lookups counted in one but not the other)."""
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return fhe.bits(x)[0] + fhe.bits(x)[2]
+
+    circuit = f.compile(range(8), CFG)
+    per_width = circuit.programmable_bootstrap_count_per_bit_width
+    assert sum(per_width.values()) == circuit.programmable_bootstrap_count
+    assert circuit.programmable_bootstrap_count > 0
+
+
+def test_clear_argument_validation():
+    @fhe.compiler({"x": "encrypted", "c": "clear"})
+    def f(x, c):
+        return x + c
+
+    circuit = f.compile([(1, 1), (3, 3)], CFG)
+    circuit.keygen()
+    with pytest.raises(ValueError, match="shape"):
+        circuit.encrypt(2, np.array([1, 2, 3]))
+    with pytest.raises(ValueError, match="range"):
+        circuit.encrypt(2, 100)
+
+
+def test_decrypt_without_keys_raises():
+    from concrete_tpu.compilation.client import Client
+    from concrete_tpu.compilation.keys import Keys
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return x + 1
+
+    circuit = f.compile(range(4), CFG)
+    circuit.keygen()
+    enc = circuit.encrypt(2)
+    out = circuit.run(enc)
+    fresh_client = Client(circuit.client_specs,
+                          Keys(circuit.client_specs))
+    with pytest.raises(RuntimeError, match="keys"):
+        fresh_client.decrypt(out[0])
+
+
+def test_chunked_comparison_broadcast_scalar():
+    """Chunked wide comparison between a tensor and a scalar: the
+    per-operand extraction TLUs keep each operand's own shape."""
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def f(x, y):
+        return x < y
+
+    samples = [(np.array([0, 100, 127]), 64),
+               (np.array([127, 5, 63]), 100)]
+    circuit = f.compile(samples, fhe.Configuration(
+        forced_parameters=TEST_PARAMS_TINY_WIDE))
+    from concrete_tpu.compilation import statistics as st
+    recs = circuit._statistic_records
+    assert st.total(recs, st.WOP_PBS) == 0, "expected chunked, not WoP"
+    x, y = np.array([3, 100, 64]), 64
+    want = (x < y).astype(int)
+    assert np.array_equal(np.asarray(circuit.graph(x, y)), want)
+    for _ in range(4):
+        got = np.asarray(circuit.encrypt_run_decrypt(x, y))
+        if np.array_equal(got, want):
+            return
+    raise AssertionError((got, want))

@@ -117,3 +117,55 @@ def test_signed_output_roundtrip():
     circuit.keygen(seed=4)
     _retry(lambda: circuit.encrypt_run_decrypt(0), -3)
     _retry(lambda: circuit.encrypt_run_decrypt(5), 2)
+
+
+def test_module_wide_tlu_compiles_and_runs():
+    """Modules support >8-bit TLUs: the pooled optimizer picks WoP gadgets
+    and run ships the packing keyswitch key (regression: the module path
+    used the legacy single-pattern optimizer and raised at compile)."""
+    wide_table = fhe.LookupTable([(3 * i + 1) % 8 for i in range(1 << 9)])
+
+    @fhe.module()
+    class Wide:
+        @fhe.function({"x": "encrypted"})
+        def lut(x):
+            return wide_table[x]
+
+    from concrete_tpu.params import TEST_PARAMS_TINY_WIDE
+    mod = Wide.compile(
+        {"lut": [0, 200, 511]},
+        fhe.Configuration(forced_parameters=TEST_PARAMS_TINY_WIDE,
+                          forced_wop_parameters=(3, 6, 8, 4)))
+    for _ in range(4):
+        got = mod.lut.encrypt_run_decrypt(200)
+        if int(got) == (3 * 200 + 1) % 8:
+            return
+    raise AssertionError(got)
+
+
+def test_module_composition_requires_refreshed_outputs():
+    """A composable output carrying leveled amplification would compound
+    noise without bound when re-fed; compile must reject it with guidance
+    (reference composition rules require refreshed outputs)."""
+    @fhe.module()
+    class Amplifying:
+        @fhe.function({"x": "encrypted"})
+        def double(x):
+            return x + x
+
+    with pytest.raises(ValueError, match="refresh|Composable"):
+        Amplifying.compile(
+            {"double": list(range(4))},
+            fhe.Configuration(forced_parameters=TEST_PARAMS_TINY))
+
+
+def test_module_empty_inputset_clear_error():
+    @fhe.module()
+    class M:
+        @fhe.function({"x": "encrypted"})
+        def f(x):
+            return x + 1
+
+    with pytest.raises(ValueError, match="must not be empty"):
+        M.compile({"f": []},
+                  fhe.Configuration(forced_parameters=TEST_PARAMS_TINY))

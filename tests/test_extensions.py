@@ -466,3 +466,17 @@ def test_auto_rounder_static_adjust():
     fhe.AutoRounder.adjust(f, list(range(22)))
     # max observed is 31 -> 5 bits -> remove 3 to keep 2 msbs
     assert rounder.lsbs_to_remove == 3
+
+
+def test_hint_can_store():
+    """fhe.hint(x, can_store=fhe.uint6) widens the allocation like
+    bit_width=6 (regression: can_store was accepted and ignored)."""
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return fhe.hint(x + 1, can_store=fhe.uint6) + 0
+
+    circuit = f.compile(range(3), CFG)
+    widths = [circuit.client_specs.output_width(0)]
+    assert max(widths) >= 6, widths
+    with pytest.raises(TypeError, match="bit_width"):
+        fhe.hint(1, can_store="not-a-type")

@@ -96,3 +96,40 @@ def test_detect_overflow_in_simulation():
         warnings.simplefilter("always")
         circuit.simulate(1)
     assert not any("overflow" in str(w.message) for w in caught)
+
+
+def test_simulation_noise_correlation():
+    """x + x doubles the SAME noise sample (4x variance) while x + y sums
+    independent samples (2x): the correlated circuit must flip decisions
+    measurably more often (regression: variance propagation treated
+    correlated operands as independent, giving both 2x)."""
+    import dataclasses
+
+    from concrete_tpu.simulation import simulate_graph
+
+    # inflate the fresh-input noise so it dominates the decision margin
+    params = dataclasses.replace(TEST_PARAMS_TINY, glwe_std=0.03)
+    cfg = fhe.Configuration(forced_parameters=params)
+    table = fhe.LookupTable([0, 1, 2, 3, 0, 1, 2, 3])
+
+    @fhe.compiler({"x": "encrypted"})
+    def correlated(x):
+        return table[x + x]
+
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def independent(x, y):
+        return table[x + y]
+
+    c1 = correlated.compile([0, 1, 2, 3], cfg)
+    c2 = independent.compile([(i, j) for i in range(4) for j in range(4)],
+                             cfg)
+    rng = np.random.default_rng(11)
+    n = 600
+    flips1 = sum(
+        int(simulate_graph(c1.graph, c1.client_specs, 1, rng=rng)) != 2
+        for _ in range(n))
+    flips2 = sum(
+        int(simulate_graph(c2.graph, c2.client_specs, 1, 1, rng=rng)) != 2
+        for _ in range(n))
+    # std 0.06 vs 0.0424 against a 0.0625 margin: ~0.30 vs ~0.14 expected
+    assert flips1 > flips2 + n * 0.05, (flips1, flips2)
