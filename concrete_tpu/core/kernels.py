@@ -345,6 +345,12 @@ def _use_pallas_default() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+#: batches at or below this size take the latency-mode blind rotate (band
+#: stacks built from the tiny accumulator digits instead of the BSK step).
+LATENCY_BATCH_MAX = int(_os.environ.get("CONCRETE_TPU_LATENCY_BATCH_MAX",
+                                        "4"))
+
+
 def blind_rotate(ct_small, bsk: LimbBSK, lut_poly, params: CryptoParams,
                  use_pallas: bool = None):
     """Batched blind rotation: (B, n+1) u64, LUT poly (N,) u64 ->
@@ -355,6 +361,8 @@ def blind_rotate(ct_small, bsk: LimbBSK, lut_poly, params: CryptoParams,
     accumulator in (lo, hi) planes across the scan.  Default: on for TPU
     backends, off for CPU (Pallas CPU needs interpret mode).
     """
+    if ct_small.shape[0] <= LATENCY_BATCH_MAX:
+        return _blind_rotate_xla_latency(ct_small, bsk, lut_poly, params)
     if use_pallas is None:
         use_pallas = _use_pallas_default()
     if use_pallas:
@@ -420,6 +428,69 @@ def _blind_rotate_pallas(ct_small, bsk: LimbBSK, lut_poly,
 
     (lo, hi), _ = lax.scan(step, (lo0, hi0), (a_t.T, bsk.planes))
     return ps.merge_u64(lo, hi).reshape(b_ct, kp1, n)
+
+
+def _blind_rotate_xla_latency(ct_small, bsk: LimbBSK, lut_poly,
+                              params: CryptoParams):
+    """Latency-mode blind rotate for tiny batches (B <= LATENCY_BATCH_MAX).
+
+    The throughput paths Toeplitz-ify the *BSK* step (constant, large):
+    per scan step they materialize ~Cin*N*N bytes of band stacks, which at
+    B=1 is ~10x the useful traffic and sets a ~1 s single-PBS floor.  Here
+    the roles are swapped — negacyclic convolution is symmetric — so the
+    band stacks are built from the *rotated-accumulator digits* (tiny:
+    Cin x N per ciphertext) and the BSK step becomes the matmul LHS, read
+    once per step at its raw size.  Per-step HBM traffic drops from
+    ~85 MB to ~B x 10 MB at N=1024 params.
+
+    Bit-identical to _blind_rotate_xla (tests/test_kernels.py).
+    """
+    b_ct = ct_small.shape[0]
+    n = params.polynomial_size
+    k = params.glwe_dimension
+    l = params.pbs_level
+    kp1 = k + 1
+    switched = modulus_switch(ct_small, params.log2_polynomial_size)
+    a_t = switched[:, :-1]
+    b_t = switched[:, -1]
+    body0 = monomial_mul_rolls(
+        _lut_rows(lut_poly, b_ct, n), (2 * n - b_t) % (2 * n))
+    acc0 = jnp.zeros((b_ct, kp1, n), dtype=U64).at[:, k, :].set(
+        body0[:, 0, :])
+
+    a_limbs_n = lb.num_digit_limbs(params.pbs_base_log)
+    block = min(128, n)
+    keep = 8 - bsk.truncate_limbs
+
+    def step(acc, xs):
+        a_j, w_vv = xs                       # (B,), (Cin, k+1, S, 2N-1)
+        rot = monomial_mul_rolls(acc, a_j)
+        diff = rot - acc
+        digits = decompose(diff, params.pbs_base_log, l)     # (B,k+1,N,l)
+        d = jnp.transpose(digits, (0, 3, 1, 2)).reshape(
+            b_ct, l * kp1, n)                                # Cin=lev*(k+1)+r
+        # negacyclic Toeplitz generator of the digits: d_ext[N-1+y] = d[y]
+        # for y >= 0 and -d[N+y] for y < 0 (same construction as pack_bsk,
+        # but on signed i32 digits, so negation precedes the limb split)
+        ext_d = jnp.concatenate([-d[..., 1:], d], axis=-1)   # (B,Cin,2N-1)
+        d_limbs = lb.i32_digits_to_balanced_i8(ext_d, a_limbs_n)
+        vv_d = jnp.transpose(d_limbs, (1, 0, 3, 2))          # (Cin,B,A,2N-1)
+        # BSK raw values w[j] = vv[N-1+j]; lhs_list[s] = limb-s plane laid
+        # out (k+1, Cin*N) so the contraction runs over (cin, j)
+        w_raw = w_vv[:, :, :, n - 1:]                        # (Cin,k+1,S,N)
+        s_keep = w_raw.shape[2]
+        lhs_list = [
+            jnp.transpose(w_raw[:, :, s, :], (1, 0, 2)).reshape(kp1, -1)
+            for s in range(s_keep)]
+        planes = negacyclic_banded_matmul_planes(lhs_list, vv_d, block)
+        # (k+1, B, s+a planes, N); plane weights 2^(8*(plane + truncation))
+        planes = jnp.transpose(planes, (1, 0, 2, 3))[:, :, :keep, :]
+        ext = lb.recombine_i32_planes_to_u64(
+            planes, axis=-2, limb_offset=bsk.truncate_limbs)
+        return acc + ext, None
+
+    acc, _ = lax.scan(step, acc0, (a_t.T, bsk.planes))
+    return acc
 
 
 def _blind_rotate_xla(ct_small, bsk: LimbBSK, lut_poly, params: CryptoParams):

@@ -183,9 +183,18 @@ _SBIT = 1 << 31
 def _lt_u32(a, b):
     """Unsigned a < b via the sign-flip trick: Mosaic's comparison
     lowering is only trusted for SIGNED i32, so flip the sign bit and
-    compare signed (x ^ 2^31 maps u32 order onto i32 order)."""
-    ai = jax.lax.bitcast_convert_type(a ^ U32(_SBIT), I32)
-    bi = jax.lax.bitcast_convert_type(b ^ U32(_SBIT), I32)
+    compare signed (x ^ 2^31 maps u32 order onto i32 order).
+
+    Scalar operands (e.g. a modulus constant) are broadcast to the other
+    side's shape first: Mosaic's `tpu.bitcast` accepts vectors only.
+    """
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    ai = jax.lax.bitcast_convert_type(
+        jnp.broadcast_to(a, shape) ^ U32(_SBIT), I32)
+    bi = jax.lax.bitcast_convert_type(
+        jnp.broadcast_to(b, shape) ^ U32(_SBIT), I32)
     return ai < bi
 
 

@@ -174,3 +174,43 @@ def test_pbs_signed_matches_oracle(keys):
     got = np.asarray(K.pbs_batch(jnp.asarray(ct), ksk, bsk,
                                  jnp.asarray(lut_poly), P, p, signed=True))
     assert np.array_equal(got, want)
+
+
+def test_latency_blind_rotate_matches_throughput_path(keys):
+    """The small-batch (latency-mode) blind rotate is bit-identical to the
+    throughput path at full BSK precision, for every batch size it serves."""
+    rng, sk, server = keys
+    p = 3
+    lut = np.array([(3 * v + 1) % 8 for v in range(8)], dtype=np.uint64)
+    ksk = K.pack_ksk(server.ksk, P)
+    bsk = K.pack_bsk(server.bsk, P)
+    lut_poly = jnp.asarray(ref.encode_expand_lut(lut, P.polynomial_size, p))
+    for b in (1, 2, 4):
+        msgs = np.arange(b) % 8
+        ct = ref.lwe_encrypt(rng, sk.lwe_big, ref.encode(msgs, p),
+                             P.lwe_std / 256)
+        ct_s = K.keyswitch(jnp.asarray(ct), ksk)
+        got = np.asarray(K._blind_rotate_xla_latency(ct_s, bsk, lut_poly, P))
+        want = np.asarray(K._blind_rotate_xla(ct_s, bsk, lut_poly, P))
+        assert np.array_equal(got, want), b
+
+
+def test_latency_blind_rotate_truncated_bsk_correct(keys):
+    """Under BSK limb truncation the latency path is statistically (not
+    bit-) identical: wrap terms apply -digits x trunc(w) instead of
+    digits x trunc(-w); the dropped-limb error distribution is the same.
+    Decrypted outputs must stay correct."""
+    rng, sk, server = keys
+    p = 3
+    lut = np.array([(3 * v + 1) % 8 for v in range(8)], dtype=np.uint64)
+    ksk = K.pack_ksk(server.ksk, P)
+    bsk = K.pack_bsk(server.bsk, P, truncate_limbs=2)
+    lut_poly = jnp.asarray(ref.encode_expand_lut(lut, P.polynomial_size, p))
+    msgs = np.arange(4) % 8
+    ct = ref.lwe_encrypt(rng, sk.lwe_big, ref.encode(msgs, p),
+                         P.lwe_std / 256)
+    ct_s = K.keyswitch(jnp.asarray(ct), ksk)
+    acc = K._blind_rotate_xla_latency(ct_s, bsk, lut_poly, P)
+    out = np.asarray(K.sample_extract(acc, 0))
+    dec = ref.decode(ref.lwe_decrypt(sk.lwe_big, out), p)
+    assert np.array_equal(dec, (3 * msgs + 1) % 8)

@@ -118,7 +118,11 @@ def test_sha1_simulation_matches_hashlib():
     from concrete_tpu.models import Sha1
 
     sha = Sha1()
-    sha.compile()
+    # one flipped TLU breaks the whole hash, and a digest runs ~10k TLUs:
+    # at the default p_error (6.3e-5) a failure per digest is *expected*.
+    # Budget the error circuit-wide instead so the test is deterministic
+    # in practice (expected failures per digest ~1e-4).
+    sha.compile(fhe.Configuration(p_error=1e-8))
     for message in (b"abc", b"x" * 77):  # 77 bytes forces two chunks
         assert sha.hexdigest(message) == hashlib.sha1(message).hexdigest()
 
