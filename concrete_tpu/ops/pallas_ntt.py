@@ -204,6 +204,14 @@ def _shr16(x):
     return (x >> U32(16)) & U32(0xFFFF)
 
 
+def _shl16(x):
+    """x << 16 mod 2^32 for u32 — as a multiply: Mosaic's vector
+    shift-left-by-16 miscompiles on in-kernel i32/u32 chains (isolated on
+    hardware by tools/probe_shl_variants.py: every `<< 16` formulation
+    returns 0 on ~0.7% of lanes; `* 2^16` is exact)."""
+    return x * U32(1 << 16)
+
+
 def _mul_pair(a, b):
     """Exact u32 x u32 -> (hi, lo) via 16-bit partial products."""
     a0 = a & U32(0xFFFF)
@@ -214,9 +222,9 @@ def _mul_pair(a, b):
     m1 = a0 * b1
     mid = m1 + a1 * b0
     mc = _lt_u32(mid, m1).astype(U32)         # overflow at weight 2^48
-    lo2 = lo + (mid << U32(16))
+    lo2 = lo + _shl16(mid)
     c2 = _lt_u32(lo2, lo).astype(U32)
-    hi = a1 * b1 + _shr16(mid) + (mc << U32(16)) + c2
+    hi = a1 * b1 + _shr16(mid) + _shl16(mc) + c2
     return hi, lo2
 
 
@@ -278,7 +286,7 @@ def _combine4(planes, p: int, p_neg_inv: int, kappa: int):
         + (planes[:, 3 * l_dim:] << I32(8))
     u0 = jax.lax.bitcast_convert_type(g0, U32) ^ U32(1 << 31)  # g0 + 2^31
     u1 = jax.lax.bitcast_convert_type(g1, U32) ^ U32(1 << 31)
-    lo = u0 + (u1 << U32(16))
+    lo = u0 + _shl16(u1)
     c = _lt_u32(lo, u0).astype(U32)
     hi = _shr16(u1) + c                       # value = true + 2^31 + 2^47
     y = _redc(hi, lo, p, p_neg_inv)
@@ -345,6 +353,13 @@ def _pick_rows(m: int, want: int) -> int:
     return r
 
 
+def _rows_for_stage1(m: int, n: int) -> int:
+    """Row block for the stage-1/inv-2 kernels under the 16 MB scoped-VMEM
+    cap: ~36n B live per row (in + xt copy + i8 limbs + i32 planes + out)
+    plus double buffering; budget ~4 MB of rows."""
+    return _pick_rows(m, max(8, (4 << 20) // (36 * n)))
+
+
 def ntt_fwd_pallas(digits_i32, plan: PallasPlan, interpret=None):
     """(M, N) i32 gadget digits (|d| < 2^30) -> (M, N) u32 spectrum
     [k1-major, k2-minor] mod plan.p."""
@@ -353,7 +368,7 @@ def ntt_fwd_pallas(digits_i32, plan: PallasPlan, interpret=None):
     m, n = digits_i32.shape
     n1 = plan.n1
     x3 = digits_i32.reshape(m, n1, N2)
-    r1 = _pick_rows(m, 64)
+    r1 = _rows_for_stage1(m, n)
     y = pl.pallas_call(
         functools.partial(_k_fwd1, plan),
         grid=(m // r1,),
@@ -395,7 +410,7 @@ def ntt_inv_pallas(spec_u32, plan: PallasPlan, interpret=None):
     m, n = spec_u32.shape
     n1 = plan.n1
     t = _stage2(spec_u32.reshape(m, n1, N2), plan.v2i, plan, interpret)
-    r1 = _pick_rows(m, 64)
+    r1 = _rows_for_stage1(m, n)
     out = pl.pallas_call(
         functools.partial(_k_inv2, plan),
         grid=(m // r1,),
@@ -433,7 +448,9 @@ def pointwise_pallas(d_hat, spec_mont, plan: PallasPlan, interpret=None):
         interpret = not _on_tpu()
     b, cin, n = d_hat.shape
     k1p = spec_mont.shape[1]
-    rb = _pick_rows(b, max(1, (1 << 21) // (cin * n)))
+    # scoped-VMEM cap: ~(cin + k1p) * 6 * 4n B live per batch row
+    # (in/out blocks double-buffered + Montgomery temporaries)
+    rb = _pick_rows(b, max(1, (12 << 20) // (4 * n * (cin + k1p) * 6)))
     return pl.pallas_call(
         functools.partial(_k_pointwise, plan, cin, k1p),
         grid=(b // rb,),
@@ -505,7 +522,7 @@ def _k_garner(primes: tuple, p_neg_invs: tuple, res_refs, lo_ref, hi_ref):
     gt = None
     for j in range(n):
         h = U32(h_digits[j])
-        gt_j = digits[j] > h
+        gt_j = _lt_u32(h, digits[j])          # unsigned >, sign-flip trick
         eq_j = digits[j] == h
         gt = gt_j if gt is None else gt_j | (eq_j & gt)
     g = gt.astype(U32)
@@ -522,7 +539,9 @@ def garner_pallas(residues: list, primes: tuple, interpret=None):
         interpret = not _on_tpu()
     m, n = residues[0].shape
     p_neg_invs = tuple((-pow(p, -1, 1 << 32)) % (1 << 32) for p in primes)
-    rm = _pick_rows(m, max(1, (1 << 20) // n))
+    # scoped-VMEM cap: P input blocks + 2 outputs (double-buffered) plus
+    # ~3P Garner temporaries, each 4n B per row
+    rm = _pick_rows(m, max(1, (12 << 20) // (4 * n * (4 * len(primes) + 4))))
 
     def kernel(*refs):
         _k_garner(primes, p_neg_invs, refs[:len(primes)], refs[-2], refs[-1])

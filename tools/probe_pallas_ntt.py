@@ -13,7 +13,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from concrete_tpu import params as pp
-from concrete_tpu.core import ntt as ntt_host
 from concrete_tpu.core import ntt_tpu as nt
 from concrete_tpu.ops import pallas_ntt as pn
 
@@ -33,6 +32,9 @@ def sel(tag):
     return which is None or tag in which
 
 
+_FAILED = []
+
+
 def cmp(tag, hw, it):
     hw = np.asarray(hw)
     it = np.asarray(it)
@@ -43,6 +45,7 @@ def cmp(tag, hw, it):
     i = tuple(bad[0])
     print(f"{tag}: MISMATCH {bad.shape[0]}/{hw.size} first at {i}: "
           f"hw={hw[i]} interp={it[i]}", flush=True)
+    _FAILED.append(tag)
     return False
 
 
@@ -67,7 +70,7 @@ if sel("a"):
         (x3, plan.w1f))
     y_hw = f(interpret=False)
     y_it = f(interpret=True)
-    ok = cmp("A fwd-stage1", y_hw, y_it)
+    cmp("A fwd-stage1", y_hw, y_it)
 
 # ---- stage B: stage-2 kernel alone (on interpret stage-1 output) ----------
 if sel("b"):
@@ -87,22 +90,26 @@ if sel("b"):
 x2 = digits[:, :n1]  # (M, n1) i32 small
 
 
-def mk1(body, x, out_dtype, out_shape=None):
-    """Single-block kernel: o[...] = body(x_ref[...])."""
+def mk1(body, x, out_dtype, out_shape=None, *extra):
+    """Single-block kernel: o[...] = body(x_ref[...], *extra_refs[...]).
+    Extra operands are passed as real kernel inputs (pallas rejects
+    captured array constants)."""
     out_shape = out_shape or x.shape
+    args = (x,) + extra
 
-    def k(x_ref, o_ref):
-        o_ref[...] = body(x_ref[...])
+    def k(*refs):
+        refs[-1][...] = body(*[r[...] for r in refs[:-1]])
 
     def f(interpret):
         return pl.pallas_call(
             k, grid=(1,),
-            in_specs=[pl.BlockSpec(x.shape,
-                                   lambda i: (_I0,) * len(x.shape))],
+            in_specs=[pl.BlockSpec(a.shape, lambda i, _n=len(a.shape):
+                                   (_I0,) * _n) for a in args],
             out_specs=pl.BlockSpec(out_shape,
-                                   lambda i: (_I0,) * len(out_shape)),
+                                   lambda i, _n=len(out_shape):
+                                   (_I0,) * _n),
             out_shape=jax.ShapeDtypeStruct(out_shape, out_dtype),
-            interpret=interpret)(x)
+            interpret=interpret)(*args)
     return f
 
 
@@ -121,22 +128,27 @@ if sel("swap"):
     cmp("swapaxes+reshape", f(False), f(True))
 
 if sel("mm"):
-    xt = jnp.asarray(digits.reshape(M * pn.N2, n1) % 251,
-                     dtype=jnp.int32) - 125
-    limb_host = np.asarray(
-        mk1(pn._limbs4_i32, xt, jnp.int8, (M * pn.N2, 4 * n1))(True))
-    li = jnp.asarray(limb_host)
-
-    def body(v):
-        return pn._matmul_planes(v, plan.w1f)
-    f = mk1(body, li, jnp.int32, (M * pn.N2, 4 * n1))
-    cmp("matmul_planes", f(False), f(True))
+    # production-range inputs: the same +-2^21 gadget digits stage A uses
+    # (4 active limbs) — a small-range probe would mask magnitude-dependent
+    # MXU divergence.  Keep the small-range case as a separate tag.
+    for tag, xt in [("matmul_planes[prod]",
+                     jnp.asarray(digits.reshape(M * pn.N2, n1))),
+                    ("matmul_planes[small]",
+                     jnp.asarray(digits.reshape(M * pn.N2, n1) % 251,
+                                 dtype=jnp.int32) - 125)]:
+        limb_host = np.asarray(
+            mk1(pn._limbs4_i32, xt, jnp.int8, (M * pn.N2, 4 * n1))(True))
+        li = jnp.asarray(limb_host)
+        f = mk1(pn._matmul_planes, li, jnp.int32, (M * pn.N2, 4 * n1),
+                plan.w1f)
+        cmp(tag, f(False), f(True))
 
 if sel("comb"):
     xt = jnp.asarray(digits.reshape(M * pn.N2, n1))
     limb_it = mk1(pn._limbs4_i32, xt, jnp.int8, (M * pn.N2, 4 * n1))(True)
-    planes = np.asarray(jax.jit(pn._matmul_planes, backend="cpu")(
-        np.asarray(limb_it), np.asarray(plan.w1f)))
+    # plain integer matmul — numpy is exact here, no jit needed
+    planes = np.asarray(limb_it, dtype=np.int32) @ np.asarray(
+        plan.w1f, dtype=np.int32)
     pj = jnp.asarray(planes)
 
     def body(v):
@@ -173,9 +185,9 @@ if sel("redc"):
     b = jnp.asarray((rng.integers(0, p, (8, 256), dtype=np.uint64)
                      * pow(2, 32, p) % p).astype(np.uint32))
 
-    def body(v):
-        return pn._mont_mul(v, b, plan.p, plan.p_neg_inv)
-    f = mk1(body, a, jnp.uint32)
+    def body(av, bv):
+        return pn._mont_mul(av, bv, plan.p, plan.p_neg_inv)
+    f = mk1(body, a, jnp.uint32, None, b)
     cmp("mont_mul", f(False), f(True))
 
 if sel("center"):
@@ -187,4 +199,6 @@ if sel("center"):
     f = mk1(body, a, jnp.int32)
     cmp("center_residues", f(False), f(True))
 
-print("probe done", flush=True)
+print("probe done" + (f" ({len(_FAILED)} FAILED: {_FAILED})"
+                      if _FAILED else ""), flush=True)
+sys.exit(1 if _FAILED else 0)
