@@ -57,7 +57,11 @@ class Circuit:
             norm2 = specs.partition_norm2 or {}
             ksk, bsk = {}, {}
             for w in specs.partitions:
-                k, b = mk.evaluation_for_width(w, norm2=norm2.get(w, 1))
+                if w in (specs.partition_wop_gadgets or {}):
+                    # untruncated BSK for WoP partitions (see mono path)
+                    k, b = mk.keys_for(w).evaluation_for(None)
+                else:
+                    k, b = mk.evaluation_for_width(w, norm2=norm2.get(w, 1))
                 ksk[w], bsk[w] = k, b
             pfpksk = {w: mk.wop_evaluation_for(w, specs.wop_params(w))
                       for w in (specs.partition_wop_gadgets or {})}
@@ -66,9 +70,16 @@ class Circuit:
             return (ksk, bsk, pfpksk or None, fks)
         if not hasattr(self, "_norm2"):
             self._norm2 = self.graph.max_norm2()
-        eval_keys = self.keys.evaluation_for(
-            specs.message_bits, norm2=self._norm2)
         wp = specs.wop_params()
+        # WoP circuits must use the UNTRUNCATED BSK: the noise-budget limb
+        # truncation is sized for one message_bits-wide PBS, but the WoP
+        # chain's circuit bootstrap consumes blind-rotate noise at scale
+        # 2^(64 - cbs_level*cbs_base) and choose_wop_gadgets validated its
+        # gadgets against full-precision BR noise (a truncated BSK breaks
+        # narrow-width CRT TLUs outright: tests/test_crt_tlu.py).
+        eval_keys = self.keys.evaluation_for(
+            None if wp is not None else specs.message_bits,
+            norm2=self._norm2)
         if wp is not None:
             eval_keys = eval_keys + (self.keys.wop_evaluation(wp),)
         return eval_keys

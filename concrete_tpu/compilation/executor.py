@@ -60,6 +60,44 @@ class WopTluSpec:
     offsets: list = None
 
 
+@dataclasses.dataclass
+class CrtTluSpec:
+    """One output residue of a CRT TLU (fhe.crt_tlu), lowered to WoP-PBS:
+    shared per-residue bit extraction + circuit bootstrap, one vertical
+    packing per output residue.  Reference: memref_wop_pbs_crt_buffer
+    (wrappers.cpp:855-998)."""
+    node_uid: int
+    table: np.ndarray         # (2^nb,) raw entries for THIS output residue
+    nb_bits: int              # total bits over all residue blocks
+    delta_log: int            # unused (per-block deltas); stats compat
+    out_bits: int             # this residue's assigned encoding width
+    moduli: tuple = None
+    block_bits: tuple = None    # index bits per residue block
+    block_widths: tuple = None  # actual encoding width per residue block
+    out_index: int = 0
+    mins: list = None         # WopTluSpec-compat (unused)
+    offsets: list = None
+
+
+def _materialize_crt_tlu(node: Node, p_out: int,
+                         block_widths: tuple) -> CrtTluSpec:
+    """`block_widths[j]` is residue j's ASSIGNED encoding width — the index
+    bits per block are min(ceil(log2 m_j), width): a residue can't exceed
+    its encoding (measured bounds), and values above m_j-1 are unreachable.
+    The output residue is encoded at the node's assigned width `p_out`."""
+    from concrete_tpu.core.wop import crt_block_bits, crt_lut_tables
+    kw = node.properties["kwargs"]
+    moduli = tuple(kw["moduli"])
+    j = int(kw["out_index"])
+    bits = tuple(min(nb, w) for nb, w in
+                 zip(crt_block_bits(moduli), block_widths))
+    luts = crt_lut_tables(kw["table"], moduli, bits=bits)
+    return CrtTluSpec(node_uid=node.uid, table=luts[j],
+                      nb_bits=sum(bits), delta_log=0, out_bits=p_out,
+                      moduli=moduli, block_bits=bits,
+                      block_widths=tuple(block_widths), out_index=j)
+
+
 def _materialize_wop_table(node: Node, p_in: int, p_out: int,
                            lsbs: int = 0) -> WopTluSpec:
     """Build the bit-indexed table for a wide TLU.
@@ -299,6 +337,14 @@ class GraphExecutor:
                         _materialize_multivariate(
                             graph, node, p_in, self.width_of(node),
                             self.params_for_width(p_in))
+            elif node.name == "crt_tlu":
+                preds = [q for q in graph.ordered_preds_of(node)
+                         if q.output.is_encrypted]
+                p_in = max(self.width_of(q) for q in preds)
+                self._require_wop(node, p_in)
+                self.wop_specs[node.uid] = _materialize_crt_tlu(
+                    node, self.width_of(node),
+                    tuple(self.width_of(q) for q in preds))
             elif node.name == "dynamic_tlu":
                 preds = graph.ordered_preds_of(node)
                 p_in = self.width_of(preds[1])
@@ -395,6 +441,9 @@ class GraphExecutor:
         """
         graph = self.graph
         values: dict[Node, object] = {}
+        # shared extraction + circuit bootstrap across the sibling output
+        # residues of one fhe.crt_tlu (keyed by the residue input nodes)
+        crt_ggsw_cache: dict[tuple, object] = {}
 
         def keys_for(w: int):
             if isinstance(ksk, dict):
@@ -565,6 +614,37 @@ class GraphExecutor:
                     out = ct.sum(axis=tuple(a if a >= 0 else a - 1
                                             for a in axes))
                 values[node] = out
+            elif name == "crt_tlu":
+                from concrete_tpu.core import kernels_wop as kw_mod
+                spec = self.wop_specs[node.uid]
+                w_in = max(self.width_of(q) for q in preds)
+                kkey, bkey = keys_for(w_in)
+                wp = self.wop_params_for(w_in)
+                cache_key = tuple(pr.uid for pr in preds)
+                if cache_key not in crt_ggsw_cache:
+                    chunks = []
+                    for j in reversed(range(len(spec.moduli))):
+                        flat = args[j].reshape((-1, args[j].shape[-1]))
+                        # LSB of residue j sits at 63 - (its actual
+                        # encoding width); index bits per block were
+                        # clamped to that width at materialize time
+                        chunks.append(kw_mod.extract_bits_batch(
+                            flat, spec.block_bits[j],
+                            63 - spec.block_widths[j], kkey, bkey,
+                            wp.base))
+                    bit_stack = jnp.concatenate(chunks, axis=1)
+                    crt_ggsw_cache[cache_key] = \
+                        kw_mod.circuit_bootstrap_batch(
+                            bit_stack, kkey, bkey, pfpksk_for(w_in), wp)
+                ggsws = crt_ggsw_cache[cache_key]
+                ob = spec.out_bits
+                lut_torus = ((jnp.asarray(wop_tables[node.uid],
+                                          dtype=jnp.uint64)
+                              & jnp.uint64((1 << (ob + 1)) - 1))
+                             << jnp.uint64(63 - ob))
+                out = kw_mod.vertical_packing_batch(lut_torus, ggsws, wp)
+                out = out.reshape(args[0].shape[:-1] + (out.shape[-1],))
+                values[node] = cross(out, w_in, self.width_of(node))
             elif name in ("tlu", "univariate"):
                 ct = args[0]
                 w_in = self.width_of(preds[0]) if preds else self.p

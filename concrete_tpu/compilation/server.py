@@ -49,10 +49,12 @@ class Server:
         if isinstance(evaluation_keys, EvaluationKeys):
             # public-material object from Client.evaluation_keys: pack for
             # the device with this circuit's truncation/WoP requirements
+            wp = self.client_specs.wop_params()
+            # WoP circuits need the untruncated BSK (Circuit._evaluation_keys
+            # has the rationale)
             evaluation_keys = evaluation_keys.packed(
-                self.client_specs.message_bits,
-                norm2=self.graph.max_norm2(),
-                wop_params=self.client_specs.wop_params())
+                None if wp is not None else self.client_specs.message_bits,
+                norm2=self.graph.max_norm2(), wop_params=wp)
         ksk, bsk, *rest = evaluation_keys
         pfpksk = rest[0] if rest else None
         fks = rest[1] if len(rest) > 1 else None

@@ -370,6 +370,38 @@ def vertical_packing_batch(lut_torus, ggsw_bits, wp: WopParams):
 # Full batched WoP-PBS
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("moduli", "wp"))
+def wop_pbs_crt_batch(res_cts, luts, moduli: tuple, ksk: kn.LimbKSK,
+                      bsk: kn.LimbBSK, pfpksk: LimbPFPKSK, wp: WopParams):
+    """Batched CRT TLU: (n_blocks, B, n_big+1) residue ciphertexts ->
+    (n_blocks, B, n_big+1) output residues (native encoding).
+
+    luts: (n_blocks, 2^total_bits) raw integer tables (wop.crt_lut_tables).
+    One shared bit extraction + circuit bootstrap feeds one vertical
+    packing per output block — the batched analog of
+    memref_wop_pbs_crt_buffer (wrappers.cpp:855-998); oracle:
+    wop.wop_pbs_crt.
+    """
+    from concrete_tpu.core.wop import crt_block_bits
+    bits = crt_block_bits(moduli)
+    # block n-1 first = MSB of the combined vertical-packing index
+    chunks = []
+    for j in reversed(range(len(moduli))):
+        delta_log = _Q_LOG - bits[j] - 1
+        chunks.append(extract_bits_batch(res_cts[j], bits[j], delta_log,
+                                         ksk, bsk, wp.base))
+    bit_stack = jnp.concatenate(chunks, axis=1)    # (B, total, n_big+1)
+    ggsws = circuit_bootstrap_batch(bit_stack, ksk, bsk, pfpksk, wp)
+    outs = []
+    for j in range(len(moduli)):
+        out_bits_j = bits[j]
+        lut_torus = ((jnp.asarray(luts[j], dtype=U64)
+                      & U64((1 << (out_bits_j + 1)) - 1))
+                     << U64(_Q_LOG - out_bits_j - 1))
+        outs.append(vertical_packing_batch(lut_torus, ggsws, wp))
+    return jnp.stack(outs)
+
+
 @functools.partial(jax.jit, static_argnames=("nb_bits", "delta_log",
                                              "out_bits", "wp"))
 def wop_pbs_batch(lwe_big, lut, nb_bits: int, delta_log: int, out_bits: int,

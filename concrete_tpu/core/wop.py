@@ -247,6 +247,91 @@ def vertical_packing(lut: np.ndarray, ggsw_bits: np.ndarray,
 # Full WoP-PBS
 # ---------------------------------------------------------------------------
 
+def crt_block_bits(moduli) -> tuple:
+    """Bits extracted per CRT residue block: ceil(log2 m_j)
+    (wrappers.cpp:907 number_of_bits_per_block)."""
+    return tuple(int(np.ceil(np.log2(m))) for m in moduli)
+
+
+def crt_lut_tables(table, moduli, out_moduli=None, bits=None) -> np.ndarray:
+    """Vertical-packing tables for a TLU over a CRT value.
+
+    Index layout matches the reference (wrappers.cpp:918-921 bit order +
+    :575 out_index construction): block 0's bits are the LEAST significant
+    of the combined index, block n-1's the most.  With native-encoded
+    residues the per-block sub-index is the residue value itself (the
+    reference's `(r << bits) / m` map at wrappers.cpp:577 compensates for
+    its full-torus r*2^64/m CRT encoding, which we do not use).
+
+    Returns (len(out_moduli), 2^total_bits) int64 raw entries:
+    row j holds f(x) mod out_m_j at the index of every consistent residue
+    combination; inconsistent/unreachable combinations hold 0
+    (wrappers.cpp:483 zero-fill).
+
+    `bits` overrides the per-block index widths (default ceil(log2 m_j)):
+    the compiler passes the residues' actual encoding widths, which may be
+    narrower when the measured input range never reaches m_j - 1 — residue
+    combinations that don't fit are unreachable and skipped.
+    """
+    moduli = tuple(int(m) for m in moduli)
+    out_moduli = tuple(int(m) for m in (out_moduli or moduli))
+    bits = tuple(bits) if bits is not None else crt_block_bits(moduli)
+    total = int(np.prod(moduli))
+    table = np.asarray(table, dtype=np.int64)
+    out = np.zeros((len(out_moduli), 1 << sum(bits)), dtype=np.int64)
+    for x in range(min(total, len(table))):
+        idx = 0
+        offset = 0
+        reachable = True
+        for m, nb in zip(moduli, bits):
+            r = x % m
+            if r >= (1 << nb):
+                reachable = False
+                break
+            idx |= r << offset
+            offset += nb
+        if not reachable:
+            continue
+        for j, m_out in enumerate(out_moduli):
+            out[j, idx] = int(table[x]) % m_out
+    return out
+
+
+def wop_pbs_crt(res_lwes, table, moduli, server: ref.ServerKeys,
+                wop_keys: WopKeys, wp: WopParams):
+    """TLU over a CRT value: per-residue bit extraction, one shared circuit
+    bootstrap, and one vertical packing per output residue.
+
+    res_lwes: (n_blocks, n_big+1) LWEs, residue j native-encoded at
+    ceil(log2 m_j) bits.  Returns (n_blocks, n_big+1) output residues of
+    table[x] (native-encoded), x the CRT-decoded input.
+
+    Reference behavior: memref_wop_pbs_crt_buffer (wrappers.cpp:855-998) —
+    same bit order, shared extraction, per-output-block vertical packing;
+    encoding differs as documented in crt_lut_tables.
+    """
+    params = wp.base
+    bits = crt_block_bits(moduli)
+    luts = crt_lut_tables(table, moduli)
+    # block n-1 extracted first = most significant bits of the index
+    all_bits = []
+    for j in reversed(range(len(moduli))):
+        delta_log = _Q_LOG - bits[j] - 1          # native encoding LSB
+        all_bits.append(extract_bits(res_lwes[j], bits[j], delta_log,
+                                     server, params))
+    bit_stack = np.concatenate(all_bits, axis=0)   # (total_bits, n_big+1)
+    ggsws = np.stack([circuit_bootstrap(b, server, wop_keys, wp)
+                      for b in bit_stack])
+    out = np.empty_like(np.asarray(res_lwes))
+    for j, m_out in enumerate(moduli):
+        out_bits_j = bits[j]
+        lut_torus = (luts[j].astype(np.uint64)
+                     & U64((1 << (out_bits_j + 1)) - 1)) \
+            << U64(_Q_LOG - out_bits_j - 1)
+        out[j] = vertical_packing(lut_torus, ggsws, wp)
+    return out
+
+
 def wop_pbs(lwe_big: np.ndarray, lut: np.ndarray, nb_bits: int,
             delta_log: int, out_bits: int, server: ref.ServerKeys,
             wop_keys: WopKeys, wp: WopParams) -> np.ndarray:

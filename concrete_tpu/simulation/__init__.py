@@ -293,6 +293,50 @@ def simulate_graph(graph, specs, *inputs, rng=None,
             noises[node] = out_noise + sample(
                 crossing_var(p_in, encoding_width(node, p_default)),
                 resid.shape)
+        elif name == "crt_tlu":
+            # WoP-PBS over CRT residues (executor crt_tlu lowering):
+            # per-residue bit extraction decides at each residue's own
+            # encoding width; the output carries fresh vertical-packing
+            # noise (one WoP chain shared by all sibling output residues)
+            kwargs = node.properties["kwargs"]
+            moduli = tuple(int(m) for m in kwargs["moduli"])
+            table = np.asarray(kwargs["table"], dtype=np.int64)
+            j_out = int(kwargs["out_index"])
+            product = 1
+            for m in moduli:
+                product *= m
+            shape = np.shape(args[0])
+            x = np.zeros(shape, dtype=np.int64)
+            nb_total = 0
+            for q, a, m in zip(preds, args, moduli):
+                w_j = encoding_width(q, p_default)
+                _, _, ks_var, ms_var, _ = stages(w_j)
+                step = 2.0 ** -(w_j + 1)
+                noise = (np.broadcast_to(noise_of(q), shape)
+                         + sample(ks_var + ms_var, shape))
+                dom = 1 << w_j
+                r = (np.asarray(a, dtype=np.int64)
+                     + np.round(noise / step).astype(np.int64))
+                r = ((r % dom) + dom) % dom
+                q_m = product // m
+                x = x + r * (q_m * pow(int(q_m), -1, int(m)))
+                nb_total += min(int(np.ceil(np.log2(m))), w_j)
+            x = x % product
+            values[node] = table[x % len(table)] % moduli[j_out]
+            p_in = max(encoding_width(q, p_default) for q in preds)
+            w_out = encoding_width(node, p_default)
+            gadgets = wop_gadgets_for(p_in)
+            if gadgets is not None:
+                cbs_l, cbs_b, pfks_l, pfks_b = gadgets
+                var = pp.wop_output_variance(
+                    specs.params_for_width(p_in)
+                    if hasattr(specs, "params_for_width") else specs.params,
+                    nb_total, cbs_b, cbs_l, pfks_b, pfks_l)
+            else:
+                var = stages(p_in)[1]
+            values[node] = np.asarray(values[node])
+            noises[node] = sample(var + crossing_var(p_in, w_out),
+                                  np.shape(values[node]))
         elif name == "trace_message":
             # Tracing dialect analog (lib/Dialect/Tracing): simulation
             # prints the current plaintext, like sim trace_plaintext

@@ -1,0 +1,141 @@
+"""CRT-mode TLU tests: oracle, batched kernels, and the frontend crt_tlu.
+
+The reference's >=9-bit strategy is CRT residues + WoP-PBS over all blocks
+(memref_wop_pbs_crt_buffer, wrappers.cpp:855-998; FHEToTFHECrt.cpp).  These
+tests drive a CRT value through an arbitrary univariate TLU end-to-end.
+"""
+
+import numpy as np
+import pytest
+
+from concrete_tpu.core import refimpl as ref
+from concrete_tpu.core import wop
+from concrete_tpu.extensions import crt
+from concrete_tpu.params import TEST_PARAMS_TINY_WIDE
+
+WP = wop.WopParams(base=TEST_PARAMS_TINY_WIDE)
+MODULI = (3, 4, 5)          # 2+2+3 = 7 index bits, range 60
+BITS = wop.crt_block_bits(MODULI)
+
+
+@pytest.fixture(scope="module")
+def keyset():
+    rng = np.random.default_rng(23)
+    sk, server = ref.keygen(rng, WP.base)
+    wop_keys = wop.pfpksk_gen(rng, sk, WP)
+    return rng, sk, server, wop_keys
+
+
+def test_crt_block_bits():
+    assert wop.crt_block_bits((7, 8, 9, 11, 13)) == (3, 3, 4, 4, 4)
+    assert BITS == (2, 2, 3)
+
+
+def test_crt_lut_tables_layout():
+    table = np.arange(60, dtype=np.int64) * 3 % 17
+    luts = wop.crt_lut_tables(table, MODULI)
+    assert luts.shape == (3, 1 << sum(BITS))
+    for x in (0, 1, 17, 42, 59):
+        idx = 0
+        offset = 0
+        for m, nb in zip(MODULI, BITS):
+            idx |= (x % m) << offset
+            offset += nb
+        for j, m in enumerate(MODULI):
+            assert luts[j, idx] == table[x] % m
+
+
+def _encrypt_residues(rng, sk, x, params):
+    cts = []
+    for m, nb in zip(MODULI, BITS):
+        enc = np.uint64(x % m) << np.uint64(64 - nb - 1)
+        cts.append(ref.lwe_encrypt(rng, sk.lwe_big, enc,
+                                   params.lwe_std / 1024))
+    return np.stack(cts)
+
+
+def _decode_residue(sk, ct, nb):
+    phase = ref.lwe_decrypt(sk.lwe_big, ct)
+    return int(ref.decode(np.asarray([phase]), nb)[0])
+
+
+def test_wop_pbs_crt_oracle(keyset):
+    rng, sk, server, wop_keys = keyset
+    table = np.array([(5 * v + 3) % 60 for v in range(60)], dtype=np.int64)
+    for x in (0, 7, 31, 59):
+        res = _encrypt_residues(rng, sk, x, WP.base)
+        out = wop.wop_pbs_crt(res, table, MODULI, server, wop_keys, WP)
+        got = [_decode_residue(sk, out[j], BITS[j])
+               for j in range(len(MODULI))]
+        want = [int(table[x]) % m for m in MODULI]
+        assert got == want, (x, got, want)
+
+
+def test_wop_pbs_crt_batch_matches_oracle(keyset):
+    import jax.numpy as jnp
+
+    from concrete_tpu.core import kernels as kn
+    from concrete_tpu.core import kernels_wop as kw
+
+    rng, sk, server, wop_keys = keyset
+    table = np.array([(v * v) % 60 for v in range(60)], dtype=np.int64)
+    xs = [3, 29, 58]
+    res = np.stack([_encrypt_residues(rng, sk, x, WP.base) for x in xs],
+                   axis=1)                      # (blocks, B, n+1)
+    ksk = kn.pack_ksk(server.ksk, WP.base)
+    bsk = kn.pack_bsk(server.bsk, WP.base)
+    pfpksk = kw.pack_pfpksk(wop_keys.pfpksk, WP)
+    luts = wop.crt_lut_tables(table, MODULI)
+    out = np.asarray(kw.wop_pbs_crt_batch(
+        jnp.asarray(res), jnp.asarray(luts), MODULI, ksk, bsk, pfpksk, WP))
+    for b, x in enumerate(xs):
+        got = [_decode_residue(sk, out[j, b], BITS[j])
+               for j in range(len(MODULI))]
+        want = [int(table[x]) % m for m in MODULI]
+        assert got == want, (x, got, want)
+
+
+def test_frontend_crt_tlu():
+    """A CRT value goes through an arbitrary univariate TLU end-to-end
+    through the compiler frontend."""
+    import concrete_tpu as fhe
+
+    table = np.array([(7 * v + 1) % 60 for v in range(60)], dtype=np.int64)
+
+    @fhe.compiler({"r0": "encrypted", "r1": "encrypted",
+                   "r2": "encrypted"})
+    def f(r0, r1, r2):
+        return crt.crt_tlu((r0, r1, r2), table, MODULI)
+
+    inputset = [tuple(crt.crt_encode_clear(v, MODULI))
+                for v in range(0, 60, 7)] + [(2, 3, 4)]
+    cfg = fhe.Configuration(forced_parameters=TEST_PARAMS_TINY_WIDE,
+                        forced_wop_parameters=(3, 6, 8, 4))
+    circuit = f.compile(inputset, cfg)
+    for x in (0, 13, 59):
+        r = crt.crt_encode_clear(x, MODULI)
+        for _ in range(3):
+            got = circuit.encrypt_run_decrypt(*r)
+            if crt.crt_decode_clear(got, MODULI) == int(table[x]):
+                break
+        else:
+            raise AssertionError((x, got, table[x]))
+
+
+@pytest.mark.slow
+def test_frontend_crt_tlu_16bit():
+    """16-bit CRT value (reference default basis) through a TLU —
+    simulation-level check of tables + index layout at full width."""
+    moduli = (7, 8, 9, 11, 13)
+    table = np.arange(72072, dtype=np.int64) * 3 % 1001
+    luts = wop.crt_lut_tables(table, moduli)
+    bits = wop.crt_block_bits(moduli)
+    for x in (0, 12345, 72071):
+        idx = 0
+        offset = 0
+        for m, nb in zip(moduli, bits):
+            idx |= (x % m) << offset
+            offset += nb
+        got = [int(luts[j, idx]) for j in range(len(moduli))]
+        want = [int(table[x]) % m for m in moduli]
+        assert got == want
