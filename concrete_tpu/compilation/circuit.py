@@ -252,18 +252,50 @@ class Circuit:
 
     @property
     def p_error(self) -> float:
-        """Per-PBS failure probability at the circuit's worst decision
-        point (width at the circuit max, noise amplified by the measured
-        MANP — reporting norm2=1 would understate the real error)."""
+        """Failure probability at the circuit's worst decision point,
+        evaluated on the graph's actual per-node noise coefficients
+        (Graph.variance_pairs): fresh-input noise is charged at the
+        encryption variance, PBS-sourced noise at the blind-rotate
+        variance — the same constraints the optimizer solved."""
+        from concrete_tpu import params as pp
+        from concrete_tpu.compilation.widths import tlu_pattern_split
         specs = self.client_specs
         if specs.is_multi and specs.partition_norm2:
             return max(
                 specs.partitions[w].p_error(
                     min(w, 8), norm2=specs.partition_norm2.get(w, 1))
                 for w in specs.partitions)
-        if not hasattr(self, "_norm2"):
-            self._norm2 = self.graph.max_norm2()
-        return specs.params.p_error(specs.message_bits, norm2=self._norm2)
+        params = specs.params
+        native, wide_in, wop = tlu_pattern_split(self.graph)
+        v_fresh = params.glwe_std ** 2
+        v_br = pp.variance_blind_rotate(
+            params.n_small, params.glwe_dimension, params.polynomial_size,
+            params.pbs_base_log, params.pbs_level, params.glwe_std ** 2)
+        v_ks = pp.variance_keyswitch(params.n_big, params.ks_base_log,
+                                     params.ks_level, params.lwe_std ** 2)
+        v_ms = pp.variance_modulus_switch(params.n_small,
+                                          params.log2_polynomial_size)
+        v_out_wop = None
+        if wop and specs.wop_gadgets:
+            cbs_l, cbs_b, pfks_l, pfks_b = specs.wop_gadgets
+            nb_max = max(nb for nb, _, _ in wop)
+            v_out_wop = pp.wop_output_variance(params, nb_max, cbs_b,
+                                               cbs_l, pfks_b, pfks_l)
+        worst = 0.0
+        for p, i_sq, l_sq in native:
+            var = i_sq * v_fresh + l_sq * v_br + v_ks + v_ms
+            worst = max(worst, pp.p_error_from_variance(var, int(p)))
+        for p, i_sq, l_sq in wide_in:
+            # bit-extraction decision: KS+MS noise enters after the shift
+            # (optimizer noise_only weighting)
+            var = (i_sq * v_fresh + l_sq * v_br
+                   + (v_ks + v_ms) * 4.0 ** -int(p))
+            worst = max(worst, pp.p_error_from_variance(var, int(p)))
+        if v_out_wop is not None:
+            for _, w, n2o in wop:
+                var = v_out_wop * float(n2o) ** 2 + v_ks + v_ms
+                worst = max(worst, pp.p_error_from_variance(var, int(w)))
+        return worst
 
     @property
     def global_p_error(self) -> float:

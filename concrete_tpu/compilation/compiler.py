@@ -193,7 +193,7 @@ class Compiler:
             # lowering plan the executor will run
             print(circuit.server.lowering_text())
         if config.verbose or config.show_statistics:
-            print(f"precision: {p} bits, norm2^2: {norm2}, "
+            print(f"precision: {p} bits, norm2: {norm2:g}, "
                   f"params: n={params.n_small} k={params.glwe_dimension} "
                   f"N={params.polynomial_size}, "
                   f"pbs_count: {circuit.programmable_bootstrap_count}")

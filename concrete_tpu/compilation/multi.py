@@ -35,6 +35,7 @@ from concrete_tpu.compilation.widths import (MAX_NATIVE_TLU_BITS, TLU_OPS,
                                              encoding_width,
                                              tlu_effective_input_width,
                                              tlu_input_width, wop_nb_bits)
+from concrete_tpu.representation.graph import norm2_of_manp
 from concrete_tpu.optimizer.v0 import (choose_fks, choose_wop_gadgets,
                                        optimize_v0_multi,
                                        safe_variance_bound)
@@ -59,7 +60,7 @@ class PartitionPatterns:
     native: list
     wide_in: list
     wop: list
-    max_norm2: int = 1
+    max_norm2: float = 1.0   # linear 2-norm (sqrt of the MANP accumulation)
 
 
 @dataclasses.dataclass
@@ -82,7 +83,9 @@ def partition_pattern_split(graph: Graph):
     Same constraint semantics as widths.tlu_pattern_split, but keyed by the
     partition each PBS runs in.
     """
-    manp, boundary = graph.manp_map()
+    pairs, bpairs = graph.variance_pairs()
+    manp = {n: max(c[0] + c[1], 1) for n, c in pairs.items()}
+    boundary = {n: max(c[0] + c[1], 1) for n, c in bpairs.items()}
     default = graph.max_bit_width
     patterns: dict[int, PartitionPatterns] = {}
     crossings: list[Crossing] = []
@@ -102,19 +105,20 @@ def partition_pattern_split(graph: Graph):
         w_in = tlu_input_width(graph, node, default)
         w_out = encoding_width(node, default)
         p_eff = tlu_effective_input_width(graph, node, default)
-        n2 = max(boundary.get(node, 1), 1)
+        n2 = norm2_of_manp(boundary.get(node, 1))
+        in_c, lut_c = bpairs.get(node, (0, 1))
         pt = part(w_in)
         pt.max_norm2 = max(pt.max_norm2, n2)
         if node.name == "extract_bits":
-            pt.wide_in.append((p_eff, n2))
+            pt.wide_in.append((p_eff, in_c, lut_c))
         elif p_eff > MAX_NATIVE_TLU_BITS:
-            pt.wide_in.append((p_eff, n2))
+            pt.wide_in.append((p_eff, in_c, lut_c))
             nb = wop_nb_bits(graph, node, default)
             for w, n2o in decision_constraints_after(
                     graph, node, default, (manp, boundary)):
                 pt.wop.append((nb, w, n2o))
         else:
-            pt.native.append((p_eff, n2))
+            pt.native.append((p_eff, in_c, lut_c))
         if w_out != w_in:
             cons = tuple(decision_constraints_after(
                 graph, node, default, (manp, boundary)))
@@ -129,14 +133,17 @@ def partition_pattern_split(graph: Graph):
     for node in graph.ordered_outputs:
         if node.output.is_encrypted:
             w = encoding_width(node, default)
-            n2 = max(manp.get(node, 1), 1)
+            n2 = norm2_of_manp(manp.get(node, 1))
+            in_c, lut_c = pairs.get(node, (0, 1))
+            if (in_c, lut_c) == (0, 0):
+                in_c = 1
             pt = part(w)
             if w > MAX_NATIVE_TLU_BITS:
                 # wide outputs only need decodable noise: no native-LUT
                 # N >= 2^(w+1) requirement (widths.tlu_pattern_split)
-                pt.wide_in.append((w, n2))
+                pt.wide_in.append((w, in_c, lut_c))
             else:
-                pt.native.append((w, n2))
+                pt.native.append((w, in_c, lut_c))
             pt.max_norm2 = max(pt.max_norm2, n2)
     # encrypted inputs whose partition has no PBS still need params (for
     # encryption + leveled ops + decode at the consumer's frontier)

@@ -20,11 +20,12 @@ from __future__ import annotations
 
 from concrete_tpu.dtypes import Integer
 from concrete_tpu.representation import Graph, Node, Operation
+from concrete_tpu.representation.graph import norm2_of_manp
 
 # ops whose (encrypted) output is a *fresh* encoding — everything else keeps
 # its operands' encoding
 TLU_OPS = ("tlu", "univariate", "multivariate", "extract_bits",
-           "dynamic_tlu")
+           "dynamic_tlu", "crt_tlu")
 
 
 class _UnionFind:
@@ -218,7 +219,7 @@ def decision_constraints_after(graph: Graph, node: Node,
             seen.add(succ)
             if succ.name in TLU_OPS:
                 out.append((tlu_effective_input_width(graph, succ, default),
-                            max(boundary.get(succ, 1), 1)))
+                            norm2_of_manp(boundary.get(succ, 1))))
             else:
                 frontier.append(succ)
                 leveled_reach.add(succ)
@@ -229,7 +230,7 @@ def decision_constraints_after(graph: Graph, node: Node,
         # its input constraint was already recorded above
         if out_node in leveled_reach and out_node.output.is_encrypted:
             out.append((encoding_width(out_node, default),
-                        max(manp.get(out_node, 1), 1)))
+                        norm2_of_manp(manp.get(out_node, 1))))
     return out or [(1, 1)]
 
 
@@ -237,16 +238,24 @@ def tlu_pattern_split(graph: Graph):
     """Split the graph's PBS constraints for the optimizer.
 
     Returns (native_patterns, wide_input_patterns, wop_triples):
-      native_patterns:      (p, norm2) for <=8-bit TLUs + encrypted outputs
-                            (full atomic patterns: N >= 2^(p+1) required);
-      wide_input_patterns:  (p_in, norm2) for WoP TLU inputs (noise-only);
+      native_patterns:      (p, in_sq, lut_sq) for <=8-bit TLUs + encrypted
+                            outputs (full atomic patterns: N >= 2^(p+1));
+      wide_input_patterns:  (p_in, in_sq, lut_sq) for WoP TLU inputs
+                            (noise-only);
       wop_triples:          (nb_bits, out_width, out_norm2) per WoP TLU.
+
+    The (in_sq, lut_sq) components are Graph.variance_pairs() coefficients
+    (reference dag/solo_key/analyze.rs): squared accumulated weights on the
+    fresh-encryption variance and the blind-rotate output variance — exact
+    per-node noise, not the worst-case MANP bound.
     """
-    manp, boundary = graph.manp_map()
+    pairs, bpairs = graph.variance_pairs()
+    manp = {n: max(c[0] + c[1], 1) for n, c in pairs.items()}
+    boundary = {n: max(c[0] + c[1], 1) for n, c in bpairs.items()}
     default = graph.max_bit_width
-    native: list[tuple[int, int]] = []
-    wide_in: list[tuple[int, int]] = []
-    wop: list[tuple[int, int, int]] = []
+    native: list[tuple] = []
+    wide_in: list[tuple] = []
+    wop: list[tuple] = []
     for node in graph.topological_order():
         if node.name in TLU_OPS:
             preds = [p for p in graph.ordered_preds_of(node)
@@ -254,32 +263,44 @@ def tlu_pattern_split(graph: Graph):
             if not preds:
                 continue
             p_in = tlu_effective_input_width(graph, node, default)
-            n2 = max(boundary.get(node, 1), 1)
+            in_c, lut_c = bpairs.get(node, (0, 1))
             if node.name == "extract_bits":
                 # bit-peel cascade: decodability at p_in, no native LUT
-                wide_in.append((p_in, n2))
+                wide_in.append((p_in, in_c, lut_c))
+            elif node.name == "crt_tlu":
+                # CRT TLU: per-residue extraction (noise-only at the
+                # residue width) + one WoP vertical packing over the
+                # concatenated residue bits (wrappers.cpp:855-998)
+                from concrete_tpu.core.wop import crt_block_bits
+                nb = sum(crt_block_bits(
+                    node.properties["kwargs"]["moduli"]))
+                wide_in.append((p_in, in_c, lut_c))
+                for w, n2o in decision_constraints_after(
+                        graph, node, default, (manp, boundary)):
+                    wop.append((nb, w, n2o))
             elif p_in > MAX_NATIVE_TLU_BITS:
-                wide_in.append((p_in, n2))
+                wide_in.append((p_in, in_c, lut_c))
                 nb = wop_nb_bits(graph, node, default)
                 for w, n2o in decision_constraints_after(
                         graph, node, default, (manp, boundary)):
                     wop.append((nb, w, n2o))
             else:
-                native.append((p_in, n2))
+                native.append((p_in, in_c, lut_c))
     for node in graph.ordered_outputs:
-        if node.output.is_encrypted \
-                and encoding_width(node, default) > MAX_NATIVE_TLU_BITS:
+        if not node.output.is_encrypted:
+            continue
+        in_c, lut_c = pairs.get(node, (0, 1))
+        if (in_c, lut_c) == (0, 0):
+            in_c = 1   # trivially-encrypted clear path: decode fresh noise
+        if encoding_width(node, default) > MAX_NATIVE_TLU_BITS:
             # wide outputs (e.g. WoP results) only need decodable noise —
             # they pass through no further LUT, so no N >= 2^(p+1)
-            # mega-case requirement.  norm2 from the MANP map (boundary
-            # only covers TLU nodes; leveled amplification after the last
-            # PBS must still be counted)
-            wide_in.append((encoding_width(node, default),
-                            max(manp.get(node, 1), 1)))
-        elif node.output.is_encrypted:
-            native.append((encoding_width(node, default),
-                           max(manp.get(node, 1), 1)))
-    return (tuple(native) or ((1, 1),), tuple(wide_in), tuple(wop))
+            # mega-case requirement; leveled amplification after the last
+            # PBS must still be counted
+            wide_in.append((encoding_width(node, default), in_c, lut_c))
+        else:
+            native.append((encoding_width(node, default), in_c, lut_c))
+    return (tuple(native) or ((1, 0, 1),), tuple(wide_in), tuple(wop))
 
 
 def tlu_atomic_patterns(graph: Graph) -> list[tuple[int, int]]:
@@ -301,9 +322,9 @@ def tlu_atomic_patterns(graph: Graph) -> list[tuple[int, int]]:
             if not preds:
                 continue
             p_in = tlu_effective_input_width(graph, node, default)
-            patterns.append((p_in, max(boundary.get(node, 1), 1)))
+            patterns.append((p_in, norm2_of_manp(boundary.get(node, 1))))
     for node in graph.ordered_outputs:
         if node.output.is_encrypted:
             patterns.append((encoding_width(node, default),
-                             max(manp.get(node, 1), 1)))
+                             norm2_of_manp(manp.get(node, 1))))
     return patterns or [(1, 1)]

@@ -78,15 +78,32 @@ def optimize_v0(precision: int, norm2: int = 1, p_error: float = 6.3e-5,
                              security_level=security_level)
 
 
-def pareto_patterns(patterns) -> tuple[tuple[int, int], ...]:
-    """Drop (p, norm2) patterns dominated by another (both smaller-or-equal):
-    a dominated pattern's feasibility constraint is implied."""
-    pats = sorted(set((int(p), int(n)) for p, n in patterns))
+def _normalize_pattern(pat) -> tuple[int, float, float]:
+    """Pattern -> (p, in_sq, lut_sq): squared noise coefficients on the
+    fresh-encryption variance and the blind-rotate output variance.
+
+    Legacy (p, norm2) pairs put the whole (squared) amplification on the
+    BR variance — conservative, since v_fresh <= v_br for every candidate.
+    Triples come from Graph.variance_pairs() (reference
+    dag/solo_key/analyze.rs SymbolicVariance) and are exact.
+    """
+    if len(pat) == 2:
+        p, n2 = pat
+        return (int(p), 0.0, float(n2) ** 2)
+    p, in_sq, lut_sq = pat
+    return (int(p), float(in_sq), float(lut_sq))
+
+
+def pareto_patterns(patterns) -> tuple[tuple[int, float, float], ...]:
+    """Normalize patterns to (p, in_sq, lut_sq) and drop those dominated by
+    another (all components smaller-or-equal): a dominated pattern's
+    feasibility constraint is implied."""
+    pats = sorted(set(_normalize_pattern(p) for p in patterns))
     keep = []
-    for p, n in pats:
-        if not any(p2 >= p and n2 >= n and (p2, n2) != (p, n)
-                   for p2, n2 in pats):
-            keep.append((p, n))
+    for t in pats:
+        if not any(all(b >= a for a, b in zip(t, u)) and u != t
+                   for u in pats):
+            keep.append(t)
     return tuple(keep)
 
 
@@ -138,12 +155,15 @@ def optimize_v0_multi(patterns: tuple, p_error: float = 6.3e-5,
     """
     patterns = pareto_patterns(patterns)
     noise_only = pareto_patterns(noise_only) if noise_only else ()
-    p_max = max(p for p, _ in patterns)
+    p_max = max(p for p, _, _ in patterns)
     all_patterns = patterns + noise_only
-    safe_vars = [safe_variance_bound(p, p_error) for p, _ in all_patterns]
-    norm2_sqs = [float(n) ** 2 for _, n in all_patterns]
+    safe_vars = [safe_variance_bound(p, p_error)
+                 for p, _, _ in all_patterns]
+    in_sqs = [i for _, i, _ in all_patterns]
+    lut_sqs = [s for _, _, s in all_patterns]
     # weight of the (v_ks + v_ms) term per pattern (see noise_only above)
-    ks_ms_w = [1.0] * len(patterns) + [4.0 ** -p for p, _ in noise_only]
+    ks_ms_w = [1.0] * len(patterns) + [4.0 ** -p
+                                       for p, _, _ in noise_only]
     # the BSK-truncation budget in the cost model must hold for every
     # pattern: use the tightest precision
     best = None
@@ -215,16 +235,19 @@ def optimize_v0_multi(patterns: tuple, p_error: float = 6.3e-5,
                                                       var_bsk)
                 v_br_unit = ns * v_cmux
                 base_ok = np.ones_like(ns, dtype=bool)
-                for sv, n2sq, w in zip(safe_vars, norm2_sqs, ks_ms_w):
-                    base_ok &= v_br_unit * n2sq + w * v_ms < sv
+                for sv, i_sq, l_sq, w in zip(safe_vars, in_sqs, lut_sqs,
+                                             ks_ms_w):
+                    base_ok &= (i_sq * var_bsk + l_sq * v_br_unit
+                                + w * v_ms < sv)
                 for fp, fn2, fextra in frontier:
                     base_ok &= (v_br_unit * float(fn2) ** 2 + float(fextra)
                                 < safe_variance_bound(int(fp), p_error))
                 if not base_ok.any():
                     continue
-                c_br = cost_pbs_macs(ns, k, big_n, br_l, br_b,
-                                     precision=max(p for p, _ in all_patterns),
-                                     p_error=p_error)
+                c_br = cost_pbs_macs(
+                    ns, k, big_n, br_l, br_b,
+                    precision=max(p for p, _, _ in all_patterns),
+                    p_error=p_error)
                 if c_br[base_ok].min() >= best_cost:
                     continue
                 if wop_patterns:
@@ -246,8 +269,10 @@ def optimize_v0_multi(patterns: tuple, p_error: float = 6.3e-5,
                         for nb, po, n2o in wop_patterns]
                 for (ks_l, ks_b), v_ks in v_ks_all.items():
                     feasible = base_ok.copy()
-                    for sv, n2sq, w in zip(safe_vars, norm2_sqs, ks_ms_w):
-                        feasible &= v_br_unit * n2sq + w * (v_ks + v_ms) < sv
+                    for sv, i_sq, l_sq, w in zip(safe_vars, in_sqs,
+                                                 lut_sqs, ks_ms_w):
+                        feasible &= (i_sq * var_bsk + l_sq * v_br_unit
+                                     + w * (v_ks + v_ms) < sv)
                     if wop_patterns:
                         for v_out, n2sq_o, sv_o in wop_outs:
                             feasible &= v_out * n2sq_o + v_ks + v_ms < sv_o
@@ -299,6 +324,37 @@ def cost_fks_macs(n_big_src: int, n_big_dst: int, level: int,
 
 
 @functools.lru_cache(maxsize=None)
+def choose_fks_raw(n_src: int, n_dst: int, dst_std: float,
+                   budget: float) -> tuple[int, int, float]:
+    """Cheapest (level, base_log, variance) for an n_src -> n_dst big-key
+    conversion keyswitch with variance <= budget, on raw dimensions.
+
+    THE single conversion-gadget search: multi-partition crossings
+    (choose_fks) and the TFHE-rs bridge's external-partition KSKs
+    (tfhers/bridge.py) both route through here — the reference analog is
+    multi_parameters/optimize.rs's FKS decomposition search, which external
+    partitions share (keys_spec.rs ConversionKeySwitchKey).
+    """
+    best = None
+    best_cost = math.inf
+    for level in (1, 2, 3, 4, 5, 6, 8, 10, 12):
+        for base in range(2, 25):
+            if level * base > 60:
+                continue
+            v = pp.variance_keyswitch(n_src, base, level, dst_std ** 2)
+            if v > budget:
+                continue
+            cost = cost_fks_macs(n_src, n_dst, level, base)
+            if cost < best_cost:
+                best_cost = cost
+                best = (level, base, float(v))
+    if best is None:
+        raise ValueError(
+            f"no conversion keyswitch meets variance budget {budget:.3e} "
+            f"for {n_src} -> {n_dst}")
+    return best
+
+
 def choose_fks(src: pp.CryptoParams, dst: pp.CryptoParams,
                budget: float) -> tuple[int, int, float]:
     """Cheapest (level, base_log, variance) for the src.big -> dst.big
@@ -309,25 +365,7 @@ def choose_fks(src: pp.CryptoParams, dst: pp.CryptoParams,
     entries are encrypted under dst's big (GLWE) key, so their noise is
     dst.glwe_std.
     """
-    best = None
-    best_cost = math.inf
-    for level in (1, 2, 3, 4, 5, 6, 8, 10, 12):
-        for base in range(2, 25):
-            if level * base > 60:
-                continue
-            v = pp.variance_keyswitch(src.n_big, base, level,
-                                      dst.glwe_std ** 2)
-            if v > budget:
-                continue
-            cost = cost_fks_macs(src.n_big, dst.n_big, level, base)
-            if cost < best_cost:
-                best_cost = cost
-                best = (level, base, float(v))
-    if best is None:
-        raise ValueError(
-            f"no conversion keyswitch meets variance budget {budget:.3e} "
-            f"for {src.n_big} -> {dst.n_big}")
-    return best
+    return choose_fks_raw(src.n_big, dst.n_big, dst.glwe_std, budget)
 
 
 # ---------------------------------------------------------------------------
@@ -370,7 +408,8 @@ def choose_wop_gadgets(params: pp.CryptoParams, nb_bits_max: int,
     (concrete-optimizer/src/optimization/wop_atomic_pattern/optimize.rs).
     """
     from concrete_tpu.core.wop import WopParams
-    out_constraints = pareto_patterns(out_constraints) or ((1, 1),)
+    out_constraints = pareto_patterns(out_constraints) or ((1, 0.0, 1.0),)
+    v_fresh = params.glwe_std ** 2
     v_ks = pp.variance_keyswitch(params.n_big, params.ks_base_log,
                                  params.ks_level, params.lwe_std ** 2)
     v_ms = pp.variance_modulus_switch(params.n_small,
@@ -388,9 +427,9 @@ def choose_wop_gadgets(params: pp.CryptoParams, nb_bits_max: int,
                     v_wop = pp.wop_output_variance(
                         params, nb_bits_max, cbs_b, cbs_l, pfks_b, pfks_l)
                     ok = all(
-                        v_wop * float(n2) ** 2 + v_ks + v_ms
+                        i_sq * v_fresh + l_sq * v_wop + v_ks + v_ms
                         < safe_variance_bound(w, p_error)
-                        for w, n2 in out_constraints)
+                        for w, i_sq, l_sq in out_constraints)
                     if not ok:
                         continue
                     cost = cost_wop_macs(params, nb_bits_max, cbs_l, pfks_l,

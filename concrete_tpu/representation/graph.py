@@ -19,6 +19,17 @@ from concrete_tpu.dtypes import Integer
 from concrete_tpu.representation.node import Node, Operation
 
 
+def norm2_of_manp(manp_value) -> float:
+    """Linear 2-norm from a squared MANP accumulation.
+
+    manp_map accumulates ||w||^2; the optimizer/noise APIs take the linear
+    norm and square it internally (amp = norm2^2), so conversions must take
+    the square root exactly once — the reference's MANP.cpp does
+    ceil(sqrt(sqMANP)) at the same boundary."""
+    import math
+    return math.sqrt(max(float(manp_value), 1.0))
+
+
 class Graph:
     def __init__(self, graph: nx.MultiDiGraph, input_nodes: dict[int, Node],
                  output_nodes: dict[int, Node], name: str = "main"):
@@ -122,75 +133,114 @@ class Graph:
 
     # -- MANP (norm2) analysis ---------------------------------------------
 
-    def max_norm2(self) -> int:
-        """Squared 2-norm of integer weights accumulated since the last
+    def max_norm2(self) -> float:
+        """LINEAR 2-norm of integer weights accumulated since the last
         table lookup, maximized over TLU/output boundaries.
 
         The TPU-native equivalent of the reference's MANP forward dataflow
         analysis (lib/Dialect/FHE/Analysis/MANP.cpp:55) used to pick the
-        optimizer's noise factor.
+        optimizer's noise factor.  manp_map accumulates SQUARED norms; every
+        norm2-typed consumer (optimizer patterns, key truncation budgets)
+        squares its argument, so this returns sqrt(manp) — the reference's
+        MANP pass does the same (ceil'd to int; we keep the exact float).
         """
         manp, boundary = self.manp_map()
         worst = max(boundary.values(), default=1)
         for node in self.ordered_outputs:
             worst = max(worst, manp.get(node, 1))
-        return max(worst, 1)
+        return norm2_of_manp(worst)
 
-    def manp_map(self) -> tuple[dict[Node, int], dict[Node, int]]:
-        """Per-node MANP plus per-TLU boundary norms.
+    #: TLU-family ops whose output is a fresh PBS encoding (mirrors
+    #: compilation.widths.TLU_OPS; kept here to avoid a cycle)
+    _PBS_OPS = ("tlu", "univariate", "multivariate", "dynamic_tlu",
+                "crt_tlu")
 
-        Returns (manp, boundary): manp[node] is the squared 2-norm
-        accumulated on the node's value since the last TLU; boundary[tlu]
-        is the norm entering that TLU (the packed norm for multivariate
-        nodes).  Used per-pattern by the multi-precision optimizer
-        (compilation/widths.tlu_atomic_patterns).
+    def variance_pairs(self) -> tuple[dict[Node, tuple],
+                                      dict[Node, tuple]]:
+        """Per-node noise coefficients as (input_coeff, pbs_coeff) pairs.
+
+        The per-node variance analysis of the reference optimizer
+        (concrete-optimizer/src/optimization/dag/solo_key/analyze.rs
+        SymbolicVariance { input_coeff, lut_coeff }): each node's noise
+        variance is  input_coeff * v_fresh + pbs_coeff * v_br  where
+        v_fresh is the fresh-encryption variance and v_br the blind-rotate
+        (or sign-PBS) output variance.  Coefficients are SQUARED accumulated
+        weights, propagated with the same rules as MANP but seeded per
+        source class — this lets the optimizer charge large weights on
+        fresh inputs against the (much smaller) encryption variance instead
+        of the worst-case PBS variance.
+
+        Returns (pairs, boundary): pairs[node] = (in_c, pbs_c) of the
+        node's value; boundary[tlu] = the pair entering that TLU (packed
+        pair for multivariate nodes).  manp_map() is the componentwise sum.
         """
-        manp: dict[Node, int] = {}
-        boundary: dict[Node, int] = {}
+        pairs: dict[Node, tuple] = {}
+        boundary: dict[Node, tuple] = {}
+        ZERO = (0, 0)
+
+        def add(a, b):
+            return (a[0] + b[0], a[1] + b[1])
+
+        def scale(a, s):
+            return (a[0] * s, a[1] * s)
+
+        def pmax(a, b):
+            return (max(a[0], b[0]), max(a[1], b[1]))
+
         for node in self.topological_order():
             preds = self.ordered_preds_of(node)
             name = node.name
-            if node.operation in (Operation.Input, Operation.Constant):
-                manp[node] = 1
-            elif name in ("tlu", "univariate"):
-                boundary[node] = max(
-                    (manp[p] for p in preds if p.output.is_encrypted),
-                    default=1)
-                manp[node] = 1
+            if node.operation is Operation.Input:
+                pairs[node] = (1, 0) if node.output.is_encrypted else ZERO
+            elif node.operation is Operation.Constant:
+                pairs[node] = ZERO
+            elif name in ("tlu", "univariate", "dynamic_tlu", "crt_tlu"):
+                b = ZERO
+                for p in preds:
+                    if p.output.is_encrypted:
+                        b = pmax(b, pairs[p])
+                boundary[node] = b if b != ZERO else (0, 1)
+                pairs[node] = (0, 1)
             elif name == "extract_bits":
                 # PBS boundary; output = sum of len(positions) fresh
                 # sign-PBS outputs
-                boundary[node] = max(
-                    (manp[p] for p in preds if p.output.is_encrypted),
-                    default=1)
-                manp[node] = max(
-                    len(node.properties["kwargs"]["positions"]), 1)
+                b = ZERO
+                for p in preds:
+                    if p.output.is_encrypted:
+                        b = pmax(b, pairs[p])
+                boundary[node] = b if b != ZERO else (0, 1)
+                pairs[node] = (0, max(
+                    len(node.properties["kwargs"]["positions"]), 1))
             elif name == "multivariate":
-                # packed = sum (x_i - min_i) << off_i: scaled norms add
-                packed_manp = 0
+                # packed = sum (x_i - min_i) << off_i: scaled pairs add
+                packed = ZERO
                 acc_off = 0
                 for pr in reversed(preds):
                     lo, hi = pr.bounds
-                    packed_manp += manp[pr] * (1 << acc_off) ** 2
+                    packed = add(packed, scale(pairs[pr],
+                                               (1 << acc_off) ** 2))
                     acc_off += max(int(hi - lo).bit_length(), 1)
-                boundary[node] = max(packed_manp, 1)
-                manp[node] = 1
+                boundary[node] = packed if packed != ZERO else (0, 1)
+                pairs[node] = (0, 1)
             elif name in ("add", "subtract"):
-                s = sum(manp[p] for p in preds if p.output.is_encrypted)
-                manp[node] = max(s, 1)
+                s = ZERO
+                for p in preds:
+                    if p.output.is_encrypted:
+                        s = add(s, pairs[p])
+                pairs[node] = s if s != ZERO else ZERO
             elif name == "negative":
-                manp[node] = manp[preds[0]]
+                pairs[node] = pairs[preds[0]]
             elif name == "multiply":
                 # encrypted * clear: scale by max |constant|^2
                 enc = [p for p in preds if p.output.is_encrypted]
                 clear = [p for p in preds if not p.output.is_encrypted]
-                scale = 1
+                s = 1
                 for c in clear:
                     hi = max(abs(c.bounds[0]), abs(c.bounds[1])) \
                         if c.bounds else max(abs(c.output.dtype.min),
                                              abs(c.output.dtype.max))
-                    scale *= hi * hi
-                manp[node] = max(manp[enc[0]] * scale, 1) if enc else 1
+                    s *= hi * hi
+                pairs[node] = scale(pairs[enc[0]], s) if enc else ZERO
             elif name in ("matmul", "dot"):
                 enc = [p for p in preds if p.output.is_encrypted]
                 clear = [p for p in preds if not p.output.is_encrypted]
@@ -213,14 +263,31 @@ class Graph:
                                  abs(cnode.output.dtype.max))
                         size = max(cnode.output.size, 1)
                         norm = hi * hi * size
-                    manp[node] = max(manp[enc[0]] * norm, 1)
+                    pairs[node] = scale(pairs[enc[0]], norm)
                 else:
-                    manp[node] = 1
+                    pairs[node] = ZERO
             elif name == "sum":
                 size = max(preds[0].output.size, 1)
-                manp[node] = manp[preds[0]] * size
+                pairs[node] = scale(pairs[preds[0]], size)
             else:
-                manp[node] = max((manp[p] for p in preds), default=1)
+                m = ZERO
+                for p in preds:
+                    m = pmax(m, pairs.get(p, ZERO))
+                pairs[node] = m
+        return pairs, boundary
+
+    def manp_map(self) -> tuple[dict[Node, int], dict[Node, int]]:
+        """Per-node MANP plus per-TLU boundary norms.
+
+        Returns (manp, boundary): manp[node] is the squared 2-norm
+        accumulated on the node's value since the last TLU; boundary[tlu]
+        is the norm entering that TLU (the packed norm for multivariate
+        nodes).  The componentwise sum of variance_pairs() — kept for
+        norm2-typed consumers (key truncation budgets, display).
+        """
+        pairs, bpairs = self.variance_pairs()
+        manp = {n: max(c[0] + c[1], 1) for n, c in pairs.items()}
+        boundary = {n: max(c[0] + c[1], 1) for n, c in bpairs.items()}
         return manp, boundary
 
     # -- formatting --------------------------------------------------------

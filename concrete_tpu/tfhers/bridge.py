@@ -34,31 +34,6 @@ from concrete_tpu.tfhers.serialization import (RadixCiphertext,
                                                serialize_radix)
 
 
-def _choose_conversion_gadget(n_src: int, dst_std: float, budget: float):
-    """Cheapest (level, base_log) for an n_src -> * keyswitch whose noise
-    fits `budget` (the optimizer's FKS search shape, optimizer/v0.py
-    choose_fks, re-parametrized on raw dimensions for external keys)."""
-    import math
-
-    from concrete_tpu import params as pp
-    best, best_cost = None, math.inf
-    for level in (1, 2, 3, 4, 5, 6, 8, 10, 12):
-        for base in range(2, 25):
-            if level * base > 60:
-                continue
-            v = pp.variance_keyswitch(n_src, base, level, dst_std ** 2)
-            if v > budget:
-                continue
-            cost = n_src * level
-            if cost < best_cost:
-                best, best_cost = (level, base), cost
-    if best is None:
-        raise ValueError(
-            f"no conversion keyswitch meets variance budget {budget:.3e} "
-            f"from dimension {n_src}")
-    return best
-
-
 class Bridge:
     def __init__(self, circuit, input_types: dict[int, TFHERSIntegerType]):
         self.circuit = circuit
@@ -113,7 +88,8 @@ class Bridge:
 
     def _build_conversion_keys(self) -> None:
         from concrete_tpu.core import keygen as kg
-        from concrete_tpu.optimizer.v0 import safe_variance_bound
+        from concrete_tpu.optimizer.v0 import (choose_fks_raw,
+                                               safe_variance_bound)
         from concrete_tpu.utils.csprng import SecureGenerator
         specs = self.circuit.client_specs
         params = specs.params
@@ -123,9 +99,12 @@ class Bridge:
         p_error = self._p_error()
         width = max([specs.input_width(i) for i in self.input_types
                      or range(len(specs.inputs))] or [specs.message_bits])
+        # 1/8 of the decision margin, matching the crossing budget split in
+        # compilation/multi.py (conversion KS is one of several additive
+        # noise stages sharing the margin)
         budget = safe_variance_bound(width, p_error) / 8.0
-        lvl_in, base_in = _choose_conversion_gadget(
-            key.size, params.glwe_std, budget)
+        lvl_in, base_in, _ = choose_fks_raw(
+            key.size, params.n_big, params.glwe_std, budget)
         ksk_in = kg.make_ksk(rng, key, keys.secret.lwe_big,
                              base_in, lvl_in, params.glwe_std)
         # export budget: the tfhe-rs side must still decode msg+carry bits
@@ -135,8 +114,9 @@ class Bridge:
                   ).bit_length() - 1 if t_params else width
         t_std = (t_params.glwe_noise_distribution_stdev
                  or params.glwe_std) if t_params else params.glwe_std
-        lvl_out, base_out = _choose_conversion_gadget(
-            params.n_big, t_std, safe_variance_bound(t_bits, p_error) / 8.0)
+        lvl_out, base_out, _ = choose_fks_raw(
+            params.n_big, key.size, t_std,
+            safe_variance_bound(t_bits, p_error) / 8.0)
         ksk_out = kg.make_ksk(rng, keys.secret.lwe_big, key,
                               base_out, lvl_out, t_std)
         self._import_ksk = self._pack(ksk_in, base_in, lvl_in)
@@ -212,9 +192,21 @@ class Bridge:
 
     # -- framed bytes (fheint.rs analog, tfhers/serialization.py) -----------
 
-    def import_ciphertext(self, blob: bytes, input_idx: int) -> np.ndarray:
-        """Serialized radix ciphertext bytes -> circuit input array."""
-        radix = deserialize_radix(blob)
+    def import_ciphertext(self, blob: bytes, input_idx: int,
+                          format: str = "auto") -> np.ndarray:
+        """Serialized radix ciphertext bytes -> circuit input array.
+
+        format: "ctrx" (this framework's framing), "tfhers" (tfhe-rs 0.10
+        safe_serialization bincode, tfhers/bincode.py — byte-level caveats
+        in docs/tfhers_wire.md), or "auto" (sniff the CTRX magic).
+        """
+        if format == "auto":
+            format = "ctrx" if blob[:4] == b"CTRX" else "tfhers"
+        if format == "tfhers":
+            from concrete_tpu.tfhers.bincode import deserialize_fheuint
+            radix = deserialize_fheuint(blob)
+        else:
+            radix = deserialize_radix(blob)
         dtype = self.input_types[input_idx]
         if radix.message_modulus != dtype.msg_modulus:
             raise ValueError(
@@ -227,13 +219,19 @@ class Bridge:
         return self.import_value(radix.blocks, input_idx)
 
     def export_ciphertext(self, cts, output_idx: int,
-                          dtype: TFHERSIntegerType) -> bytes:
-        """Circuit block outputs -> serialized radix ciphertext bytes."""
+                          dtype: TFHERSIntegerType,
+                          format: str = "ctrx") -> bytes:
+        """Circuit block outputs -> serialized radix ciphertext bytes
+        (format as in import_ciphertext; "auto" not meaningful here)."""
         blocks = np.stack([np.asarray(c, dtype=np.uint64).reshape(-1)
                            for c in (cts if isinstance(cts, (tuple, list))
                                      else [cts])])
         blocks = self.export_value(blocks, output_idx, dtype)
-        return serialize_radix(radix_from_blocks(blocks, dtype))
+        radix = radix_from_blocks(blocks, dtype)
+        if format == "tfhers":
+            from concrete_tpu.tfhers.bincode import serialize_fheuint
+            return serialize_fheuint(radix, dtype.bit_width)
+        return serialize_radix(radix)
 
     def serialize_input_secret_key(self, input_idx: int) -> bytes:
         key = self._shared_key if self._shared_key is not None \

@@ -545,7 +545,7 @@ def test_clear_left_matmul_execution_and_norm2():
 
     inputset = [np.random.randint(0, 2, (4,)) for _ in range(20)]
     circuit = f.compile(inputset, CFG)
-    assert circuit.graph.max_norm2() == 36  # contraction over axis 1
+    assert circuit.graph.max_norm2() == 6  # linear norm; contraction over axis 1
     sample = np.array([1, 0, 1, 1])
     check_execution(circuit, lambda x: w @ x, sample)
 
@@ -559,7 +559,7 @@ def test_clear_right_matmul_norm2_axis0():
 
     inputset = [np.random.randint(0, 2, (2, 4)) for _ in range(20)]
     circuit = f.compile(inputset, CFG)
-    assert circuit.graph.max_norm2() == 36
+    assert circuit.graph.max_norm2() == 6  # linear 2-norm = sqrt(36)
     sample = np.array([[1, 0, 1, 1], [0, 1, 0, 0]])
     check_execution(circuit, lambda x: x @ w, sample)
 

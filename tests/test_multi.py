@@ -109,6 +109,7 @@ def test_multi_specs_serialization_roundtrip(multi_circuit):
 
 
 def test_multi_keys_serialization_roundtrip(multi_circuit):
+    multi_circuit.keygen(seed=7)   # independent of test order (xdist)
     keys = multi_circuit.keys
     blob = keys.serialize()
     restored = MultiKeys.deserialize_with(
