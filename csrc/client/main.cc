@@ -26,7 +26,9 @@
 
 #include "csprng.h"
 #include "json.h"
+#include "keygen.h"
 #include "npz.h"
+#include "npz_write.h"
 #include "specs.h"
 #include "tfhe.h"
 #include "value.h"
@@ -180,6 +182,26 @@ int cmd_encrypt(const Args &a) {
   return 0;
 }
 
+int cmd_keygen(const Args &a) {
+  // concrete-tpu-client keygen --specs specs.json --out keys.npz
+  //
+  // Generates a FULL keyset (secret keys + BSK + KSK + PFPKSK when the
+  // circuit uses WoP-PBS) with no Python on the trust side — the
+  // second-language keygen the reference ships as concrete-keygen
+  // (frontends/concrete-rust/concrete-keygen/src/lib.rs).  The archive is
+  // Keys.load-compatible; hand the server Keys.evaluation material only.
+  ClientSpecs s = ClientSpecs::load(a.specs);
+  if (s.is_multi)
+    die("multi-partition keygen is not supported natively yet; use the "
+        "Python client for multi circuits");
+  if (a.out.empty()) die("keygen: --out keys.npz is required");
+  Csprng rng;
+  KeygenResult kg = generate_keys(s, rng);
+  write_keys_npz(a.out, s, kg);
+  std::cout << a.out << "\n";
+  return 0;
+}
+
 int cmd_decrypt(const Args &a) {
   ClientSpecs s = ClientSpecs::load(a.specs);
   if (s.is_multi)
@@ -232,6 +254,7 @@ int main(int argc, char **argv) {
   try {
     Args a = parse_args(argc, argv);
     if (a.cmd == "inspect") return cmd_inspect(a);
+    if (a.cmd == "keygen") return cmd_keygen(a);
     if (a.cmd == "encrypt") return cmd_encrypt(a);
     if (a.cmd == "decrypt") return cmd_decrypt(a);
     die("unknown command '" + a.cmd + "'");

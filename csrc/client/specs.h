@@ -38,7 +38,12 @@ struct GateSpec {
 struct ClientSpecs {
   // mono-keyset crypto parameters (params.py CryptoParams)
   int n_small = 0, glwe_dimension = 0, polynomial_size = 0;
+  int pbs_level = 0, pbs_base_log = 0, ks_level = 0, ks_base_log = 0;
+  int security_level = 128;
   double lwe_std = 0.0, glwe_std = 0.0;
+  // WoP gadgets (specs "wop_gadgets": [cbs_l, cbs_b, pfks_l, pfks_b])
+  bool has_wop = false;
+  int cbs_level = 0, cbs_base_log = 0, pfks_level = 0, pfks_base_log = 0;
   int message_bits = 0;
   std::vector<GateSpec> inputs, outputs;
   std::vector<int> input_widths, output_widths;   // empty -> message_bits
@@ -61,7 +66,23 @@ struct ClientSpecs {
     s.polynomial_size = static_cast<int>(p["polynomial_size"].as_int());
     s.lwe_std = p["lwe_std"].as_num();
     s.glwe_std = p["glwe_std"].as_num();
+    s.pbs_level = static_cast<int>(p["pbs_level"].as_int());
+    s.pbs_base_log = static_cast<int>(p["pbs_base_log"].as_int());
+    s.ks_level = static_cast<int>(p["ks_level"].as_int());
+    s.ks_base_log = static_cast<int>(p["ks_base_log"].as_int());
+    if (!p["security_level"].is_null())
+      s.security_level = static_cast<int>(p["security_level"].as_int());
     s.message_bits = static_cast<int>(root["message_bits"].as_int());
+    if (!root["wop_gadgets"].is_null()) {
+      const auto &g = root["wop_gadgets"].as_arr();
+      if (g.size() != 4)
+        throw std::runtime_error("specs: wop_gadgets must have 4 entries");
+      s.has_wop = true;
+      s.cbs_level = static_cast<int>(g[0].as_int());
+      s.cbs_base_log = static_cast<int>(g[1].as_int());
+      s.pfks_level = static_cast<int>(g[2].as_int());
+      s.pfks_base_log = static_cast<int>(g[3].as_int());
+    }
     auto gates = [](const Json &arr) {
       std::vector<GateSpec> out;
       for (const Json &g : arr.as_arr()) {
