@@ -193,6 +193,99 @@ def negacyclic_banded_matmul(d_limbs, vv, block: int):
     return negacyclic_banded_matmul_planes(lhs_list, vv, block)
 
 
+def negacyclic_banded_matmul_fused(lhs_list, vv, block: int,
+                                   out_planes: int = None):
+    """Single-dot variant of negacyclic_banded_matmul_planes.
+
+    The per-j-block formulation dispatches nb matmuls per step and
+    scatter-adds their outputs into a (B, Cout, S+A-1, nb, block) planes
+    buffer — measured 12.8 ms of the 17.7 ms N=1024 blind-rotate step at
+    B=16k (tools/profile_banded_step.py), ~4.7x the MXU floor of its dots.
+    Here the WHOLE step is one int8 matmul:
+
+      lhs  (B, A*Cin*N)   = digit limb planes concatenated over a
+      rhs  (A*Cin*N, Cout*(S+A-1)*N)
+           rhs[(a, cin, i), (cout, splane, j)] = vv[cin, cout, splane - a,
+                                                    N-1 + j - i]
+           (zero where splane - a is outside [0, S))
+
+    so the a-limb shift structure lives in the rhs columns, the nb j-block
+    matmuls collapse into one MXU-friendly dot, and the output is already
+    (B, Cout, S+A-1, N) — no scatter.  Extra zero MACs: (A-1)/S of the
+    useful work (0 for A=1).  rhs bytes = A*Cin*N * Cout*(S+A-1)*N — the
+    caller gates on this (N=1024-class steps fit easily).
+
+    `out_planes` (default S+A-1) truncates the produced limb planes: the
+    blind-rotate step discards planes >= keep anyway, so the fused rhs
+    simply omits those columns (the j-block formulation can't — its
+    scatter-add needs the full buffer).
+    """
+    a_limbs = len(lhs_list)
+    b_ct = lhs_list[0].shape[0]
+    cin, cout, s_limbs, two_n_m1 = vv.shape
+    n = (two_n_m1 + 1) // 2
+    nb = n // block
+    assert n % block == 0
+    width = (2 * nb - 1) * block
+    # sliding windows: m[cin, r, cout, s, x] = vv[cin, cout, s, x+block-1-r]
+    m = jnp.stack([
+        lax.slice_in_dim(vv, block - 1 - r, block - 1 - r + width, axis=-1)
+        for r in range(block)], axis=1)          # (Cin, r, Cout, S, width)
+    # all (i_blk, j_blk) band blocks as static slices -> one rhs
+    rows = []
+    for i_blk in range(nb):
+        band = jnp.stack([
+            lax.slice_in_dim(m, (j_blk - i_blk + nb - 1) * block,
+                             (j_blk - i_blk + nb - 1) * block + block,
+                             axis=-1)
+            for j_blk in range(nb)], axis=-2)    # (Cin, r, Cout, S, nb_j, t)
+        rows.append(band)
+    rhs = jnp.stack(rows, axis=1)                # (Cin, nb_i, r, Cout, S, nb_j, t)
+    rhs = rhs.reshape(cin * n, cout, s_limbs, n)
+    s_total = s_limbs + a_limbs - 1
+    if out_planes is None:
+        out_planes = s_total
+    if a_limbs == 1:
+        rhs_full = rhs[:, :, :out_planes, :].reshape(
+            cin * n, cout * min(out_planes, s_limbs) * n)
+        lhs = lhs_list[0]
+    else:
+        # embed the a-limb plane shift in zero-padded column copies
+        pads = []
+        for a in range(a_limbs):
+            padded = jnp.pad(rhs, ((0, 0), (0, 0),
+                                   (a, s_total - s_limbs - a), (0, 0)))
+            pads.append(padded[:, :, :out_planes, :])
+        rhs_full = jnp.stack(pads, axis=0).reshape(
+            a_limbs * cin * n, cout * min(out_planes, s_total) * n)
+        lhs = jnp.concatenate(lhs_list, axis=1)
+    planes = jnp.matmul(lhs, rhs_full, preferred_element_type=jnp.int32)
+    return planes.reshape(b_ct, cout, min(out_planes, s_total), n)
+
+
+#: fuse the banded step into one dot when the materialized rhs stays under
+#: this many bytes (the N=1024-class steps; large-N steps take the NTT path
+#: anyway)
+FUSED_BANDED_RHS_MAX_BYTES = 384 * 1024 * 1024
+
+
+def _fused_rhs_bytes(a_limbs, cin, cout, out_planes, n) -> int:
+    return a_limbs * cin * n * cout * out_planes * n
+
+
+def _banded_matmul_auto(lhs_list, vv, block: int):
+    """Pick the fused single-dot step when its rhs fits, else the j-block
+    formulation.  Both are exact and bit-identical."""
+    a_limbs = len(lhs_list)
+    cin, cout, s_limbs, two_n_m1 = vv.shape
+    n = (two_n_m1 + 1) // 2
+    s_total = s_limbs + a_limbs - 1
+    if _fused_rhs_bytes(a_limbs, cin, cout, s_total,
+                        n) <= FUSED_BANDED_RHS_MAX_BYTES:
+        return negacyclic_banded_matmul_fused(lhs_list, vv, block)
+    return negacyclic_banded_matmul_planes(lhs_list, vv, block)
+
+
 def negacyclic_banded_matmul_planes(lhs_list, vv, block: int):
     """Core of the banded matmul: lhs_list[a] is the (B, Cin*N) int8 plane of
     digit limb a; vv as in negacyclic_banded_matmul."""
@@ -340,6 +433,20 @@ def keyswitch(ct, ksk: LimbKSK):
 import os as _os
 USE_FUSED_BANDED_MM = _os.environ.get("CONCRETE_TPU_FUSED_MM", "0") == "1"
 
+#: banded-matmul formulation inside the throughput blind-rotate step:
+#:   "planes"   - per-j-block matmuls + scatter-add into the planes buffer
+#:   "fuseddot" - ONE int8 dot per step: band blocks + digit-limb shifts
+#:                embedded in the rhs columns, truncated planes never
+#:                computed (negacyclic_banded_matmul_fused)
+#:   "pallas"   - fused Pallas kernel (legacy CONCRETE_TPU_FUSED_MM)
+#:   "auto"     - fuseddot when its rhs fits FUSED_BANDED_RHS_MAX_BYTES
+#: Default "auto": hardware-measured on the N=1024 4-bit bench shapes
+#: (tools/profile_banded_step.py, B=16384): full step 13.96 ms/step
+#: fuseddot vs 16.50 planes (1654 vs 1398 PBS/s) — the j-block dispatch
+#: and scatter-adds cost more than the fused dot's (A-1)/S zero MACs.
+BANDED_MM_MODE = _os.environ.get(
+    "CONCRETE_TPU_BANDED_MM", "pallas" if USE_FUSED_BANDED_MM else "auto")
+
 
 def _use_pallas_default() -> bool:
     return jax.default_backend() not in ("cpu",)
@@ -416,12 +523,23 @@ def _blind_rotate_pallas(ct_small, bsk: LimbBSK, lut_poly,
                     [d_planes[lev * a_limbs_n + a].reshape(b_ct, kp1, n)
                      for lev in range(l)], axis=1).reshape(b_ct, l * kp1 * n)
             lhs_list.append(lhs)
-        if USE_FUSED_BANDED_MM:
+        mode = BANDED_MM_MODE
+        if mode == "auto":
+            cin = l * kp1
+            mode = "fuseddot" if _fused_rhs_bytes(
+                a_limbs_n, cin, kp1, keep,
+                n) <= FUSED_BANDED_RHS_MAX_BYTES else "planes"
+        if mode == "pallas":
             from concrete_tpu.ops.pallas_banded_mm import banded_matmul_fused
             planes = banded_matmul_fused(lhs_list, w_vv, block)
+            planes = planes[:, :, :keep, :]
+        elif mode == "fuseddot":
+            planes = negacyclic_banded_matmul_fused(lhs_list, w_vv, block,
+                                                    out_planes=keep)
         else:
             planes = negacyclic_banded_matmul_planes(lhs_list, w_vv, block)
-        planes = planes[:, :, :keep, :].reshape(b_ct * kp1, keep, n)
+            planes = planes[:, :, :keep, :]
+        planes = planes.reshape(b_ct * kp1, keep, n)
         lo2, hi2 = ps.recombine_accumulate(
             planes, lo, hi, limb_offset=bsk.truncate_limbs)
         return (lo2, hi2), None
@@ -520,11 +638,22 @@ def _blind_rotate_xla(ct_small, bsk: LimbBSK, lut_poly, params: CryptoParams):
         # (B, r, N, lev, A) -> (B, Cin=l*(k+1), N, A): Cin = lev * (k+1) + r
         d_limbs = jnp.transpose(d_limbs, (0, 3, 1, 2, 4)).reshape(
             b_ct, l * (k + 1), n, a_limbs_n)
-        planes = negacyclic_banded_matmul(d_limbs, w_vv, block)
         keep = 8 - bsk.truncate_limbs
+        mode = BANDED_MM_MODE
+        if mode == "auto":
+            mode = "fuseddot" if _fused_rhs_bytes(
+                a_limbs_n, l * (k + 1), k + 1, keep,
+                n) <= FUSED_BANDED_RHS_MAX_BYTES else "planes"
+        if mode == "fuseddot":
+            lhs_list = [d_limbs[..., a].reshape(b_ct, l * (k + 1) * n)
+                        for a in range(a_limbs_n)]
+            planes = negacyclic_banded_matmul_fused(
+                lhs_list, w_vv, block, out_planes=keep)
+        else:
+            planes = negacyclic_banded_matmul(d_limbs, w_vv,
+                                              block)[:, :, :keep, :]
         ext = lb.recombine_i32_planes_to_u64(
-            planes[:, :, :keep, :], axis=-2,
-            limb_offset=bsk.truncate_limbs)
+            planes, axis=-2, limb_offset=bsk.truncate_limbs)
         return acc + ext, None
 
     acc, _ = lax.scan(step, acc0, (a_t.T, bsk.planes))
