@@ -314,6 +314,197 @@ def main() -> None:
         "vs_baseline": round(pbs_per_sec / 1250.0, 3),
     }))
 
+    if not args.quick and args.params == "4bit-tpuopt":
+        # tail rows: single-PBS latency + the feature-exercising configs
+        # (VERDICT round-2 #4/#10) — the headline row stays first; each
+        # tail row is best-effort so a failure can't lose the headline
+        for name, fn in [("pbs_latency_b1", bench_latency_row),
+                         ("pbs_n4096", bench_n4096_row),
+                         ("wop_tlu_12bit", bench_wop_row),
+                         ("multi_mixed_precision", bench_multi_row)]:
+            try:
+                fn()
+            except Exception as e:   # noqa: BLE001
+                print(f"# tail row {name} failed: {e!r}", file=sys.stderr)
+
+
+def bench_latency_row() -> None:
+    """Single-PBS latency at B=1 (latency-mode blind rotate,
+    core/kernels._blind_rotate_xla_latency)."""
+    import concrete_tpu.jax_config  # noqa: F401
+    import jax.numpy as jnp
+    from concrete_tpu import params as pp
+    from concrete_tpu.core import keygen as kg
+    from concrete_tpu.core import kernels as K
+    from concrete_tpu.core import refimpl as ref
+
+    params = pp.BENCH_PARAMS_4BIT_TPUOPT
+    sk, server = _cached_keyset(params)
+    ksk = K.pack_ksk(server.ksk, params)
+    trunc = pp.choose_truncate_limbs(params, 4)
+    bsk = K.pack_bsk(server.bsk, params, truncate_limbs=trunc)
+    rng = np.random.default_rng(7)
+    lut = np.array([(3 * v + 1) % 16 for v in range(16)], dtype=np.uint64)
+    lut_poly = jnp.asarray(ref.encode_expand_lut(
+        lut, params.polynomial_size, 4))
+    ct = jnp.asarray(kg.encrypt_lwe_batch(
+        rng, sk.lwe_big, ref.encode(np.array([5]), 4), params.lwe_std / 4))
+
+    def run():
+        return int(K.pbs_batch(ct, ksk, bsk, lut_poly, params, 4)[0, -1])
+
+    run()                                      # compile
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    best = min(times) - 0.030                  # tunnel RTT
+    print(f"# latency B=1: {[f'{t*1e3:.0f}' for t in times]} ms",
+          file=sys.stderr)
+    print(json.dumps({"metric": "pbs_latency_b1",
+                      "value": round(best * 1e3, 1), "unit": "ms",
+                      "vs_baseline": 1.0}))
+
+
+def bench_n4096_row(batch: int = 1024) -> None:
+    """6-bit N=4096 PBS throughput (the round-2 cliff config)."""
+    import concrete_tpu.jax_config  # noqa: F401
+    import jax.numpy as jnp
+    from concrete_tpu import params as pp
+    from concrete_tpu.core import keygen as kg
+    from concrete_tpu.core import kernels as K
+    from concrete_tpu.core import refimpl as ref
+
+    params = pp.BENCH_PARAMS_6BIT
+    sk, server = _cached_keyset(params)
+    ksk = K.pack_ksk(server.ksk, params)
+    import os
+    forced = os.environ.get("CONCRETE_TPU_NTT")
+    use_ntt = forced == "1" if forced is not None else \
+        params.polynomial_size >= 2048
+    if use_ntt:
+        from concrete_tpu.core import ntt_tpu as nt
+        bsk = nt.pack_bsk_ntt(server.bsk, params)
+    else:
+        trunc = pp.choose_truncate_limbs(params, 6)
+        bsk = K.pack_bsk(server.bsk, params, truncate_limbs=trunc)
+    rng = np.random.default_rng(8)
+    lut = np.array([(3 * v + 1) % 64 for v in range(64)], dtype=np.uint64)
+    lut_poly = jnp.asarray(ref.encode_expand_lut(
+        lut, params.polynomial_size, 6))
+    msgs = rng.integers(0, 64, batch)
+    ct = jnp.asarray(kg.encrypt_lwe_batch(
+        rng, sk.lwe_big, ref.encode(msgs, 6), params.lwe_std / 4))
+
+    def run():
+        return int(K.pbs_batch(ct, ksk, bsk, lut_poly, params, 6)[0, -1])
+
+    t0 = time.time()
+    run()
+    print(f"# n4096 compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
+    times = []
+    for _ in range(2):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    best = min(times)
+    print(json.dumps({"metric": "pbs_throughput_n4096_6bit",
+                      "value": round(batch / best, 1), "unit": "PBS/s",
+                      "vs_baseline": round(batch / best / 1250.0, 3)}))
+
+
+def _cached_keyset(params):
+    import hashlib
+    import os
+    import pickle
+    cache_dir = os.path.expanduser("~/.cache/concrete_tpu_bench")
+    os.makedirs(cache_dir, exist_ok=True)
+    tag = hashlib.sha256(repr(params).encode()).hexdigest()[:16]
+    cache_path = os.path.join(cache_dir, f"keys_{tag}.pkl")
+    from concrete_tpu.core import keygen as kg
+    if os.path.exists(cache_path):
+        with open(cache_path, "rb") as f:
+            return pickle.load(f)
+    pair = kg.keygen(np.random.default_rng(2026), params)
+    with open(cache_path, "wb") as f:
+        pickle.dump(pair, f)
+    return pair
+
+
+def bench_wop_row(batch: int = 64) -> None:
+    """12-bit TLU through WoP-PBS (extract + CBS + vertical packing) at
+    optimizer-chosen 128-bit parameters, through the compiler frontend."""
+    import concrete_tpu as fhe
+
+    table = fhe.LookupTable([(3 * i + 1) % 256 for i in range(1 << 12)])
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return table[x]
+
+    rng = np.random.default_rng(9)
+    xs = rng.integers(0, 1 << 12, batch)
+    cal = xs.copy()
+    cal[:3] = [0, 1 << 11, (1 << 12) - 1]    # force full-range bounds
+    t0 = time.time()
+    circuit = f.compile([cal, xs])
+    circuit.keygen(seed=12)
+    print(f"# wop12: compile+keygen {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    enc = circuit.encrypt(xs)
+    circuit.run(*enc) if isinstance(enc, tuple) else circuit.run(enc)
+    t0 = time.time()
+    out = circuit.run(*enc) if isinstance(enc, tuple) else circuit.run(enc)
+    dt = time.time() - t0
+    got = np.asarray(circuit.decrypt(out))
+    want = (3 * xs + 1) % 256
+    errs = int((got != want).sum())
+    print(f"# wop12 correctness: {batch - errs}/{batch}", file=sys.stderr)
+    print(json.dumps({"metric": "wop_tlu_12bit_throughput",
+                      "value": round(batch / dt, 2), "unit": "TLU/s",
+                      "vs_baseline": 1.0}))
+
+
+def bench_multi_row(batch: int = 2048) -> None:
+    """Mixed-precision circuit (2-bit + 7-bit TLUs) under the MULTI
+    parameter-selection strategy: each PBS on its own keyset."""
+    import concrete_tpu as fhe
+
+    small = fhe.LookupTable([v % 4 for v in range(4)])
+    big = fhe.LookupTable([(5 * v + 2) % 64 for v in range(64)])
+
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def f(x, y):
+        return small[x] + big[y]
+
+    rng = np.random.default_rng(10)
+    xs = rng.integers(0, 4, batch)
+    ys = rng.integers(0, 64, batch)
+    cfg = fhe.Configuration(
+        parameter_selection_strategy=fhe.ParameterSelectionStrategy.MULTI)
+    t0 = time.time()
+    cal_x = xs.copy(); cal_x[:2] = [0, 3]
+    cal_y = ys.copy(); cal_y[:2] = [0, 63]
+    circuit = f.compile([(cal_x, cal_y), (xs, ys)], cfg)
+    circuit.keygen(seed=13)
+    print(f"# multi: compile+keygen {time.time() - t0:.1f}s "
+          f"(partitions: {sorted(circuit.client_specs.partitions or {})})",
+          file=sys.stderr)
+    enc = circuit.encrypt(xs, ys)
+    circuit.run(*enc)
+    t0 = time.time()
+    out = circuit.run(*enc)
+    dt = time.time() - t0
+    got = np.asarray(circuit.decrypt(out))
+    want = xs % 4 + (5 * ys + 2) % 64
+    errs = int((got != want).sum())
+    print(f"# multi correctness: {batch - errs}/{batch}", file=sys.stderr)
+    # 2 PBS per sample
+    print(json.dumps({"metric": "multi_mixed_precision_pbs_throughput",
+                      "value": round(2 * batch / dt, 1), "unit": "PBS/s",
+                      "vs_baseline": round(2 * batch / dt / 1250.0, 3)}))
+
 
 if __name__ == "__main__":
     main()

@@ -28,11 +28,28 @@ class Circuit:
             cache = configuration.insecure_key_cache_location
         if specs.is_multi:
             keys = MultiKeys(specs.partitions, specs.conversions or {},
-                             cache_directory=cache)
+                             cache_directory=cache,
+                             pbs_widths=self._pbs_widths())
         else:
             keys = Keys(specs.params, cache_directory=cache)
         self.client = Client(specs, keys)
         self.server = Server(graph, specs)
+
+    def _pbs_widths(self) -> frozenset:
+        """Partitions that actually run a PBS (TLU input widths): the
+        other partitions only encrypt/decrypt and get secret-only keysets
+        (a pure output partition can sit at N=2^14+ where a BSK is GBs
+        of dead weight)."""
+        from concrete_tpu.compilation.widths import (TLU_OPS,
+                                                     tlu_input_width)
+        default = self.client_specs.message_bits
+        widths = set()
+        for node in self.graph.topological_order():
+            if node.name in TLU_OPS and any(
+                    p.output.is_encrypted
+                    for p in self.graph.ordered_preds_of(node)):
+                widths.add(tlu_input_width(self.graph, node, default))
+        return frozenset(widths)
 
     # -- key management ----------------------------------------------------
 
@@ -55,8 +72,11 @@ class Circuit:
         if specs.is_multi:
             mk = self.keys
             norm2 = specs.partition_norm2 or {}
+            pbs_widths = self._pbs_widths()
             ksk, bsk = {}, {}
             for w in specs.partitions:
+                if w not in pbs_widths:
+                    continue   # secret-only partition: no PBS ever runs
                 if w in (specs.partition_wop_gadgets or {}):
                     # untruncated BSK for WoP partitions (see mono path)
                     k, b = mk.keys_for(w).evaluation_for(None)

@@ -144,8 +144,11 @@ class Configuration:
     # -- error budgets / parameter search ---------------------------------
     p_error: Optional[float] = None            # per-PBS error bound
     global_p_error: Optional[float] = None     # circuit-wide error bound
+    # MULTI by default like the reference (V0Parameters.cpp dag-multi is
+    # the shipped default); circuits with one partition resolve to the
+    # identical mono solution (plan_partitions returns None)
     parameter_selection_strategy: ParameterSelectionStrategy = \
-        ParameterSelectionStrategy.MONO
+        ParameterSelectionStrategy.MULTI
     multi_parameter_strategy: MultiParameterStrategy = \
         MultiParameterStrategy.PRECISION
     single_precision: bool = False   # force every value to the global width

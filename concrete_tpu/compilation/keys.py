@@ -46,7 +46,8 @@ class Keys:
         return self._secret is not None
 
     def generate(self, seed: Optional[int] = None,
-                 glwe_key: Optional[np.ndarray] = None) -> None:
+                 glwe_key: Optional[np.ndarray] = None,
+                 secret_only: bool = False) -> None:
         """Generate (or load from the insecure cache) all key material.
 
         All secret/noise randomness comes from the ChaCha20 CSPRNG
@@ -56,10 +57,15 @@ class Keys:
 
         `glwe_key` injects an externally shared big secret key (TFHE-rs
         bridge); such keysets are never cached.
+
+        `secret_only` skips the evaluation keys (BSK/KSK): partitions that
+        run no PBS (e.g. a multi-partition circuit's pure output encoding)
+        only ever encrypt/decrypt, and a BSK at their parameters can be
+        arbitrarily large (N up to 2^16).
         """
         self._seed = seed
         if self.cache_directory is not None and glwe_key is None:
-            path = self._cache_path(seed)
+            path = self._cache_path(seed, secret_only)
             if os.path.exists(path):
                 self.load(path)
                 return
@@ -67,20 +73,33 @@ class Keys:
         rng = SecureGenerator(seed)
         self._seed = seed
         self._foreign_key = glwe_key is not None
-        self._secret, self._server = kg.keygen(rng, self.params,
-                                               glwe_key=glwe_key)
+        if secret_only:
+            from concrete_tpu.core.refimpl import (SecretKeys,
+                                                   sample_binary_key)
+            sk_small = sample_binary_key(rng, (self.params.n_small,))
+            gsk = sample_binary_key(
+                rng, (self.params.glwe_dimension,
+                      self.params.polynomial_size))                 if glwe_key is None else np.asarray(
+                    glwe_key, dtype=np.uint64).reshape(
+                        self.params.glwe_dimension,
+                        self.params.polynomial_size)
+            self._secret, self._server = SecretKeys(lwe_small=sk_small,
+                                                    glwe=gsk), None
+        else:
+            self._secret, self._server = kg.keygen(rng, self.params,
+                                                   glwe_key=glwe_key)
         self._packed_ksk = None
         self._packed_bsk = None
         self._packed_bsk_ntt = None
         if self.cache_directory is not None and glwe_key is None:
             os.makedirs(self.cache_directory, exist_ok=True)
-            self.save(self._cache_path(seed))
+            self.save(self._cache_path(seed, secret_only))
 
-    def _cache_path(self, seed) -> str:
+    def _cache_path(self, seed, secret_only: bool = False) -> str:
         # NOTE: cache files contain PLAINTEXT SECRET KEYS (hence the
         # "insecure" in use_insecure_key_cache); they are data-only npz.
         h = hashlib.sha256(
-            repr((self.params, seed)).encode()).hexdigest()[:24]
+            repr((self.params, seed, secret_only)).encode()).hexdigest()[:24]
         return os.path.join(self.cache_directory, f"keys_{h}.npz")
 
     # -- accessors ---------------------------------------------------------
@@ -92,7 +111,7 @@ class Keys:
 
     @property
     def server(self) -> ServerKeys:
-        self._require()
+        self._require_server()
         return self._server
 
     @property
@@ -126,7 +145,7 @@ class Keys:
         bit-identical PBS results.
         """
         import os
-        self._require()
+        self._require_server()
         if use_ntt is None:
             forced = os.environ.get("CONCRETE_TPU_NTT")
             if forced is not None:
@@ -192,6 +211,13 @@ class Keys:
         if self._secret is None:
             raise RuntimeError("keys are not generated yet; call generate()")
 
+    def _require_server(self):
+        self._require()
+        if self._server is None:
+            raise RuntimeError(
+                "this keyset was generated secret-only (a PBS-less "
+                "partition); it has no evaluation keys")
+
     # -- serialization (data-only npz + JSON params; no pickle — loading a
     # key blob must never execute code.  Reference ships capnp Keysets for
     # the same reason, concrete-protocol.capnp) ------------------------------
@@ -207,9 +233,10 @@ class Keys:
                                     dtype=np.uint8),
             "lwe_small": self._secret.lwe_small,
             "glwe": self._secret.glwe,
-            "bsk": self._server.bsk,
-            "ksk": self._server.ksk,
         }
+        if self._server is not None:
+            out["bsk"] = self._server.bsk
+            out["ksk"] = self._server.ksk
         for (lev, base), pfpksk in self._pfpksk.items():
             out[f"pfpksk_{lev}_{base}"] = pfpksk
         return out
@@ -223,8 +250,10 @@ class Keys:
             raise ValueError("key file was generated for other parameters")
         self._secret = SecretKeys(lwe_small=np.asarray(z["lwe_small"]),
                                   glwe=np.asarray(z["glwe"]))
+        files = getattr(z, "files", [])
         self._server = ServerKeys(bsk=np.asarray(z["bsk"]),
-                                  ksk=np.asarray(z["ksk"]))
+                                  ksk=np.asarray(z["ksk"])) \
+            if "bsk" in files else None
         self._packed_ksk = None
         self._packed_bsk = None
         self._packed_bsk_ntt = None
@@ -269,16 +298,25 @@ class MultiKeys:
     """
 
     def __init__(self, partitions: dict, conversions: dict,
-                 cache_directory: Optional[str] = None):
+                 cache_directory: Optional[str] = None,
+                 pbs_widths=None):
         """partitions: width -> CryptoParams; conversions:
-        (src_width, dst_width) -> (level, base_log)."""
+        (src_width, dst_width) -> (level, base_log); pbs_widths: the
+        partitions that actually run a PBS (None = all) — the others get
+        secret-only keysets (their BSK would be dead weight, and a pure
+        output partition can sit at N=2^14+ where a BSK is GBs)."""
         self.partitions = dict(partitions)
         self.conversions = dict(conversions)
         self.cache_directory = cache_directory
+        self.pbs_widths = frozenset(pbs_widths) \
+            if pbs_widths is not None else None
         self._keys: dict[int, Keys] = {
             w: Keys(p) for w, p in self.partitions.items()}
         self._fks: dict[tuple, np.ndarray] = {}
         self._packed_fks: dict[tuple, kn.LimbKSK] = {}
+
+    def _needs_eval(self, w: int) -> bool:
+        return self.pbs_widths is None or w in self.pbs_widths
 
     @property
     def are_generated(self) -> bool:
@@ -296,7 +334,8 @@ class MultiKeys:
         for w, keys in self._keys.items():
             # derive distinct per-partition seeds so equal-parameter
             # partitions never share secret key material
-            keys.generate(None if seed is None else seed + 7919 * w)
+            keys.generate(None if seed is None else seed + 7919 * w,
+                          secret_only=not self._needs_eval(w))
         self._fks = {}
         self._packed_fks = {}
         rng = SecureGenerator(None if seed is None else seed + 13)
@@ -310,7 +349,9 @@ class MultiKeys:
             self.save(self._cache_path(seed))
 
     def _cache_path(self, seed) -> str:
-        h = hashlib.sha256(repr((sorted(self.partitions.items()),
+        h = hashlib.sha256(repr((sorted(self.pbs_widths)
+                                  if self.pbs_widths is not None else None,
+                                  sorted(self.partitions.items()),
                                  sorted(self.conversions.items()),
                                  seed)).encode()).hexdigest()[:24]
         return os.path.join(self.cache_directory, f"multikeys_{h}.npz")

@@ -181,6 +181,16 @@ def plan_partitions(graph: Graph, p_error: float = 6.3e-5,
     if len(patterns) < 2:
         return None
 
+    # A crossing's decision margin sv(p) is shared by three stages:
+    # src BR (after the n2 dot), the conversion keyswitch, and the dst's
+    # own KS+MS.  Reserve it up front — half for the destination's KS+MS,
+    # a quarter for the FKS — or the destination's cost-minimal solution
+    # saturates the margin and the source solve becomes infeasible.
+    caps_by_w: dict[int, list] = {}
+    for c in crossings:
+        caps_by_w.setdefault(c.dst, []).extend(
+            0.5 * safe_variance_bound(p, p_error) for p, _ in c.constraints)
+
     def solve(frontier_by_w: dict):
         out = {}
         for w, pt in patterns.items():
@@ -190,6 +200,7 @@ def plan_partitions(graph: Graph, p_error: float = 6.3e-5,
                 noise_only=tuple(pt.wide_in),
                 wop_patterns=tuple(pt.wop),
                 frontier=tuple(frontier_by_w.get(w, ())),
+                ks_ms_caps=tuple(sorted(caps_by_w.get(w, ()))[:1]),
                 restriction=restriction)
         return out
 
@@ -203,7 +214,7 @@ def plan_partitions(graph: Graph, p_error: float = 6.3e-5,
         for c in crossings:
             key = (c.src, c.dst)
             b = min(safe_variance_bound(p, p_error) / float(n2) ** 2
-                    for p, n2 in c.constraints) / 8.0
+                    for p, n2 in c.constraints) / 4.0
             budgets[key] = min(budgets.get(key, b), b)
         fks = {}
         fks_var: dict[tuple, float] = {}

@@ -120,6 +120,7 @@ def optimize_v0_multi(patterns: tuple, p_error: float = 6.3e-5,
                       noise_only: tuple = (),
                       wop_patterns: tuple = (),
                       frontier: tuple = (),
+                      ks_ms_caps: tuple = (),
                       restriction=None) -> pp.CryptoParams:
     """Minimal-cost CryptoParams feasible for EVERY (precision, norm2)
     atomic pattern simultaneously.
@@ -143,6 +144,14 @@ def optimize_v0_multi(patterns: tuple, p_error: float = 6.3e-5,
     gadget through the circuit-bootstrap sign-PBS) must satisfy the
     consumers' decision margins.  Probed with the deep _WOP_PROBE gadget;
     the actual gadget is chosen afterwards by choose_wop_gadgets.
+
+    `ks_ms_caps` are hard upper bounds on this partition's own
+    (v_ks + v_ms): a partition that is the DESTINATION of a multi-partition
+    crossing must leave headroom in the crossing's decision margin for the
+    source partition's BR noise and the conversion keyswitch
+    (compilation/multi.py reserves half the margin this way; without the
+    reservation the destination's cost-minimal solution saturates the
+    margin and the fixed-point iteration deadlocks infeasible).
 
     `frontier` patterns are (width, norm2, extra_var) triples from
     multi-partition crossings (compilation/multi.py): this partition's BR
@@ -220,6 +229,8 @@ def optimize_v0_multi(patterns: tuple, p_error: float = 6.3e-5,
         if any(w * v_ms.min() > sv
                for sv, w in zip(safe_vars, ks_ms_w)):
             continue
+        if ks_ms_caps and v_ms.min() >= min(ks_ms_caps):
+            continue
         for k in ks_allowed:
             n_big = k * big_n
             if n_big > (1 << 17):
@@ -273,6 +284,8 @@ def optimize_v0_multi(patterns: tuple, p_error: float = 6.3e-5,
                                                  lut_sqs, ks_ms_w):
                         feasible &= (i_sq * var_bsk + l_sq * v_br_unit
                                      + w * (v_ks + v_ms) < sv)
+                    for cap in ks_ms_caps:
+                        feasible &= v_ks + v_ms < cap
                     if wop_patterns:
                         for v_out, n2sq_o, sv_o in wop_outs:
                             feasible &= v_out * n2sq_o + v_ks + v_ms < sv_o
