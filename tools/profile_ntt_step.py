@@ -103,10 +103,12 @@ def pack_scan(lo):
 t = bench(f"u64 pack+acc x{STEPS} (scan)", pack_scan, lo)
 print(f"  -> {t / STEPS * 1e3:.3f} ms/step", flush=True)
 
-# real blind-rotate scan step cost: run a trimmed-n BSK
+# real blind-rotate scan step cost: run a trimmed-n BSK (pack n_trim real
+# rows — slicing the 4-row probe key leaves too few scan steps)
 n_trim = 16
-bsk_small = pn.PallasBSK(spectra=pbsk.spectra[:, :n_trim], primes=pbsk.primes,
-                         base_log=pbsk.base_log, levels=pbsk.levels)
+bsk_u64_t = rng.integers(0, 1 << 63, (n_trim, L, K + 1, K + 1, N),
+                         dtype=np.uint64)
+bsk_small = pn.pack_bsk_pallas(bsk_u64_t, P, primes=primes)
 ct = jnp.asarray(rng.integers(0, 1 << 63, (B, n_trim + 1), dtype=np.uint64))
 lut_poly = jnp.asarray(rng.integers(0, 1 << 63, N, dtype=np.uint64))
 
