@@ -36,19 +36,19 @@ class Circuit:
         self.server = Server(graph, specs)
 
     def _pbs_widths(self) -> frozenset:
-        """Partitions that actually run a PBS (TLU input widths): the
-        other partitions only encrypt/decrypt and get secret-only keysets
-        (a pure output partition can sit at N=2^14+ where a BSK is GBs
-        of dead weight)."""
+        """Partition ids that actually run a PBS (TLU input partitions):
+        the other partitions only encrypt/decrypt and get secret-only
+        keysets (a pure output partition can sit at N=2^14+ where a BSK is
+        GBs of dead weight)."""
         from concrete_tpu.compilation.widths import (TLU_OPS,
-                                                     tlu_input_width)
+                                                     tlu_input_partition)
         default = self.client_specs.message_bits
         widths = set()
         for node in self.graph.topological_order():
             if node.name in TLU_OPS and any(
                     p.output.is_encrypted
                     for p in self.graph.ordered_preds_of(node)):
-                widths.add(tlu_input_width(self.graph, node, default))
+                widths.add(tlu_input_partition(self.graph, node, default))
         return frozenset(widths)
 
     # -- key management ----------------------------------------------------

@@ -66,7 +66,7 @@ class Client:
             arr = np.asarray(arg, dtype=np.int64)
             self._validate(arr, spec, pos)
             width = self.specs.input_width(pos)
-            sk, std = self._secret_for(width)
+            sk, std = self._secret_for(self.specs.input_partition(pos))
             enc = ref.encode(arr, width)
             if compress:
                 import os
@@ -79,8 +79,8 @@ class Client:
         return tuple(out) if len(out) != 1 else out[0]
 
     def _secret_for(self, width: int):
-        """(big LWE secret key, encryption std) of the partition a
-        `width`-bit value lives in (mono: the single keyset).
+        """(big LWE secret key, encryption std) of a partition id
+        (mono: the single keyset).
 
         Fresh inputs encrypt under the BIG key (dimension k*N), whose
         curve-minimal noise is glwe_std — using the small key's (much
@@ -119,7 +119,7 @@ class Client:
         for pos, res in enumerate(results):
             spec = self.specs.outputs[pos]
             width = self.specs.output_width(pos)
-            sk, _ = self._secret_for(width)
+            sk, _ = self._secret_for(self.specs.output_partition(pos))
             phase = ref.lwe_decrypt(sk, np.asarray(res))
             signed = isinstance(spec.dtype, Integer) and spec.dtype.is_signed
             val = ref.decode(phase, width, signed=signed)

@@ -119,15 +119,24 @@ class Compiler:
             n_pbs = max(sum(pbs_of(n) for n in graph.graph.nodes), 1)
             p_error = config.global_p_error / n_pbs
 
-        from concrete_tpu.compilation.configuration import \
-            ParameterSelectionStrategy
+        from concrete_tpu.compilation.configuration import (
+            MultiParameterStrategy, ParameterSelectionStrategy)
         plan = None
         if (config.forced_parameters is None and
                 config.parameter_selection_strategy
                 is ParameterSelectionStrategy.MULTI):
-            # per-partition parameters (PRECISION cut, compilation/multi.py;
-            # reference multi_parameters/partitionning.rs) — None when the
-            # circuit has a single partition (mono IS the multi solution)
+            # per-partition parameters (compilation/multi.py; reference
+            # multi_parameters/partitionning.rs) — None when the circuit
+            # has a single partition (mono IS the multi solution).
+            # PRECISION cuts by encoding width; PRECISION_AND_NORM2
+            # additionally splits same-width classes by norm2 bucket
+            # (partition_cut.rs PrecisionAndNorm2).
+            if (config.multi_parameter_strategy
+                    is MultiParameterStrategy.PRECISION_AND_NORM2):
+                from concrete_tpu.compilation.widths import \
+                    assign_norm2_partitions
+                assign_norm2_partitions(graph,
+                                        composable=config.composable)
             from concrete_tpu.compilation.multi import plan_partitions
             plan = plan_partitions(graph, p_error=p_error,
                                    security_level=config.security_level,
@@ -135,7 +144,8 @@ class Compiler:
 
         wop_gadgets = config.forced_wop_parameters
         if plan is not None:
-            params = plan.params[max(plan.widths)]
+            from concrete_tpu.compilation.widths import part_width
+            params = plan.params[max(plan.params, key=part_width)]
         elif config.forced_parameters is not None:
             params = config.forced_parameters
         else:
@@ -162,6 +172,7 @@ class Compiler:
                 "compilation also needs forced_wop_parameters "
                 "(cbs_level, cbs_base_log, pfks_level, pfks_base_log)")
 
+        from concrete_tpu.compilation.widths import partition_of
         specs = ClientSpecs(
             params=params, message_bits=p,
             inputs=[n.output for n in graph.ordered_inputs],
@@ -170,6 +181,14 @@ class Compiler:
                           for n in graph.ordered_inputs],
             output_widths=[output_encoding_width(n, p)
                            for n in graph.ordered_outputs],
+            input_partitions=[partition_of(n, p)
+                              for n in graph.ordered_inputs]
+            if plan is not None else None,
+            output_partitions=[partition_of(n, p)
+                               if n.output.is_encrypted
+                               else output_encoding_width(n, p)
+                               for n in graph.ordered_outputs]
+            if plan is not None else None,
             wop_gadgets=wop_gadgets if wop_triples and plan is None else None,
             partitions=plan.params if plan is not None else None,
             partition_wop_gadgets=(plan.wop_gadgets or None)

@@ -39,8 +39,9 @@ class ParameterSelectionStrategy(enum.Enum):
 class MultiParameterStrategy(enum.Enum):
     """How MULTI cuts partitions (reference optimizer partition_cut.rs):
     by TLU input precision, or by (precision, norm2) pairs.
-    PRECISION_AND_NORM2 currently falls back to PRECISION (norm2 is
-    threaded into each partition's own parameter search instead)."""
+    PRECISION_AND_NORM2 additionally splits same-width encoding classes
+    whose norm2 buckets (ceil(log2 norm2)) differ, so low-norm2 classes
+    get their own cheaper keyset (widths.assign_norm2_partitions)."""
     PRECISION = "precision"
     PRECISION_AND_NORM2 = "precision_and_norm2"
 

@@ -278,11 +278,15 @@ class GraphExecutor:
     def __init__(self, graph: Graph, params: CryptoParams, p: int,
                  wop_gadgets: tuple = None, specs=None):
         from concrete_tpu.compilation.widths import (encoding_width,
+                                                     partition_of,
                                                      tlu_fused_lsbs)
         self.graph = graph
         self.params = params
         self.p = p  # circuit-wide max width (fallback for old archives)
         self.width_of = lambda node: encoding_width(node, p)
+        # partition id of a node's value: its width under the PRECISION
+        # cut, synthetic under PRECISION_AND_NORM2 (widths.partition_of)
+        self.part_of = lambda node: partition_of(node, p)
         self.specs = specs
         self.partitions = dict(specs.partitions) \
             if specs is not None and specs.is_multi else None
@@ -311,10 +315,11 @@ class GraphExecutor:
             if node.name in ("tlu", "univariate"):
                 preds = graph.ordered_preds_of(node)
                 p_in = self.width_of(preds[0]) if preds else p
-                pparams = self.params_for_width(p_in)
+                pid_in = self.part_of(preds[0]) if preds else p
+                pparams = self.params_for_width(pid_in)
                 lsbs = tlu_fused_lsbs(graph, node)
-                if max(p_in - lsbs, 1) > self.max_native_bits(p_in):
-                    self._require_wop(node, p_in)
+                if max(p_in - lsbs, 1) > self.max_native_bits(pid_in):
+                    self._require_wop(node, pid_in)
                     self.wop_specs[node.uid] = _materialize_wop_table(
                         node, p_in, self.width_of(node), lsbs=lsbs)
                 else:
@@ -324,8 +329,9 @@ class GraphExecutor:
                 preds = [q for q in graph.ordered_preds_of(node)
                          if q.output.is_encrypted]
                 p_in = max((self.width_of(q) for q in preds), default=p)
-                if p_in > self.max_native_bits(p_in):
-                    self._require_wop(node, p_in)
+                pid_in = self.part_of(preds[0]) if preds else p
+                if p_in > self.max_native_bits(pid_in):
+                    self._require_wop(node, pid_in)
                     mins, mwidths, offsets = packed_layout(graph, node)
                     vals = multivariate_raw_table(graph, node, p_in)
                     self.wop_specs[node.uid] = WopTluSpec(
@@ -336,19 +342,18 @@ class GraphExecutor:
                     self.multivariate_specs[node.uid] = \
                         _materialize_multivariate(
                             graph, node, p_in, self.width_of(node),
-                            self.params_for_width(p_in))
+                            self.params_for_width(pid_in))
             elif node.name == "crt_tlu":
                 preds = [q for q in graph.ordered_preds_of(node)
                          if q.output.is_encrypted]
-                p_in = max(self.width_of(q) for q in preds)
-                self._require_wop(node, p_in)
+                self._require_wop(node, self.part_of(preds[0]))
                 self.wop_specs[node.uid] = _materialize_crt_tlu(
                     node, self.width_of(node),
                     tuple(self.width_of(q) for q in preds))
             elif node.name == "dynamic_tlu":
                 preds = graph.ordered_preds_of(node)
                 p_in = self.width_of(preds[1])
-                if p_in > self.max_native_bits(p_in):
+                if p_in > self.max_native_bits(self.part_of(preds[1])):
                     raise ValueError(
                         f"dynamic table lookup at {p_in} bits exceeds the "
                         "native LUT width; dynamic tables cannot lower to "
@@ -370,13 +375,15 @@ class GraphExecutor:
                         "the index wider")
 
     def params_for_width(self, width: int) -> CryptoParams:
+        """Parameters of a partition id (= the encoding width unless the
+        norm2 cut assigned synthetic ids; see widths.partition_of)."""
         if self.partitions and width in self.partitions:
             return self.partitions[width]
         return self.params
 
-    def max_native_bits(self, width: int) -> int:
-        """Widest TLU one blind rotate serves in `width`'s partition."""
-        n = self.params_for_width(width).polynomial_size
+    def max_native_bits(self, pid: int) -> int:
+        """Widest TLU one blind rotate serves in partition `pid`."""
+        n = self.params_for_width(pid).polynomial_size
         return min(8, n.bit_length() - 2)
 
     def wop_params_for(self, width: int):
@@ -400,30 +407,32 @@ class GraphExecutor:
                     .astype(jnp.uint64) << jnp.uint64(64 - width - 1))
         return jnp.asarray(ref.encode(np.asarray(value), width))
 
-    def _trivial(self, value, width: int) -> jnp.ndarray:
+    def _trivial(self, value, width: int, pid: int = None) -> jnp.ndarray:
         """Trivial LWE encryption of clear values (mask zeros), sized for
-        the partition a `width`-bit value lives in."""
+        partition `pid` (default: the `width`-bit partition)."""
         enc = ref.encode(np.asarray(value), width)
-        n_big = self.params_for_width(width).n_big
+        n_big = self.params_for_width(width if pid is None else pid).n_big
         out = np.zeros(enc.shape + (n_big + 1,), dtype=np.uint64)
         out[..., -1] = enc
         return jnp.asarray(out)
 
-    def _trivial_traced(self, value, width: int) -> jnp.ndarray:
+    def _trivial_traced(self, value, width: int,
+                        pid: int = None) -> jnp.ndarray:
         """_trivial for values only known inside the jit (runtime clear
         inputs): same encoding, jnp ops throughout."""
         enc = (jnp.asarray(value).astype(jnp.int64).astype(jnp.uint64)
                << jnp.uint64(64 - width - 1))
-        n_big = self.params_for_width(width).n_big
+        n_big = self.params_for_width(width if pid is None else pid).n_big
         out = jnp.zeros(jnp.shape(enc) + (n_big + 1,), dtype=jnp.uint64)
         return out.at[..., -1].set(enc)
 
-    def _trivial_any(self, value, width: int) -> jnp.ndarray:
+    def _trivial_any(self, value, width: int,
+                     pid: int = None) -> jnp.ndarray:
         """Trivial encryption routing jit-traced values (runtime clear
         inputs and clear-subgraph results) through the traced path."""
         if hasattr(value, "aval"):
-            return self._trivial_traced(value, width)
-        return self._trivial(value, width)
+            return self._trivial_traced(value, width, pid)
+        return self._trivial(value, width, pid)
 
     # -- the lowered evaluation -------------------------------------------
 
@@ -491,7 +500,8 @@ class GraphExecutor:
                 continue
             if name == "encrypted_constant":
                 values[node] = self._trivial(
-                    node.properties["kwargs"]["value"], self.width_of(node))
+                    node.properties["kwargs"]["value"], self.width_of(node),
+                    pid=self.part_of(node))
                 continue
 
             args = [values[pr] for pr in preds]
@@ -617,7 +627,7 @@ class GraphExecutor:
             elif name == "crt_tlu":
                 from concrete_tpu.core import kernels_wop as kw_mod
                 spec = self.wop_specs[node.uid]
-                w_in = max(self.width_of(q) for q in preds)
+                w_in = self.part_of(preds[0])
                 kkey, bkey = keys_for(w_in)
                 wp = self.wop_params_for(w_in)
                 cache_key = tuple(pr.uid for pr in preds)
@@ -644,27 +654,27 @@ class GraphExecutor:
                              << jnp.uint64(63 - ob))
                 out = kw_mod.vertical_packing_batch(lut_torus, ggsws, wp)
                 out = out.reshape(args[0].shape[:-1] + (out.shape[-1],))
-                values[node] = cross(out, w_in, self.width_of(node))
+                values[node] = cross(out, w_in, self.part_of(node))
             elif name in ("tlu", "univariate"):
                 ct = args[0]
-                w_in = self.width_of(preds[0]) if preds else self.p
-                w_out = self.width_of(node)
+                pid_in = self.part_of(preds[0]) if preds else self.p
+                pid_out = self.part_of(node)
                 if node.uid in self.wop_specs:
                     out = run_wop(ct, self.wop_specs[node.uid],
-                                  wop_tables[node.uid], w_in)
-                    values[node] = cross(out, w_in, w_out)
+                                  wop_tables[node.uid], pid_in)
+                    values[node] = cross(out, pid_in, pid_out)
                     continue
                 spec = self.tlu_specs[node.uid]
-                kkey, bkey = keys_for(w_in)
+                kkey, bkey = keys_for(pid_in)
                 lut_poly = lut_polys[node.uid]
                 shape = ct.shape[:-1]
                 flat = ct.reshape((-1, ct.shape[-1]))
                 out = kn.pbs_batch(flat, kkey, bkey, lut_poly,
-                                   self.params_for_width(w_in),
+                                   self.params_for_width(pid_in),
                                    spec.message_bits,
                                    signed=spec.signed_input)
                 out = out.reshape(shape + (out.shape[-1],))
-                values[node] = cross(out, w_in, w_out)
+                values[node] = cross(out, pid_in, pid_out)
             elif name == "dynamic_tlu":
                 # table is a runtime clear tensor: build the accumulator
                 # polynomial in-circuit (kernels.encode_expand_lut_jnp) and
@@ -672,26 +682,26 @@ class GraphExecutor:
                 table_vals, ct = args
                 w_in = self.width_of(preds[1])
                 w_out = self.width_of(node)
+                pid_in = self.part_of(preds[1])
                 signed = isinstance(preds[1].output.dtype, Integer) \
                     and preds[1].output.dtype.is_signed
-                pparams = self.params_for_width(w_in)
+                pparams = self.params_for_width(pid_in)
                 lut_poly = kn.encode_expand_lut_jnp(
                     jnp.asarray(table_vals), pparams.polynomial_size,
                     w_in, w_out, signed=signed)
-                kkey, bkey = keys_for(w_in)
+                kkey, bkey = keys_for(pid_in)
                 shape = ct.shape[:-1]
                 flat = ct.reshape((-1, ct.shape[-1]))
                 out = kn.pbs_batch(flat, kkey, bkey, lut_poly, pparams,
                                    w_in, signed=signed)
                 out = out.reshape(shape + (out.shape[-1],))
-                values[node] = cross(out, w_in, w_out)
+                values[node] = cross(out, pid_in, self.part_of(node))
             elif name == "multivariate":
                 spec = self.wop_specs.get(node.uid) \
                     or self.multivariate_specs[node.uid]
                 preds_enc = [q for q in preds if q.output.is_encrypted]
-                w_in = max((self.width_of(q) for q in preds_enc),
-                           default=self.p)
-                w_out = self.width_of(node)
+                w_in = self.part_of(preds_enc[0]) if preds_enc else self.p
+                w_out = self.part_of(node)
                 packed = None
                 bias = 0
                 for ct, mn, off in zip(args, spec.mins, spec.offsets):
@@ -764,21 +774,22 @@ class GraphExecutor:
                 preds_enc = [q for q in preds if q.output.is_encrypted]
                 p_in = self.width_of(preds_enc[0])
                 p_out = self.width_of(node)
+                pid_in = self.part_of(preds_enc[0])
                 order = sorted(range(len(positions)),
                                key=lambda j: positions[j])
                 asc_pos = [positions[j] for j in order]
                 # requested bit j carries weight 2^j in the reassembled
                 # output: encoded scale = (63 - p_out) + j
                 asc_scales = [63 - p_out + j for j in order]
-                kkey, bkey = keys_for(p_in)
+                kkey, bkey = keys_for(pid_in)
                 shape = ct.shape[:-1]
                 flat = ct.reshape((-1, ct.shape[-1]))
                 bits_out = kw_mod.extract_bits_to(
                     flat, tuple(asc_pos), tuple(asc_scales),
-                    63 - p_in, kkey, bkey, self.params_for_width(p_in))
+                    63 - p_in, kkey, bkey, self.params_for_width(pid_in))
                 out = bits_out.sum(axis=1)
                 out = out.reshape(shape + (out.shape[-1],))
-                values[node] = cross(out, p_in, p_out)
+                values[node] = cross(out, pid_in, self.part_of(node))
             elif name in ("round_bit_pattern", "truncate_bit_pattern"):
                 # fused rounding (ProcessRounding): the consumer TLU's LUT
                 # is built at the reduced width, so the consumer's
@@ -803,7 +814,9 @@ class GraphExecutor:
                 # clear entries are trivially encrypted first
                 shape = node.output.shape
                 w = self.width_of(node)
-                cts = [a if flag else self._trivial_traced(a, w)
+                cts = [a if flag
+                       else self._trivial_traced(a, w,
+                                                 pid=self.part_of(node))
                        for a, flag in zip(args, enc_flags)]
                 values[node] = jnp.stack(cts).reshape(
                     tuple(shape) + (cts[0].shape[-1],))
@@ -863,9 +876,9 @@ class GraphExecutor:
                 if is_ct(node):
                     w = self.width_of(node)
                     if not ex:
-                        x = self._trivial_any(x, w)
+                        x = self._trivial_any(x, w, pid=self.part_of(node))
                     if not ev_:
-                        v = self._trivial_any(v, w)
+                        v = self._trivial_any(v, w, pid=self.part_of(node))
                     idx_t = index if isinstance(index, tuple) else (index,)
                     values[node] = x.at[idx_t + (slice(None),)].set(v)
                 else:

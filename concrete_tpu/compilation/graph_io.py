@@ -101,6 +101,7 @@ def graph_to_records(graph: Graph) -> tuple[dict, dict[str, np.ndarray]]:
             "uid": node.uid,
             "tag": node.properties.get("tag"),
             "encoding_width": node.properties.get("encoding_width"),
+            "partition": node.properties.get("partition"),
         }
         if node.operation == Operation.Constant:
             rec["constant"] = _encode_value(
@@ -149,6 +150,8 @@ def graph_from_records(record: dict, arrays) -> Graph:
             properties["tag"] = rec["tag"]
         if rec.get("encoding_width") is not None:
             properties["encoding_width"] = int(rec["encoding_width"])
+        if rec.get("partition") is not None:
+            properties["partition"] = int(rec["partition"])
         if operation == Operation.Constant:
             properties["constant"] = _decode_value(rec["constant"], arrays)
         if "kwargs" in rec:

@@ -365,9 +365,12 @@ class MultiKeys:
         return self._keys[width].secret
 
     def evaluation_for_width(self, width: int, norm2: int = 1):
-        """Packed (LimbKSK, LimbBSK) of one partition, with noise-budget
-        BSK truncation at the partition's own width."""
-        return self._keys[width].evaluation_for(width, norm2=norm2)
+        """Packed (LimbKSK, LimbBSK) of one partition id, with noise-budget
+        BSK truncation at the partition's own message width (synthetic
+        norm2-cut ids carry the width in their low byte)."""
+        from concrete_tpu.compilation.widths import part_width
+        return self._keys[width].evaluation_for(part_width(width),
+                                                norm2=norm2)
 
     def conversion_key(self, src: int, dst: int) -> kn.LimbKSK:
         """Packed big->big conversion keyswitch key for a frontier."""

@@ -32,9 +32,10 @@ import numpy as np
 from concrete_tpu import params as pp
 from concrete_tpu.compilation.widths import (MAX_NATIVE_TLU_BITS, TLU_OPS,
                                              decision_constraints_after,
-                                             encoding_width,
+                                             encoding_width, partition_of,
                                              tlu_effective_input_width,
-                                             tlu_input_width, wop_nb_bits)
+                                             tlu_input_partition,
+                                             wop_nb_bits)
 from concrete_tpu.representation.graph import norm2_of_manp
 from concrete_tpu.optimizer.v0 import (choose_fks, choose_wop_gadgets,
                                        optimize_v0_multi,
@@ -77,11 +78,14 @@ class PartitionPlan:
 
 
 def partition_pattern_split(graph: Graph):
-    """Group the graph's PBS constraints by partition (encoding width).
+    """Group the graph's PBS constraints by partition id.
 
-    Returns (patterns: {width: PartitionPatterns}, crossings: [Crossing]).
+    Returns (patterns: {pid: PartitionPatterns}, crossings: [Crossing]).
     Same constraint semantics as widths.tlu_pattern_split, but keyed by the
-    partition each PBS runs in.
+    partition each PBS runs in.  Partition ids come from
+    widths.partition_of: the encoding width under the PRECISION cut, or
+    synthetic (width, norm2-bucket) ids when assign_norm2_partitions ran
+    (the PRECISION_AND_NORM2 cut).
     """
     pairs, bpairs = graph.variance_pairs()
     manp = {n: max(c[0] + c[1], 1) for n, c in pairs.items()}
@@ -102,8 +106,8 @@ def partition_pattern_split(graph: Graph):
                  if p.output.is_encrypted]
         if not preds:
             continue
-        w_in = tlu_input_width(graph, node, default)
-        w_out = encoding_width(node, default)
+        w_in = tlu_input_partition(graph, node, default)
+        w_out = partition_of(node, default)
         p_eff = tlu_effective_input_width(graph, node, default)
         n2 = norm2_of_manp(boundary.get(node, 1))
         in_c, lut_c = bpairs.get(node, (0, 1))
@@ -132,12 +136,13 @@ def partition_pattern_split(graph: Graph):
                     and node.name != "extract_bits") else 0))
     for node in graph.ordered_outputs:
         if node.output.is_encrypted:
+            pid = partition_of(node, default)
             w = encoding_width(node, default)
             n2 = norm2_of_manp(manp.get(node, 1))
             in_c, lut_c = pairs.get(node, (0, 1))
             if (in_c, lut_c) == (0, 0):
                 in_c = 1
-            pt = part(w)
+            pt = part(pid)
             if w > MAX_NATIVE_TLU_BITS:
                 # wide outputs only need decodable noise: no native-LUT
                 # N >= 2^(w+1) requirement (widths.tlu_pattern_split)
@@ -149,7 +154,7 @@ def partition_pattern_split(graph: Graph):
     # encryption + leveled ops + decode at the consumer's frontier)
     for node in graph.ordered_inputs:
         if node.output.is_encrypted:
-            part(encoding_width(node, default))
+            part(partition_of(node, default))
     for pt in patterns.values():
         if not pt.native:
             pt.native.append((1, 1))

@@ -180,7 +180,7 @@ class Server:
 
         Multi-partition circuits cost each PBS with its own partition's
         parameters (plus conversion keyswitches at the frontiers)."""
-        from concrete_tpu.compilation.widths import tlu_input_width
+        from concrete_tpu.compilation.widths import tlu_input_partition
         from concrete_tpu.optimizer.v0 import (cost_fks_macs, cost_ks_macs,
                                                cost_pbs_macs, cost_wop_macs)
         ex = self._executor
@@ -199,7 +199,7 @@ class Server:
                     or not n.output.is_encrypted:
                 continue
             size = max(int(np.prod(n.output.shape)), 1)
-            w_in = tlu_input_width(self.graph, n, default)
+            w_in = tlu_input_partition(self.graph, n, default)
             p = ex.params_for_width(w_in)
             if n.name == "extract_bits":
                 # lsb cascade: cleans + per-requested-bit sign-PBS
@@ -216,7 +216,7 @@ class Server:
                     wp.cbs_base_log, wp.pfks_base_log)
             else:
                 total += size * atomic_cost(p)
-            w_out = ex.width_of(n)
+            w_out = ex.part_of(n)
             if (w_in, w_out) in ex.conversions:
                 lvl, base = ex.conversions[(w_in, w_out)]
                 total += size * cost_fks_macs(

@@ -30,24 +30,39 @@ class ClientSpecs:
     # WoP-PBS gadget parameters (cbs_level, cbs_base_log, pfks_level,
     # pfks_base_log) when the circuit contains >8-bit TLUs; None otherwise
     wop_gadgets: tuple = None
-    # multi-partition compilation (compilation/multi.py): width -> params,
-    # width -> wop gadget tuple, (src_width, dst_width) -> (level, base_log)
-    # for the conversion keyswitches, width -> max norm2.  None -> mono.
+    # multi-partition compilation (compilation/multi.py): pid -> params,
+    # pid -> wop gadget tuple, (src_pid, dst_pid) -> (level, base_log) for
+    # the conversion keyswitches, pid -> max norm2.  None -> mono.  A pid
+    # is the encoding width under the PRECISION cut; the
+    # PRECISION_AND_NORM2 cut adds synthetic ids (widths.partition_of).
     partitions: dict = None
     partition_wop_gadgets: dict = None
     conversions: dict = None
     partition_norm2: dict = None
+    # per-position partition ids (None -> the position's width is its pid)
+    input_partitions: list = None
+    output_partitions: list = None
 
     @property
     def is_multi(self) -> bool:
         return bool(self.partitions)
 
     def params_for_width(self, width: int) -> CryptoParams:
-        """The crypto parameters of the partition a `width`-bit value lives
-        in (the value's encoding width IS its partition key)."""
+        """The crypto parameters of a partition id (= the value's encoding
+        width, unless the norm2 cut assigned synthetic ids)."""
         if self.partitions and width in self.partitions:
             return self.partitions[width]
         return self.params
+
+    def input_partition(self, pos: int) -> int:
+        if self.input_partitions is not None:
+            return self.input_partitions[pos]
+        return self.input_width(pos)
+
+    def output_partition(self, pos: int) -> int:
+        if self.output_partitions is not None:
+            return self.output_partitions[pos]
+        return self.output_width(pos)
 
     def wop_params(self, width: int = None):
         """The WopParams for wide TLUs (None if the circuit has none).
@@ -108,6 +123,8 @@ class ClientSpecs:
             "partition_norm2": {str(w): n for w, n in
                                 self.partition_norm2.items()}
             if self.partition_norm2 else None,
+            "input_partitions": self.input_partitions,
+            "output_partitions": self.output_partitions,
         })
 
     @classmethod
@@ -138,4 +155,6 @@ class ClientSpecs:
                    if data.get("conversions") else None,
                    partition_norm2={int(w): n for w, n in
                                     data["partition_norm2"].items()}
-                   if data.get("partition_norm2") else None)
+                   if data.get("partition_norm2") else None,
+                   input_partitions=data.get("input_partitions"),
+                   output_partitions=data.get("output_partitions"))

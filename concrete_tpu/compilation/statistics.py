@@ -181,10 +181,10 @@ def collect(graph, executor, default_width: int) -> list[Record]:
             preds_enc = [q for q in preds if enc(q)]
             if name in ("tlu", "univariate", "multivariate",
                         "extract_bits") and preds_enc:
-                w_in = max(width_of(q) for q in preds_enc)
-                w_out = width_of(node)
-                if w_in != w_out:
-                    emit(KEY_SWITCH, node, size, w_out)
+                part = getattr(executor, "part_of", width_of)
+                pid_in = max(part(q) for q in preds_enc)
+                if pid_in != part(node):
+                    emit(KEY_SWITCH, node, size, width_of(node))
 
     return records
 

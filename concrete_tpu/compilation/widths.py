@@ -56,24 +56,14 @@ def packed_width(graph: Graph, node: Node) -> int:
     return total
 
 
-def assign_encoding_widths(graph: Graph,
-                           composable: bool = False) -> dict[Node, int]:
-    """Compute and store each encrypted node's encoding width.
-
-    Returns the node -> width mapping; also sets
-    node.properties["encoding_width"].  Must run after
-    update_dtypes_from_bounds (widths come from measured dtypes).
-
-    composable: tie every encrypted input and output into ONE width class,
-    so circuit outputs are valid circuit inputs (reference
-    Configuration.composable / the composition ClosedRange constraint in
-    assign_bit_widths.py:84 — outputs must share the inputs' encoding).
-    """
+def _link_encoding_classes(graph: Graph, composable: bool) -> _UnionFind:
+    """Union-find of encoding classes: encrypted values linked by leveled
+    ops share a class (= they are literally the same ciphertexts under one
+    key); a TLU's output starts a fresh class."""
     uf = _UnionFind()
-    enc_nodes = [n for n in graph.topological_order()
-                 if n.output.is_encrypted]
-    for node in enc_nodes:
-        uf.find(node.uid)
+    for node in graph.topological_order():
+        if node.output.is_encrypted:
+            uf.find(node.uid)
 
     if composable:
         boundary = [n for n in list(graph.input_nodes.values())
@@ -95,6 +85,25 @@ def assign_encoding_widths(graph: Graph,
             continue
         for p in preds:
             uf.union(node.uid, p.uid)
+    return uf
+
+
+def assign_encoding_widths(graph: Graph,
+                           composable: bool = False) -> dict[Node, int]:
+    """Compute and store each encrypted node's encoding width.
+
+    Returns the node -> width mapping; also sets
+    node.properties["encoding_width"].  Must run after
+    update_dtypes_from_bounds (widths come from measured dtypes).
+
+    composable: tie every encrypted input and output into ONE width class,
+    so circuit outputs are valid circuit inputs (reference
+    Configuration.composable / the composition ClosedRange constraint in
+    assign_bit_widths.py:84 — outputs must share the inputs' encoding).
+    """
+    enc_nodes = [n for n in graph.topological_order()
+                 if n.output.is_encrypted]
+    uf = _link_encoding_classes(graph, composable)
 
     # class width = max member width, plus multivariate packing minimums
     width_of_root: dict[int, int] = {}
@@ -124,6 +133,111 @@ def encoding_width(node: Node, default: int) -> int:
     """The node's assigned encoding width (falling back to the circuit-wide
     message_bits for graphs compiled/serialized before width assignment)."""
     return int(node.properties.get("encoding_width", default))
+
+
+# -- partition ids (MULTI parameter selection) --------------------------------
+#
+# A partition id is an int.  Under the PRECISION cut it IS the encoding
+# width; the PRECISION_AND_NORM2 cut (reference multi_parameters/
+# partition_cut.rs PrecisionAndNorm2) splits same-width encoding classes by
+# their norm2 bucket into synthetic ids `width + (rank << PART_SHIFT)`.
+# Rank 0 (the highest-norm2 bucket) keeps the plain width, so anything that
+# still resolves a partition by width lands on the most conservative
+# parameters of that width.
+
+PART_SHIFT = 8
+
+
+def part_width(pid: int) -> int:
+    """Message width of a partition id (the low byte)."""
+    return int(pid) & ((1 << PART_SHIFT) - 1)
+
+
+def partition_of(node: Node, default: int) -> int:
+    """The partition id of a node's value (= its encoding width unless a
+    norm2 cut assigned a synthetic id)."""
+    return int(node.properties.get("partition",
+                                   encoding_width(node, default)))
+
+
+def tlu_input_partition(graph: Graph, node: Node, default: int) -> int:
+    """The partition the node's PBS runs in: its encrypted operands' class
+    partition (all encrypted operands of one op share a class)."""
+    preds = [p for p in graph.ordered_preds_of(node)
+             if p.output.is_encrypted]
+    if not preds:
+        return default
+    widest = max(preds, key=lambda p: encoding_width(p, default))
+    return partition_of(widest, default)
+
+
+def assign_norm2_partitions(graph: Graph, composable: bool = False) -> dict:
+    """PRECISION_AND_NORM2 cut: split same-width encoding classes whose
+    norm2 buckets differ into separate partitions.
+
+    Sets node.properties["partition"] on every encrypted node and returns
+    the node -> partition-id map.  A class's bucket is
+    ceil(log2(max norm2)) over the decision points it feeds (TLU inputs in
+    the class + circuit outputs in the class) — the same norm2 the
+    reference's PrecisionAndNorm2 cut keys on (partition_cut.rs).  Must run
+    after assign_encoding_widths (uses the same class structure).
+    """
+    import math
+
+    uf = _link_encoding_classes(graph, composable)
+    default = graph.max_bit_width
+    pairs, bpairs = graph.variance_pairs()
+    boundary = {n: max(c[0] + c[1], 1) for n, c in bpairs.items()}
+    manp = {n: max(c[0] + c[1], 1) for n, c in pairs.items()}
+
+    # max norm2 each class must survive
+    class_n2: dict[int, float] = {}
+
+    def feed(member: Node, n2: float):
+        root = uf.find(member.uid)
+        class_n2[root] = max(class_n2.get(root, 1.0), n2)
+
+    for node in graph.topological_order():
+        if node.name in TLU_OPS:
+            preds = [p for p in graph.ordered_preds_of(node)
+                     if p.output.is_encrypted]
+            if preds:
+                feed(preds[0], norm2_of_manp(boundary.get(node, 1)))
+    for node in graph.ordered_outputs:
+        if node.output.is_encrypted:
+            feed(node, norm2_of_manp(manp.get(node, 1)))
+
+    # group classes by (width, bucket); rank buckets per width descending
+    # so rank 0 (pid = width) is the most conservative
+    groups: dict[tuple[int, int], list[int]] = {}
+    enc_nodes = [n for n in graph.topological_order()
+                 if n.output.is_encrypted]
+    root_width: dict[int, int] = {}
+    for node in enc_nodes:
+        root = uf.find(node.uid)
+        root_width[root] = max(root_width.get(root, 1),
+                               encoding_width(node, default))
+    for root, w in root_width.items():
+        n2 = class_n2.get(root, 1.0)
+        bucket = max(0, math.ceil(math.log2(n2))) if n2 > 1 else 0
+        groups.setdefault((w, bucket), []).append(root)
+
+    pid_of_root: dict[int, int] = {}
+    by_width: dict[int, list[int]] = {}
+    for (w, bucket) in groups:
+        by_width.setdefault(w, []).append(bucket)
+    for w, buckets in by_width.items():
+        for rank, bucket in enumerate(sorted(buckets, reverse=True)):
+            pid = w + (rank << PART_SHIFT)
+            for root in groups[(w, bucket)]:
+                pid_of_root[root] = pid
+
+    result: dict[Node, int] = {}
+    for node in enc_nodes:
+        pid = pid_of_root[uf.find(node.uid)]
+        node.properties["partition"] = pid
+        result[node] = pid
+    return result
 
 
 def output_encoding_width(node: Node, default: int) -> int:

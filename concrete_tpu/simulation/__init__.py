@@ -50,7 +50,8 @@ def simulate_graph(graph, specs, *inputs, rng=None,
     import functools
     import warnings
 
-    from concrete_tpu.compilation.widths import encoding_width
+    from concrete_tpu.compilation.widths import (encoding_width,
+                                                 partition_of)
     rng = rng or np.random.default_rng()
     p_default = specs.message_bits
 
@@ -111,23 +112,23 @@ def simulate_graph(graph, specs, *inputs, rng=None,
         return rng.normal(0.0, np.sqrt(var), shape) if var > 0 \
             else np.zeros(shape)
 
-    def pbs_out_noise(node, p_in, w_out, lsbs, br_var, max_native_bits,
-                      shape, signed):
+    def pbs_out_noise(node, p_in, pid_in, pid_out, lsbs, br_var,
+                      max_native_bits, shape, signed):
         """Fresh output-noise sample of one bootstrap: blind-rotate for
         native TLUs, vertical-packing for WoP (with the fused-rounding
         reduced extraction count), plus the partition-crossing keyswitch."""
         p_eff = max(p_in - lsbs, 1)
-        wop_gadgets = wop_gadgets_for(p_in)
+        wop_gadgets = wop_gadgets_for(pid_in)
         if p_eff > max_native_bits and wop_gadgets is not None:
             cbs_l, cbs_b, pfks_l, pfks_b = wop_gadgets
             nb = p_eff + (1 if signed else 0)
             var = pp.wop_output_variance(
-                specs.params_for_width(p_in)
+                specs.params_for_width(pid_in)
                 if hasattr(specs, "params_for_width") else specs.params,
                 nb, cbs_b, cbs_l, pfks_b, pfks_l)
         else:
             var = br_var
-        return sample(var + crossing_var(p_in, w_out), shape)
+        return sample(var + crossing_var(pid_in, pid_out), shape)
 
     values: dict = {}
     noises: dict = {}   # torus-unit float64 noise samples (0.0 for clear)
@@ -170,7 +171,7 @@ def simulate_graph(graph, specs, *inputs, rng=None,
             pos = next(q for q, n in graph.input_nodes.items() if n is node)
             values[node] = np.asarray(inputs[pos])
             if node.output.is_encrypted:
-                fresh = stages(encoding_width(node, p_default))[0]
+                fresh = stages(partition_of(node, p_default))[0]
                 noises[node] = sample(fresh, values[node].shape)
             else:
                 noises[node] = 0.0
@@ -189,7 +190,9 @@ def simulate_graph(graph, specs, *inputs, rng=None,
             # rounding enlarges the decision step by 2^lsbs
             p_in = encoding_width(preds[0], p_default)
             w_out = encoding_width(node, p_default)
-            _, br_var, ks_var, ms_var, max_native_bits = stages(p_in)
+            pid_in = partition_of(preds[0], p_default)
+            pid_out = partition_of(node, p_default)
+            _, br_var, ks_var, ms_var, max_native_bits = stages(pid_in)
             lsbs = tlu_fused_lsbs(graph, node)
             step = 2.0 ** -(p_in + 1)   # torus width of one encoded step
             noise = (np.broadcast_to(noise_of(preds[0]), x.shape)
@@ -205,8 +208,8 @@ def simulate_graph(graph, specs, *inputs, rng=None,
                 shifted = np.where(shifted >= half, shifted - domain,
                                    shifted)
             values[node] = np.asarray(node(shifted))
-            noises[node] = pbs_out_noise(node, p_in, w_out, lsbs, br_var,
-                                         max_native_bits,
+            noises[node] = pbs_out_noise(node, p_in, pid_in, pid_out,
+                                         lsbs, br_var, max_native_bits,
                                          values[node].shape, signed)
         elif name == "multivariate":
             # packed TLU: the packed index carries each operand's own
@@ -216,7 +219,9 @@ def simulate_graph(graph, specs, *inputs, rng=None,
             preds_enc = [q for q in preds if q.output.is_encrypted]
             p_in = max(encoding_width(q, p_default) for q in preds_enc)
             w_out = encoding_width(node, p_default)
-            _, br_var, ks_var, ms_var, max_native_bits = stages(p_in)
+            pid_in = partition_of(preds_enc[0], p_default)
+            pid_out = partition_of(node, p_default)
+            _, br_var, ks_var, ms_var, max_native_bits = stages(pid_in)
             cache = _sim_cache(graph)
             key = ("multivariate", node.uid, p_in)
             if key not in cache:
@@ -237,8 +242,8 @@ def simulate_graph(graph, specs, *inputs, rng=None,
             domain = 1 << p_in
             shifted = ((shifted % domain) + domain) % domain
             values[node] = table[shifted]
-            noises[node] = pbs_out_noise(node, p_in, w_out, 0, br_var,
-                                         max_native_bits,
+            noises[node] = pbs_out_noise(node, p_in, pid_in, pid_out,
+                                         0, br_var, max_native_bits,
                                          np.shape(values[node]), False)
         elif name == "dynamic_tlu":
             # runtime-table lookup: the same decision-noise model as a
@@ -246,8 +251,9 @@ def simulate_graph(graph, specs, *inputs, rng=None,
             table = np.asarray(args[0])
             x = np.asarray(args[1])
             p_in = encoding_width(preds[1], p_default)
-            w_out = encoding_width(node, p_default)
-            _, br_var, ks_var, ms_var, max_native_bits = stages(p_in)
+            pid_in = partition_of(preds[1], p_default)
+            pid_out = partition_of(node, p_default)
+            _, br_var, ks_var, ms_var, max_native_bits = stages(pid_in)
             step = 2.0 ** -(p_in + 1)
             noise = (np.broadcast_to(noise_of(preds[1]), x.shape)
                      + sample(ks_var + ms_var, x.shape))
@@ -259,7 +265,7 @@ def simulate_graph(graph, specs, *inputs, rng=None,
                 shifted = np.where(shifted >= half, shifted - domain,
                                    shifted)
             values[node] = table[shifted]
-            noises[node] = sample(br_var + crossing_var(p_in, w_out),
+            noises[node] = sample(br_var + crossing_var(pid_in, pid_out),
                                   np.shape(values[node]))
         elif name == "extract_bits":
             # lsb-cascade (executor extract_bits lowering): peel bits LSB
@@ -269,7 +275,8 @@ def simulate_graph(graph, specs, *inputs, rng=None,
             positions = tuple(node.properties["kwargs"]["positions"])
             x = np.asarray(args[0]).astype(np.int64)
             p_in = encoding_width(preds[0], p_default)
-            _, br_var, ks_var, ms_var, _ = stages(p_in)
+            pid_in = partition_of(preds[0], p_default)
+            _, br_var, ks_var, ms_var, _ = stages(pid_in)
             domain = np.int64(1) << np.int64(p_in)
             resid = ((x % domain) + domain) % domain
             resid_noise = np.broadcast_to(
@@ -291,7 +298,7 @@ def simulate_graph(graph, specs, *inputs, rng=None,
                 resid_noise = resid_noise + sample(br_var, resid.shape)
             values[node] = out
             noises[node] = out_noise + sample(
-                crossing_var(p_in, encoding_width(node, p_default)),
+                crossing_var(pid_in, partition_of(node, p_default)),
                 resid.shape)
         elif name == "crt_tlu":
             # WoP-PBS over CRT residues (executor crt_tlu lowering):
@@ -310,7 +317,8 @@ def simulate_graph(graph, specs, *inputs, rng=None,
             nb_total = 0
             for q, a, m in zip(preds, args, moduli):
                 w_j = encoding_width(q, p_default)
-                _, _, ks_var, ms_var, _ = stages(w_j)
+                _, _, ks_var, ms_var, _ = stages(
+                    partition_of(q, p_default))
                 step = 2.0 ** -(w_j + 1)
                 noise = (np.broadcast_to(noise_of(q), shape)
                          + sample(ks_var + ms_var, shape))
@@ -323,8 +331,8 @@ def simulate_graph(graph, specs, *inputs, rng=None,
                 nb_total += min(int(np.ceil(np.log2(m))), w_j)
             x = x % product
             values[node] = table[x % len(table)] % moduli[j_out]
-            p_in = max(encoding_width(q, p_default) for q in preds)
-            w_out = encoding_width(node, p_default)
+            p_in = partition_of(preds[0], p_default)
+            w_out = partition_of(node, p_default)
             gadgets = wop_gadgets_for(p_in)
             if gadgets is not None:
                 cbs_l, cbs_b, pfks_l, pfks_b = gadgets

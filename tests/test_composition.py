@@ -136,7 +136,7 @@ def test_module_wide_tlu_compiles_and_runs():
         {"lut": [0, 200, 511]},
         fhe.Configuration(forced_parameters=TEST_PARAMS_TINY_WIDE,
                           forced_wop_parameters=(3, 6, 8, 4)))
-    for _ in range(4):
+    for _ in range(6):
         got = mod.lut.encrypt_run_decrypt(200)
         if int(got) == (3 * 200 + 1) % 8:
             return

@@ -195,3 +195,90 @@ def test_extract_bits_crossing_needs_no_wop_gadgets():
     if plan is None:
         return  # single partition: equally fine, nothing forced WoP
     assert plan.wop_gadgets == {}, plan.wop_gadgets
+
+
+# ---------------------------------------------------------------------------
+# PRECISION_AND_NORM2 cut (reference partition_cut.rs PrecisionAndNorm2):
+# same-width encoding classes with different norm2 buckets get their own
+# partitions/keysets (widths.assign_norm2_partitions)
+# ---------------------------------------------------------------------------
+
+N2_TABLE = [(3 * i) % 16 for i in range(1 << 6)]
+
+
+def _norm2_circuit(multi_parameter_strategy):
+    """Two 6-bit classes: x*15 (norm2 15) and y (norm2 1), each feeding a
+    6-bit TLU.  PRECISION merges them into one 6-bit partition; the norm2
+    cut splits them."""
+    table = fhe.LookupTable(N2_TABLE)
+
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def f(x, y):
+        return table[x * 15] + table[y]
+
+    inputset = [(int(i % 4), int((i * 31) % 64)) for i in range(40)]
+    return f.compile(
+        inputset,
+        parameter_selection_strategy=fhe.ParameterSelectionStrategy.MULTI,
+        multi_parameter_strategy=multi_parameter_strategy)
+
+
+def _clear_norm2(x, y):
+    t = np.asarray(N2_TABLE)
+    return int(t[x * 15] + t[y])
+
+
+@pytest.fixture(scope="module")
+def norm2_circuit():
+    return _norm2_circuit(fhe.MultiParameterStrategy.PRECISION_AND_NORM2)
+
+
+def test_norm2_cut_splits_same_width_classes(norm2_circuit):
+    from concrete_tpu.compilation.widths import part_width
+
+    circ_p = _norm2_circuit(fhe.MultiParameterStrategy.PRECISION)
+    circ_n = norm2_circuit
+
+    six_p = [w for w in (circ_p.client_specs.partitions or {})
+             if part_width(w) == 6]
+    six_n = [w for w in (circ_n.client_specs.partitions or {})
+             if part_width(w) == 6]
+    # PRECISION merges the two 6-bit classes; the norm2 cut splits them
+    assert len(six_p) <= 1
+    assert len(six_n) == 2, circ_n.client_specs.partitions
+    # the split's point: the norm2-1 class gets params no costlier than
+    # the norm2-15 class's (strictly cheaper in MACs on this circuit)
+    from concrete_tpu.optimizer.v0 import cost_pbs_macs
+
+    def pbs_cost(p):
+        return cost_pbs_macs(p.n_small, p.glwe_dimension,
+                             p.polynomial_size, p.pbs_level, p.pbs_base_log)
+    hi = circ_n.client_specs.partitions[min(six_n)]   # rank 0 = high norm2
+    lo = circ_n.client_specs.partitions[max(six_n)]
+    assert pbs_cost(lo) <= pbs_cost(hi)
+
+
+@pytest.mark.slow
+def test_norm2_cut_end_to_end(norm2_circuit):
+    circ = norm2_circuit
+    circ.keygen(seed=7)
+    for x, y in [(0, 0), (3, 63), (2, 31)]:
+        enc = circ.encrypt(x, y)
+        out = circ.decrypt(circ.run(*enc))
+        assert out == _clear_norm2(x, y), (x, y, out)
+
+
+def test_norm2_cut_simulation_and_serialization(tmp_path, norm2_circuit):
+    circ = norm2_circuit
+    assert circ.simulate(3, 40) == _clear_norm2(3, 40)
+    # specs round-trip keeps the synthetic partition ids + per-position ids
+    specs2 = ClientSpecs.deserialize(circ.client_specs.serialize())
+    assert specs2.partitions.keys() == circ.client_specs.partitions.keys()
+    assert specs2.input_partitions == circ.client_specs.input_partitions
+    # server archive round-trip: partition properties survive graph_io
+    from concrete_tpu.compilation.server import Server
+    path = tmp_path / "srv.zip"
+    circ.server.save(str(path))
+    srv = Server.load(str(path))
+    ex = srv._executor
+    assert set(ex.partitions) == set(circ.client_specs.partitions)
