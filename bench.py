@@ -188,7 +188,7 @@ def main() -> None:
                     default="pbs", help="BASELINE benchmark config")
     ap.add_argument("--ntt", action=argparse.BooleanOptionalAction,
                     default=None,
-                    help="CRT-NTT blind rotate (default: auto, N>=2048)")
+                    help="CRT-NTT blind rotate (default: off — banded is the measured-fastest path at every N)")
     ap.add_argument("--ntt-pallas", action="store_true",
                     help="fused Pallas NTT kernels (ops/pallas_ntt.py; "
                          "requires hardware-validated Mosaic build)")
@@ -256,7 +256,7 @@ def main() -> None:
     ksk = K.pack_ksk(server.ksk, params)
     use_ntt = args.ntt
     if use_ntt is None:
-        use_ntt = params.polynomial_size >= 2048
+        use_ntt = False   # banded measured-fastest at every N (RESULTS.md)
     if use_ntt:
         from concrete_tpu.core import ntt_tpu as nt
         bsk = nt.pack_bsk_ntt(server.bsk, params)
@@ -320,8 +320,8 @@ def main() -> None:
         # tail row is best-effort so a failure can't lose the headline
         for name, fn in [("pbs_latency_b1", bench_latency_row),
                          ("pbs_n4096", bench_n4096_row),
-                         ("wop_tlu_12bit", bench_wop_row),
-                         ("multi_mixed_precision", bench_multi_row)]:
+                         ("multi_mixed_precision", bench_multi_row),
+                         ("wop_tlu_12bit", bench_wop_row)]:
             try:
                 fn()
             except Exception as e:   # noqa: BLE001
@@ -380,9 +380,9 @@ def bench_n4096_row(batch: int = 1024) -> None:
     sk, server = _cached_keyset(params)
     ksk = K.pack_ksk(server.ksk, params)
     import os
-    forced = os.environ.get("CONCRETE_TPU_NTT")
-    use_ntt = forced == "1" if forced is not None else \
-        params.polynomial_size >= 2048
+    # banded is the measured-fastest N=4096 path (82 vs ~21 XLA-NTT and
+    # 34 Pallas-NTT PBS/s/chip, RESULTS.md round 3); NTT stays opt-in
+    use_ntt = os.environ.get("CONCRETE_TPU_NTT") == "1"
     if use_ntt:
         from concrete_tpu.core import ntt_tpu as nt
         bsk = nt.pack_bsk_ntt(server.bsk, params)
@@ -447,8 +447,13 @@ def bench_wop_row(batch: int = 64) -> None:
     xs = rng.integers(0, 1 << 12, batch)
     cal = xs.copy()
     cal[:3] = [0, 1 << 11, (1 << 12) - 1]    # force full-range bounds
+    import os
     t0 = time.time()
-    circuit = f.compile([cal, xs])
+    cfg = fhe.Configuration(
+        use_insecure_key_cache=True,
+        insecure_key_cache_location=os.path.expanduser(
+            "~/.cache/concrete_tpu_bench"))
+    circuit = f.compile([cal, xs], cfg)
     circuit.keygen(seed=12)
     print(f"# wop12: compile+keygen {time.time() - t0:.1f}s",
           file=sys.stderr)

@@ -126,10 +126,14 @@ class Keys:
         from concrete_tpu.compilation.evaluation_keys import EvaluationKeys
         return EvaluationKeys.from_keys(self)
 
-    #: blind-rotate algorithm switchover: banded int8 matmuls win below
-    #: this polynomial size, the CRT-NTT external product above it
-    #: (core/ntt_tpu.py module docstring has the MAC-count analysis)
-    NTT_MIN_POLY_SIZE = 2048
+    #: blind-rotate algorithm switchover polynomial size.  Effectively
+    #: disabled: despite the MAC-count analysis (core/ntt_tpu.py), the
+    #: banded path is the measured-fastest at every N on hardware —
+    #: round-3 end-to-end N=4096 6-bit numbers are banded 82 PBS/s/chip
+    #: vs XLA CRT-NTT ~21 and Pallas CRT-NTT 34 (RESULTS.md); the XLA
+    #: NTT path has also crashed the TPU worker under the bench.  NTT
+    #: stays opt-in via CONCRETE_TPU_NTT=1 / use_ntt=True.
+    NTT_MIN_POLY_SIZE = 1 << 30
 
     def evaluation_for(self, message_bits=None, norm2: int = 1,
                        use_ntt: bool = None):
@@ -140,8 +144,9 @@ class Keys:
         the circuit's norm2 amplification); else none.
 
         use_ntt: pack the BSK as per-prime NTT spectra (ntt_tpu.NttBSK)
-        instead of banded limb planes — the default (None) picks NTT for
-        N >= NTT_MIN_POLY_SIZE, where the O(N sqrt N) path wins.  Both give
+        instead of banded limb planes.  The default (None) is banded at
+        every N (the measured-fastest path, see NTT_MIN_POLY_SIZE);
+        CONCRETE_TPU_NTT=1 or use_ntt=True opts into the NTT.  Both give
         bit-identical PBS results.
         """
         import os

@@ -268,6 +268,11 @@ def negacyclic_banded_matmul_fused(lhs_list, vv, block: int,
 #: anyway)
 FUSED_BANDED_RHS_MAX_BYTES = 384 * 1024 * 1024
 
+#: the dot+recombine Pallas kernel streams its rhs tile-by-tile, so the
+#: materialized rhs only has to fit HBM comfortably (N=4096 6-bit steps
+#: build ~1.4 GB per scan step)
+FUSEDRECOMBINE_RHS_MAX_BYTES = 2 * 1024 * 1024 * 1024
+
 
 def _fused_rhs_bytes(a_limbs, cin, cout, out_planes, n) -> int:
     return a_limbs * cin * n * cout * out_planes * n
@@ -526,14 +531,43 @@ def _blind_rotate_pallas(ct_small, bsk: LimbBSK, lut_poly,
         mode = BANDED_MM_MODE
         if mode == "auto":
             cin = l * kp1
-            mode = "fuseddot" if _fused_rhs_bytes(
-                a_limbs_n, cin, kp1, keep,
-                n) <= FUSED_BANDED_RHS_MAX_BYTES else "planes"
+            bytes_ = _fused_rhs_bytes(a_limbs_n, cin, kp1, keep, n)
+            k_dim = a_limbs_n * cin * n
+            if (n % 128 == 0
+                    and bytes_ <= FUSEDRECOMBINE_RHS_MAX_BYTES
+                    and k_dim * keep <= 8192 * 4):
+                # dot+recombine fused Pallas kernel in its measured-fast
+                # regime: the whole K dimension fits one VMEM-resident
+                # rhs slab (KO == 1; the kc guard in dot_recombine).
+                # 10.6 vs 14.3 ms/step at the N=1024 bench shape; with a
+                # K-loop in the grid the rhs tile changes every cell and
+                # the step LOSES to the XLA paths (55.9 vs 73 PBS/s at
+                # N=4096 6-bit, RESULTS.md round 3)
+                mode = "fusedrecombine"
+            elif bytes_ <= FUSED_BANDED_RHS_MAX_BYTES:
+                mode = "fuseddot"
+            else:
+                mode = "planes"
+        if mode == "fusedrecombine" and n % 128 == 0:
+            # dot + recombine in one Pallas kernel: the int32 limb-product
+            # planes never round-trip HBM (ops/pallas_dot_recombine.py)
+            from concrete_tpu.ops.pallas_dot_recombine import (
+                build_fused_rhs, dot_recombine)
+            s_keep = min(keep, 8 + a_limbs_n - 1)
+            rhs = build_fused_rhs(w_vv, 128, s_keep, a_limbs=a_limbs_n)
+            lhs = lhs_list[0] if a_limbs_n == 1 \
+                else jnp.concatenate(lhs_list, axis=1)
+            lo2, hi2 = dot_recombine(
+                lhs, rhs, lo.reshape(b_ct, kp1 * n),
+                hi.reshape(b_ct, kp1 * n), keep=s_keep,
+                limb_offset=bsk.truncate_limbs)
+            return (lo2.reshape(b_ct * kp1, n),
+                    hi2.reshape(b_ct * kp1, n)), None
         if mode == "pallas":
             from concrete_tpu.ops.pallas_banded_mm import banded_matmul_fused
             planes = banded_matmul_fused(lhs_list, w_vv, block)
             planes = planes[:, :, :keep, :]
-        elif mode == "fuseddot":
+        elif mode in ("fuseddot", "fusedrecombine"):
             planes = negacyclic_banded_matmul_fused(lhs_list, w_vv, block,
                                                     out_planes=keep)
         else:
@@ -644,6 +678,9 @@ def _blind_rotate_xla(ct_small, bsk: LimbBSK, lut_poly, params: CryptoParams):
             mode = "fuseddot" if _fused_rhs_bytes(
                 a_limbs_n, l * (k + 1), k + 1, keep,
                 n) <= FUSED_BANDED_RHS_MAX_BYTES else "planes"
+        if mode == "fusedrecombine":
+            # CPU/XLA path has no Pallas epilogue: same math as fuseddot
+            mode = "fuseddot"
         if mode == "fuseddot":
             lhs_list = [d_limbs[..., a].reshape(b_ct, l * (k + 1) * n)
                         for a in range(a_limbs_n)]

@@ -106,23 +106,28 @@ def _rotate_kernel(a_ref, lo_ref, hi_ref, *dl_refs,
     """
     lo = lo_ref[...]
     hi = hi_ref[...]
-    # negacyclic extension [x, -x]: -x = (~lo + 1, ~hi + borrowless...)
-    neg_lo = U32(0) - lo
-    borrow = (lo != U32(0)).astype(U32)
-    neg_hi = U32(0) - hi - borrow
-    ext_lo = jnp.concatenate([lo, neg_lo], axis=-1)
-    ext_hi = jnp.concatenate([hi, neg_hi], axis=-1)
-    a = a_ref[...]                                  # (Rt, 1)
-    bits = int(2 * n - 1).bit_length()
-    for b in range(bits):
-        take = ((a >> b) & 1) != 0                  # (Rt, 1) bool
+    a = a_ref[...]                                  # (Rt, 1), in [0, 2N)
+    # roll on width N only (pltpu.roll is out[i] = in[i - shift]); the
+    # wrapped-in prefix i < a mod N crossed the negacyclic boundary once,
+    # and a >= N is a global X^N = -1 factor — half the roll work of the
+    # former [x, -x] concat on width 2N
+    a_mod = a & jnp.int32(n - 1)
+    s_bit = (a >> jnp.int32(int(n).bit_length() - 1)) & 1
+    r_lo, r_hi = lo, hi
+    for b in range(int(n - 1).bit_length()):
+        take = ((a_mod >> b) & 1) != 0              # (Rt, 1) bool
         shift = jnp.int32(1 << b)  # mosaic dynamic_rotate requires i32
-        rl = pltpu.roll(ext_lo, shift, axis=1)
-        rh = pltpu.roll(ext_hi, shift, axis=1)
-        ext_lo = jnp.where(take, rl, ext_lo)
-        ext_hi = jnp.where(take, rh, ext_hi)
-    rot_lo = ext_lo[:, :n]
-    rot_hi = ext_hi[:, :n]
+        rl = pltpu.roll(r_lo, shift, axis=1)
+        rh = pltpu.roll(r_hi, shift, axis=1)
+        r_lo = jnp.where(take, rl, r_lo)
+        r_hi = jnp.where(take, rh, r_hi)
+    col = jax.lax.broadcasted_iota(jnp.int32, r_lo.shape, 1)
+    flip = (col < a_mod) ^ (s_bit != 0)             # (Rt, N) bool
+    neg_lo = U32(0) - r_lo
+    borrow = (r_lo != U32(0)).astype(U32)
+    neg_hi = U32(0) - r_hi - borrow
+    rot_lo = jnp.where(flip, neg_lo, r_lo)
+    rot_hi = jnp.where(flip, neg_hi, r_hi)
     # diff = rot - acc  (u64 pair subtraction)
     d_lo = rot_lo - lo
     bw = (rot_lo < lo).astype(U32)

@@ -16,7 +16,10 @@ from concrete_tpu.params import (TEST_PARAMS_TINY,
 CFG = fhe.Configuration(forced_parameters=TEST_PARAMS_TINY)
 
 
-def check_execution(circuit, function, *sample, retries=2):
+def check_execution(circuit, function, *sample, retries=4):
+    # TEST_PARAMS_TINY runs at a ~1-2% per-PBS p_error; like the
+    # reference's conftest (tests/conftest.py:260 there) correctness is
+    # asserted statistically with a retry loop
     for attempt in range(retries):
         got = circuit.encrypt_run_decrypt(*sample)
         want = function(*[np.asarray(s) for s in sample])

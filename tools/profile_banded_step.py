@@ -188,3 +188,37 @@ print(f"\nsum of parts (a+c+d): {(t_rot + t_mm + t_rec) * 1e3:.3f} ms; "
       f"-> {B / (t_full * P.n_small):.0f} PBS/s (planes), "
       f"{B / (t_fullf * P.n_small):.0f} PBS/s (fuseddot) at B={B}",
       flush=True)
+
+
+# (g) dot+recombine fused Pallas kernel (ops/pallas_dot_recombine.py):
+# the int32 planes never leave VMEM
+if a_limbs_n == 1 and N % 128 == 0:
+    from concrete_tpu.ops.pallas_dot_recombine import (build_fused_rhs,
+                                                       dot_recombine)
+
+    def step_dr_only(carry):
+        lo, hi = carry
+        lhs_list = mk_lhs(d_planes_const)
+        rhs = build_fused_rhs(w_vv, 128, keep)
+        lo2, hi2 = dot_recombine(
+            lhs_list[0], rhs, lo.reshape(B, KP1 * N),
+            hi.reshape(B, KP1 * N), keep=keep, limb_offset=trunc)
+        return (lo2.reshape(B * KP1, N), hi2.reshape(B * KP1, N))
+
+    t_dr = bench("dot+recombine fused (const lhs)", step_dr_only, (lo, hi))
+
+    def step_full_dr(carry):
+        lo, hi = carry
+        d_planes = ps.rotate_decompose_limbs(lo, hi, a_rows,
+                                             base_log=P.pbs_base_log,
+                                             levels=L, a_limbs=a_limbs_n)
+        lhs_list = mk_lhs(d_planes)
+        rhs = build_fused_rhs(w_vv, 128, keep)
+        lo2, hi2 = dot_recombine(
+            lhs_list[0], rhs, lo.reshape(B, KP1 * N),
+            hi.reshape(B, KP1 * N), keep=keep, limb_offset=trunc)
+        return (lo2.reshape(B * KP1, N), hi2.reshape(B * KP1, N))
+
+    t_fdr = bench("FULL step (fusedrecombine)", step_full_dr, (lo, hi))
+    print(f"fusedrecombine: {B / (t_fdr * P.n_small):.0f} PBS/s at B={B}",
+          flush=True)
