@@ -49,7 +49,7 @@ def bench_quickstart() -> None:
         print(f"# {k}: {v:.3f}s", file=sys.stderr)
     print(json.dumps({"metric": "quickstart_add_run_latency",
                       "value": round(t["run"] * 1e3, 1), "unit": "ms",
-                      "vs_baseline": 1.0}))
+                      "vs_baseline": 1.0}), flush=True)
 
 
 def bench_radix16(batch: int = 512) -> None:
@@ -91,7 +91,7 @@ def bench_radix16(batch: int = 512) -> None:
     print(f"# correctness: {batch - errs}/{batch}", file=sys.stderr)
     print(json.dumps({"metric": "radix16_add_throughput",
                       "value": round(batch / dt, 1), "unit": "adds/s",
-                      "vs_baseline": round(batch / dt / 100.0, 3)}))
+                      "vs_baseline": round(batch / dt / 100.0, 3)}), flush=True)
 
 
 def bench_mlp(batch: int = 64) -> None:
@@ -123,7 +123,7 @@ def bench_mlp(batch: int = 64) -> None:
           file=sys.stderr)
     print(json.dumps({"metric": "mlp_inference_throughput",
                       "value": round(batch / dt, 2), "unit": "inferences/s",
-                      "vs_baseline": round(batch / dt / 10.0, 3)}))
+                      "vs_baseline": round(batch / dt / 10.0, 3)}), flush=True)
 
 
 def bench_levelled_llm(small: bool = False) -> None:
@@ -168,7 +168,7 @@ def bench_levelled_llm(small: bool = False) -> None:
           file=sys.stderr)
     print(json.dumps({"metric": "levelled_llm_matmul_latency",
                       "value": round(dt * 1e3, 1), "unit": "ms",
-                      "vs_baseline": 1.0}))
+                      "vs_baseline": 1.0}), flush=True)
 
 
 def main() -> None:
@@ -312,7 +312,7 @@ def main() -> None:
         "value": round(pbs_per_sec, 1),
         "unit": "PBS/s",
         "vs_baseline": round(pbs_per_sec / 1250.0, 3),
-    }))
+    }), flush=True)
 
     if not args.quick and args.params == "4bit-tpuopt":
         # tail rows: single-PBS latency + the feature-exercising configs
@@ -364,7 +364,7 @@ def bench_latency_row() -> None:
           file=sys.stderr)
     print(json.dumps({"metric": "pbs_latency_b1",
                       "value": round(best * 1e3, 1), "unit": "ms",
-                      "vs_baseline": 1.0}))
+                      "vs_baseline": 1.0}), flush=True)
 
 
 def bench_n4096_row(batch: int = 1024) -> None:
@@ -411,7 +411,7 @@ def bench_n4096_row(batch: int = 1024) -> None:
     best = min(times)
     print(json.dumps({"metric": "pbs_throughput_n4096_6bit",
                       "value": round(batch / best, 1), "unit": "PBS/s",
-                      "vs_baseline": round(batch / best / 1250.0, 3)}))
+                      "vs_baseline": round(batch / best / 1250.0, 3)}), flush=True)
 
 
 def _cached_keyset(params):
@@ -468,7 +468,7 @@ def bench_wop_row(batch: int = 64) -> None:
     print(f"# wop12 correctness: {batch - errs}/{batch}", file=sys.stderr)
     print(json.dumps({"metric": "wop_tlu_12bit_throughput",
                       "value": round(batch / dt, 2), "unit": "TLU/s",
-                      "vs_baseline": 1.0}))
+                      "vs_baseline": 1.0}), flush=True)
 
 
 def bench_multi_row(batch: int = 2048) -> None:
@@ -508,7 +508,7 @@ def bench_multi_row(batch: int = 2048) -> None:
     # 2 PBS per sample
     print(json.dumps({"metric": "multi_mixed_precision_pbs_throughput",
                       "value": round(2 * batch / dt, 1), "unit": "PBS/s",
-                      "vs_baseline": round(2 * batch / dt / 1250.0, 3)}))
+                      "vs_baseline": round(2 * batch / dt / 1250.0, 3)}), flush=True)
 
 
 if __name__ == "__main__":

@@ -497,13 +497,15 @@ def _pair_mul_const_mod64(hi, lo, c: int):
     return hi * U32(c) + mh, ml
 
 
-def _k_garner(primes: tuple, p_neg_invs: tuple, res_refs, lo_ref, hi_ref):
+def _garner_value(primes: tuple, p_neg_invs: tuple, res_vals):
+    """Mixed-radix reconstruction of per-prime residues into the exact
+    centered value mod 2^64 as a (hi, lo) u32 pair."""
     inv_mont, h_digits, (t_hi, t_lo) = _garner_tables(primes)
     n = len(primes)
-    digits = [res_refs[0][...]]
+    digits = [res_vals[0]]
     for j in range(1, n):
         p_j = primes[j]
-        t = res_refs[j][...]
+        t = res_vals[j]
         for i in range(j):
             gi = digits[i]
             gi = gi - U32(p_j) * (~_lt_u32(gi, U32(p_j))).astype(U32)
@@ -528,8 +530,25 @@ def _k_garner(primes: tuple, p_neg_invs: tuple, res_refs, lo_ref, hi_ref):
     g = gt.astype(U32)
     s = v_lo - U32(t_lo) * g
     borrow = _lt_u32(v_lo, s).astype(U32)
-    lo_ref[...] = s
-    hi_ref[...] = v_hi - U32(t_hi) * g - borrow
+    return v_hi - U32(t_hi) * g - borrow, s
+
+
+def _k_garner(primes: tuple, p_neg_invs: tuple, res_refs, lo_ref, hi_ref):
+    v_hi, v_lo = _garner_value(primes, p_neg_invs,
+                               [r[...] for r in res_refs])
+    lo_ref[...] = v_lo
+    hi_ref[...] = v_hi
+
+
+def _k_garner_acc(primes: tuple, p_neg_invs: tuple, res_refs,
+                  acc_lo_ref, acc_hi_ref, lo_ref, hi_ref):
+    v_hi, v_lo = _garner_value(primes, p_neg_invs,
+                               [r[...] for r in res_refs])
+    acc_lo = acc_lo_ref[...]
+    new_lo = acc_lo + v_lo
+    carry = _lt_u32(new_lo, v_lo).astype(U32)
+    lo_ref[...] = new_lo
+    hi_ref[...] = acc_hi_ref[...] + v_hi + carry
 
 
 def garner_pallas(residues: list, primes: tuple, interpret=None):
@@ -557,6 +576,36 @@ def garner_pallas(residues: list, primes: tuple, interpret=None):
                    for _ in range(2)],
         interpret=interpret,
     )(*residues)
+    return lo, hi
+
+
+def garner_accumulate_pallas(residues: list, primes: tuple, acc_lo, acc_hi,
+                             interpret=None):
+    """garner_pallas fused with the blind-rotate accumulation: returns
+    (acc_lo, acc_hi) + centered_value as u32 pairs — the CRT-NTT step's
+    u64 external-product result never exists in HBM."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    m, n = residues[0].shape
+    p_neg_invs = tuple((-pow(p, -1, 1 << 32)) % (1 << 32) for p in primes)
+    rm = _pick_rows(m, max(1, (12 << 20) // (4 * n * (4 * len(primes) + 8))))
+
+    def kernel(*refs):
+        _k_garner_acc(primes, p_neg_invs, refs[:len(primes)],
+                      refs[len(primes)], refs[len(primes) + 1],
+                      refs[-2], refs[-1])
+
+    lo, hi = pl.pallas_call(
+        kernel,
+        grid=(m // rm,),
+        in_specs=[pl.BlockSpec((rm, n), lambda i: (i, _I0))
+                  for _ in range(len(primes) + 2)],
+        out_specs=[pl.BlockSpec((rm, n), lambda i: (i, _I0))
+                   for _ in range(2)],
+        out_shape=[jax.ShapeDtypeStruct((m, n), jnp.uint32)
+                   for _ in range(2)],
+        interpret=interpret,
+    )(*residues, acc_lo, acc_hi)
     return lo, hi
 
 
@@ -644,31 +693,54 @@ def blind_rotate_pallas_ntt(ct_small, bsk: PallasBSK, lut_poly,
     """Batched blind rotation with the fused Pallas CRT-NTT external
     product: (B, n+1) u64 + (N,) LUT -> accumulator (B, k+1, N) u64.
     Bit-identical to kernels.blind_rotate / ntt_tpu.blind_rotate_ntt.
+
+    The accumulator lives as (lo, hi) u32 planes across the whole scan
+    (like kernels._blind_rotate_pallas): the rotate/diff/decompose phase
+    is the Pallas rotate_decompose_digits kernel and the Garner
+    reconstruction accumulates in-kernel — no XLA u64 elementwise op (and
+    no u64 external-product tensor) appears anywhere in the step.
     """
     from concrete_tpu.core import kernels as kn
+    from concrete_tpu.ops import pallas_step as ps
     b_ct = ct_small.shape[0]
     n = params.polynomial_size
     k = params.glwe_dimension
     l = params.pbs_level
+    kp1 = k + 1
     switched = kn.modulus_switch(ct_small, params.log2_polynomial_size)
     a_t = switched[:, :-1]
     b_t = switched[:, -1]
     body0 = kn._lut_rows(lut_poly, b_ct, n)
     body0 = kn.monomial_mul_rolls(body0, (2 * n - b_t) % (2 * n))
-    acc0 = jnp.zeros((b_ct, k + 1, n), dtype=jnp.uint64).at[:, k, :].set(
+    acc0 = jnp.zeros((b_ct, kp1, n), dtype=jnp.uint64).at[:, k, :].set(
         body0[:, 0, :])
+    lo0, hi0 = ps.split_u64(acc0.reshape(b_ct * kp1, n))
     spectra_steps = jnp.moveaxis(bsk.spectra, 1, 0)   # (n_small, primes, ..)
 
-    def step(acc, xs):
+    def step(carry, xs):
+        lo, hi = carry                                 # (B*(k+1), N) u32
         a_j, spec_j = xs
-        rot = kn.monomial_mul_rolls(acc, a_j)
-        diff = rot - acc
-        digits = kn.decompose(diff, params.pbs_base_log, l)  # (B,k+1,N,l)
-        d = jnp.transpose(digits, (0, 3, 1, 2)).reshape(
-            b_ct, l * (k + 1), n)
-        ext = external_product_pallas(d, spec_j, bsk.primes, params,
-                                      interpret=interpret)
-        return acc + ext, None
+        a_rows = jnp.repeat(a_j, kp1,
+                            total_repeat_length=b_ct * kp1).astype(jnp.int32)
+        d_planes = ps.rotate_decompose_digits(
+            lo, hi, a_rows, base_log=params.pbs_base_log, levels=l,
+            interpret=bool(interpret))
+        # (lev-major, r-minor) Cin layout, matching pack_bsk_pallas
+        d = jnp.concatenate(
+            [pl_.reshape(b_ct, kp1, n) for pl_ in d_planes],
+            axis=1) if l > 1 else d_planes[0].reshape(b_ct, kp1, n)
+        residues = []
+        for pi, p in enumerate(bsk.primes):
+            plan = build_pallas_plan(n, p)
+            d_hat = ntt_fwd_pallas(d.reshape(b_ct * l * kp1, n), plan,
+                                   interpret=interpret)
+            prod = pointwise_pallas(d_hat.reshape(b_ct, l * kp1, n),
+                                    spec_j[pi], plan, interpret=interpret)
+            residues.append(ntt_inv_pallas(prod.reshape(b_ct * kp1, n),
+                                           plan, interpret=interpret))
+        lo2, hi2 = garner_accumulate_pallas(residues, bsk.primes, lo, hi,
+                                            interpret=interpret)
+        return (lo2, hi2), None
 
-    acc, _ = jax.lax.scan(step, acc0, (a_t.T, spectra_steps))
-    return acc
+    (lo, hi), _ = jax.lax.scan(step, (lo0, hi0), (a_t.T, spectra_steps))
+    return ps.merge_u64(lo, hi).reshape(b_ct, kp1, n)

@@ -175,6 +175,75 @@ def rotate_decompose_limbs(acc_lo, acc_hi, a_rows, *, base_log: int,
     )(a_rows.reshape(rows, 1), acc_lo, acc_hi)
 
 
+def _rotate_digits_kernel(a_ref, lo_ref, hi_ref, *d_refs,
+                          n: int, base_log: int, levels: int):
+    """_rotate_kernel without the int8 limb split: emits the signed int32
+    gadget digits themselves (the CRT-NTT path's input).
+
+    a_ref: (Rt, 1) int32 rotations in [0, 2N)
+    lo/hi_ref: (Rt, N) u32 accumulator planes
+    d_refs: `levels` outputs of (Rt, N) int32 (index = lev)
+    """
+    lo = lo_ref[...]
+    hi = hi_ref[...]
+    a = a_ref[...]
+    a_mod = a & jnp.int32(n - 1)
+    s_bit = (a >> jnp.int32(int(n).bit_length() - 1)) & 1
+    r_lo, r_hi = lo, hi
+    for b in range(int(n - 1).bit_length()):
+        take = ((a_mod >> b) & 1) != 0
+        shift = jnp.int32(1 << b)
+        rl = pltpu.roll(r_lo, shift, axis=1)
+        rh = pltpu.roll(r_hi, shift, axis=1)
+        r_lo = jnp.where(take, rl, r_lo)
+        r_hi = jnp.where(take, rh, r_hi)
+    col = jax.lax.broadcasted_iota(jnp.int32, r_lo.shape, 1)
+    flip = (col < a_mod) ^ (s_bit != 0)
+    neg_lo = U32(0) - r_lo
+    borrow = (r_lo != U32(0)).astype(U32)
+    neg_hi = U32(0) - r_hi - borrow
+    rot_lo = jnp.where(flip, neg_lo, r_lo)
+    rot_hi = jnp.where(flip, neg_hi, r_hi)
+    d_lo = rot_lo - lo
+    bw = (rot_lo < lo).astype(U32)
+    d_hi = rot_hi - hi - bw
+    for lev, dig in enumerate(_digits_i32(d_hi, d_lo, base_log, levels)):
+        d_refs[lev][...] = dig
+
+
+def rotate_decompose_digits(acc_lo, acc_hi, a_rows, *, base_log: int,
+                            levels: int, row_tile: int = None,
+                            interpret: bool = False):
+    """rows = B*(k+1) flattened; returns a tuple of `levels` int32 digit
+    planes of shape (rows, N) — the balanced gadget digits of
+    (X^a * acc - acc), for the CRT-NTT external product."""
+    rows, n = acc_lo.shape
+    if row_tile is None:
+        row_tile = max(32, 1 << (int(12e6 / (32 * n)).bit_length() - 1))
+    tile = min(row_tile, rows)
+    while rows % tile:
+        tile //= 2
+    grid = (rows // tile,)
+    kernel = functools.partial(_rotate_digits_kernel, n=n,
+                               base_log=base_log, levels=levels)
+    plane_spec = pl.BlockSpec((tile, n), lambda i: (i, _I0),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, 1), lambda i: (i, _I0),
+                         memory_space=pltpu.VMEM),
+            plane_spec,
+            plane_spec,
+        ],
+        out_specs=tuple(plane_spec for _ in range(levels)),
+        out_shape=tuple(jax.ShapeDtypeStruct((rows, n), jnp.int32)
+                        for _ in range(levels)),
+        interpret=interpret,
+    )(a_rows.reshape(rows, 1), acc_lo, acc_hi)
+
+
 def _recombine_kernel(planes_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref,
                       *, keep: int, limb_offset: int):
     """Accumulate planes[s] << 8*(s + limb_offset) into (lo, hi) pairs.
