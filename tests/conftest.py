@@ -21,6 +21,8 @@ if _platform == "cpu":
     import jax
     jax.config.update("jax_platforms", "cpu")
 
+import zlib
+
 import numpy as np
 import pytest
 
@@ -28,3 +30,16 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True)
+def _seed_global_rng(request):
+    """Seed the global numpy RNG per test, derived from the test id.
+
+    Many tests build inputsets with np.random.*; without this, the inputset
+    a test sees depends on which tests ran before it (round-3 ordering
+    failure: test_multi_precision_mixed_width_tlus measured 4-bit output
+    bounds from an unlucky inputset and lost the top bit).  Seeding per-test
+    makes every test deterministic regardless of suite order.
+    """
+    np.random.seed(zlib.crc32(request.node.nodeid.encode()) & 0x7FFFFFFF)

@@ -17,6 +17,7 @@ def check(circuit, function, *sample, retries=3):
             return
         if attempt == retries - 1:
             raise AssertionError(f"{got} != {want} for {sample}")
+        circuit.keygen(force=True)  # noise failures are key-conditioned
 
 
 def test_round_bit_pattern():
