@@ -104,9 +104,8 @@ class Compiler:
         native_patterns, wide_inputs, wop_triples = tlu_pattern_split(graph)
 
         p_error = config.p_error
+        n_pbs = None
         if config.global_p_error is not None:
-            # split the global budget across PBS count (union bound),
-            # reference V0Parameters.cpp:70-119 binary-search equivalent
             def pbs_of(n):
                 size = max(int(np.prod(n.output.shape)), 1)
                 if n.name in ("tlu", "univariate", "multivariate",
@@ -117,7 +116,18 @@ class Compiler:
                     return size * (max(int(q) for q in pos) + 1)
                 return 0
             n_pbs = max(sum(pbs_of(n) for n in graph.graph.nodes), 1)
-            p_error = config.global_p_error / n_pbs
+            # calibration search (reference V0Parameters.cpp:70-119
+            # getSolutionWithGlobalPError): request the exact-product
+            # allowed per-PBS error 1-(1-global)^(1/n) — strictly larger
+            # than the old union-bound request global/n — and shrink only
+            # if the solution's ACHIEVED global error (checked with the
+            # exact product, not the union bound) misses the budget.
+            # Large circuits with loose budgets get strictly cheaper
+            # parameters (tests/test_global_p_error.py).  The MULTI
+            # planner still gets the union-bound request (its
+            # per-partition achieved errors are not yet surfaced).
+            allowed = 1.0 - (1.0 - config.global_p_error) ** (1.0 / n_pbs)
+            p_error = min(p_error or allowed, allowed)
 
         from concrete_tpu.compilation.configuration import (
             MultiParameterStrategy, ParameterSelectionStrategy)
@@ -138,7 +148,10 @@ class Compiler:
                 assign_norm2_partitions(graph,
                                         composable=config.composable)
             from concrete_tpu.compilation.multi import plan_partitions
-            plan = plan_partitions(graph, p_error=p_error,
+            multi_p_error = p_error
+            if config.global_p_error is not None:
+                multi_p_error = config.global_p_error / n_pbs  # union bound
+            plan = plan_partitions(graph, p_error=multi_p_error,
                                    security_level=config.security_level,
                                    restriction=config.range_restriction)
 
@@ -152,11 +165,29 @@ class Compiler:
             # one (precision, norm2) constraint per TLU/output — each PBS
             # runs at its own width (multi-precision mono); >8-bit TLUs add
             # noise-only input + WoP-output constraints (the CRT/WoP path)
-            params = optimize_v0_multi(
-                native_patterns, p_error=p_error,
-                security_level=config.security_level,
-                noise_only=wide_inputs, wop_patterns=wop_triples,
-                restriction=config.range_restriction)
+            def _solve(pe):
+                return optimize_v0_multi(
+                    native_patterns, p_error=pe,
+                    security_level=config.security_level,
+                    noise_only=wide_inputs, wop_patterns=wop_triples,
+                    restriction=config.range_restriction)
+            params = _solve(p_error)
+            if config.global_p_error is not None and native_patterns:
+                # shrink the request until the solution's achieved global
+                # error 1-(1-ach)^n_pbs (worst achieved per-PBS error
+                # across patterns) meets the budget
+                from concrete_tpu.optimizer.v0 import achieved_p_error
+                target = config.global_p_error
+                for _ in range(9):
+                    ach = achieved_p_error(params, native_patterns)
+                    if 1.0 - (1.0 - min(ach, 1.0)) ** n_pbs <= target:
+                        break
+                    p_error = max(p_error * (allowed / ach),
+                                  target / n_pbs)
+                    params = _solve(p_error)
+                else:
+                    p_error = target / n_pbs
+                    params = _solve(p_error)
             if wop_triples and wop_gadgets is None:
                 from concrete_tpu.optimizer.v0 import choose_wop_gadgets
                 nb_max = max(nb for nb, _, _ in wop_triples)

@@ -126,31 +126,52 @@ class Keys:
         from concrete_tpu.compilation.evaluation_keys import EvaluationKeys
         return EvaluationKeys.from_keys(self)
 
-    #: blind-rotate algorithm switchover polynomial size.  Effectively
-    #: disabled: despite the MAC-count analysis (core/ntt_tpu.py), the
-    #: banded path is the measured-fastest at every N on hardware —
-    #: round-3 end-to-end N=4096 6-bit numbers are banded 82 PBS/s/chip
-    #: vs XLA CRT-NTT ~21 and Pallas CRT-NTT 34 (RESULTS.md); the XLA
-    #: NTT path has also crashed the TPU worker under the bench.  NTT
-    #: stays opt-in via CONCRETE_TPU_NTT=1 / use_ntt=True.
+    #: legacy per-stage NTT switchover — effectively disabled (the
+    #: per-stage XLA/Pallas CRT-NTT paths lose to banded at every N,
+    #: RESULTS.md round 3); they stay opt-in via CONCRETE_TPU_NTT=1.
     NTT_MIN_POLY_SIZE = 1 << 30
+
+    #: single-kernel fused CRT-NTT blind rotate (ops/pallas_fused_ntt.py)
+    #: switchover: the O(N sqrt N) path wins over banded's ~N^2 MACs from
+    #: N >= 2048 once the whole scan is one Pallas kernel (round-4
+    #: hardware numbers in RESULTS.md).  CONCRETE_TPU_FUSED_NTT=0 forces
+    #: banded; =1 forces fused at any supported N (>= 1024).
+    FUSED_NTT_MIN_POLY_SIZE = 2048
 
     def evaluation_for(self, message_bits=None, norm2: int = 1,
                        use_ntt: bool = None):
         """Packed evaluation keys (LimbKSK + BSK).
 
         When `message_bits` is given, the largest provably-negligible BSK
-        limb truncation is chosen (params.choose_truncate_limbs, scaled by
-        the circuit's norm2 amplification); else none.
+        limb truncation is chosen (params.choose_truncate_limbs for the
+        banded path, choose_fused_primes for the fused-NTT path, both
+        scaled by the circuit's norm2 amplification); else none.
 
         use_ntt: pack the BSK as per-prime NTT spectra (ntt_tpu.NttBSK)
-        instead of banded limb planes.  The default (None) is banded at
-        every N (the measured-fastest path, see NTT_MIN_POLY_SIZE);
-        CONCRETE_TPU_NTT=1 or use_ntt=True opts into the NTT.  Both give
-        bit-identical PBS results.
+        instead of banded limb planes (legacy per-stage path, opt-in via
+        CONCRETE_TPU_NTT=1 / use_ntt=True).  Independent of that, N >=
+        FUSED_NTT_MIN_POLY_SIZE defaults to the fused single-kernel
+        CRT-NTT blind rotate.  All paths give oracle-exact PBS results.
         """
         import os
         self._require_server()
+        forced_fused = os.environ.get("CONCRETE_TPU_FUSED_NTT")
+        if use_ntt is None and (
+                forced_fused == "1"
+                or (forced_fused != "0"
+                    and self.params.polynomial_size
+                    >= self.FUSED_NTT_MIN_POLY_SIZE)):
+            from concrete_tpu.ops import pallas_fused_ntt as fnt
+            if self._packed_ksk is None:
+                self._packed_ksk = kn.pack_ksk(self._server.ksk, self.params)
+            cached = getattr(self, "_packed_bsk_fused", None)
+            key = (message_bits, int(norm2))
+            if cached is None or cached[0] != key:
+                fbsk = fnt.pack_bsk_fused(self._server.bsk, self.params,
+                                          message_bits=message_bits,
+                                          norm2=norm2)
+                self._packed_bsk_fused = cached = (key, fbsk)
+            return self._packed_ksk, cached[1]
         if use_ntt is None:
             forced = os.environ.get("CONCRETE_TPU_NTT")
             if forced is not None:

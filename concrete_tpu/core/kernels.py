@@ -735,8 +735,12 @@ def pbs_batch(ct_big, ksk: LimbKSK, bsk, lut_poly,
         ct_big = ct_big.at[:, -1].add(offset)
     ct_small = keyswitch(ct_big, ksk)
     from concrete_tpu.core.ntt_tpu import NttBSK, blind_rotate_ntt
+    from concrete_tpu.ops.pallas_fused_ntt import (FusedBSK,
+                                                   blind_rotate_fused)
     from concrete_tpu.ops.pallas_ntt import PallasBSK, blind_rotate_pallas_ntt
-    if isinstance(bsk, PallasBSK):
+    if isinstance(bsk, FusedBSK):
+        acc = blind_rotate_fused(ct_small, bsk, lut_poly, params)
+    elif isinstance(bsk, PallasBSK):
         acc = blind_rotate_pallas_ntt(ct_small, bsk, lut_poly, params)
     elif isinstance(bsk, NttBSK):
         acc = blind_rotate_ntt(ct_small, bsk, lut_poly, params)

@@ -1,0 +1,611 @@
+"""Single-kernel CRT-NTT blind rotation — the N >= 2048 throughput path.
+
+Round-3 measurements (RESULTS.md) showed the per-stage Pallas CRT-NTT
+kernels are exact but the full external-product step costs 4-6x the sum of
+its parts: 22 pallas_calls per blind-rotate step round-trip every
+intermediate (residues, spectra, products) through HBM, and the XLA glue
+between them (reshape/concat/moveaxis) adds more.  This module is the
+cross-stage-fused redesign:
+
+- **The entire blind rotation is ONE `pallas_call`** with grid
+  (B/R, n_small), step index innermost.  The accumulator block index
+  depends only on the batch-block coordinate, so Mosaic keeps it resident
+  in VMEM across all n_small steps (the revisited-output accumulator
+  pattern) and HBM sees it exactly twice per batch block.  Rotate,
+  gadget decompose, forward NTT, spectral contraction, inverse NTT,
+  Garner/CRT recombination and the u64 accumulation all happen inside the
+  kernel; the only HBM stream is the per-step BSK spectra slice, which
+  Pallas double-buffers against compute.
+- **3 CRT primes instead of 4 via BSK bit-truncation**: dropping the low
+  t bits of the (centered) BSK coefficients means the convolution result
+  is only needed mod 2^(64-t); t >= ~8 shrinks the exact-range
+  requirement under 3 near-2^31 primes at a provably negligible noise
+  cost (params.variance_bsk_truncation_bits; same budget machinery as the
+  banded path's limb truncation).  25% less work everywhere.
+- **Shared stage-2 DFT matrices + separate Shoup twiddles** instead of the
+  per-k1 twiddle-folded matrices of ops/pallas_ntt.py: tables shrink from
+  ~8.4 MB per prime (HBM-streamed every step) to ~0.6 MB per prime,
+  ALL VMEM-resident for the whole scan.  Twiddle/pointwise multiplies use
+  Shoup's precomputed-quotient trick (b_sh = floor(b * 2^32 / p)):
+  ~18 VPU ops per modular multiply vs ~30 for Montgomery-REDC, valid for
+  any u32 input and exact.
+- **Digit-width-aware int8 limb split**: balanced gadget digits satisfy
+  |d| <= 2^(base_log - 1), so the forward stage-1 lhs needs only
+  ceil((base_log + 1) / 8) int8 limbs (3 for the 6-bit N=4096 parameters)
+  instead of 4 — 25% off the stage-1 MACs.
+
+Reference parity: device analog of the reference's FFT-domain bootstrap
+inner loop (concrete `lib/Runtime/wrappers.cpp:762` bootstrap via
+fourier-domain BSK cached in RuntimeContext, `context.h:63-72`); the
+reference has no NTT/TPU path — this design is original.  Semantics
+(rotation, decomposition, external product, accumulator) are bit-exact
+against core/refimpl.py on the truncated BSK (tests/test_fused_ntt.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import numpy as np
+
+import concrete_tpu.jax_config  # noqa: F401
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from concrete_tpu.core import ntt as ntt_host
+from concrete_tpu.ops.pallas_ntt import (
+    N2,
+    _center_residues,
+    _combine4,
+    _garner_value,
+    _limbs4_i32,
+    _lt_u32,
+    _mul_pair,
+    _on_tpu,
+)
+from concrete_tpu.params import CryptoParams
+
+U32 = jnp.uint32
+I32 = jnp.int32
+_I0 = np.int32(0)
+
+# perf-ablation switch for tools/ablate_fused_step.py ONLY: comma-separated
+# phase names to skip ("fwd", "inv", "pointwise", "garner", "rotate",
+# "twiddle").  Results are wrong when non-empty; never set in production.
+import os as _os
+
+_ABLATE = frozenset(
+    s for s in _os.environ.get("CONCRETE_TPU_FUSED_ABLATE", "").split(",")
+    if s)
+
+
+# ---------------------------------------------------------------------------
+# Prime / truncation choice
+# ---------------------------------------------------------------------------
+
+def digit_limbs(base_log: int) -> int:
+    """int8 limbs needed for balanced digits |d| <= 2^(base_log-1)."""
+    return max(1, math.ceil((base_log + 1) / 8))
+
+
+def required_bits(params: CryptoParams, trunc_bits: int) -> int:
+    """Exact-CRT range for the external product with a t-bit-truncated BSK.
+
+    |sum_cin sum_poly digit * (bsk >> t)| <= Cin * N * 2^(base_log-1) *
+    2^(63-t); +1 for sign, +1 safety.
+    """
+    cin = params.pbs_level * (params.glwe_dimension + 1)
+    return ((64 - trunc_bits) + (params.pbs_base_log - 1)
+            + (params.polynomial_size * cin).bit_length() + 2)
+
+
+def choose_fused_primes(params: CryptoParams, message_bits: int = None,
+                        norm2: int = 1) -> tuple[tuple, int]:
+    """(primes, trunc_bits): fewest near-2^31 NTT primes whose range covers
+    the external product after a noise-budget-validated BSK truncation."""
+    from concrete_tpu.core import ntt_tpu as nt
+    from concrete_tpu import params as pp
+    pool = nt.ntt_primes_near_pow2(params.polynomial_size, 128)
+    req0 = required_bits(params, 0)
+    for count in range(2, len(pool) + 1):
+        ps = pool[:count]
+        cap = (math.prod(ps)).bit_length() - 1
+        t = max(0, req0 - cap)
+        if t == 0:
+            return tuple(ps), 0
+        if t >= 48:
+            continue
+        added = pp.variance_bsk_truncation_bits(
+            params.n_small, params.glwe_dimension, params.polynomial_size,
+            params.pbs_base_log, params.pbs_level, t,
+            params.q_log) * float(norm2) ** 2
+        if message_bits is not None:
+            from concrete_tpu.optimizer.v0 import safe_variance_bound
+            budget = safe_variance_bound(message_bits, 6.3e-5) * 0.05
+        else:
+            # self-contained fallback: stay well under the intrinsic
+            # blind-rotate noise of these parameters
+            budget = 0.01 * pp.variance_blind_rotate(
+                params.n_small, params.glwe_dimension,
+                params.polynomial_size, params.pbs_base_log,
+                params.pbs_level, params.glwe_std ** 2, params.q_log)
+        if added <= budget:
+            return tuple(ps), t
+    return tuple(pool), max(0, req0 - (math.prod(pool).bit_length() - 1))
+
+
+def truncate_bsk_u64(bsk_u64: np.ndarray, trunc_bits: int) -> np.ndarray:
+    """Zero the low t bits of every BSK coefficient (the oracle's key)."""
+    if trunc_bits == 0:
+        return np.asarray(bsk_u64)
+    b = np.asarray(bsk_u64, dtype=np.uint64)
+    return (b >> np.uint64(trunc_bits)) << np.uint64(trunc_bits)
+
+
+# ---------------------------------------------------------------------------
+# Host-side table construction
+# ---------------------------------------------------------------------------
+
+def _center_i64(vals: np.ndarray, p: int) -> np.ndarray:
+    v = np.asarray(vals, dtype=np.int64) % p
+    return np.where(v > p // 2, v - p, v)
+
+
+def _limb_i8(vals: np.ndarray, limbs: int) -> np.ndarray:
+    from concrete_tpu.core import limbs as lb
+    return np.asarray(lb.i32_digits_to_balanced_i8(
+        vals.astype(np.int32), limbs))
+
+
+def _premult_planes_limbs(mat: np.ndarray, p: int, in_limbs: int) -> np.ndarray:
+    """(K, L) mod-p matrix -> (in_limbs*K, 4*L) int8 Montgomery-premultiplied
+    limb-convolution planes:
+
+      W[a*K + k, t*L + l] = limb_t(center(mat[k,l] * 2^(8a) * 2^32 mod p))
+
+    so limbs(x) @ W yields 4 planes P_t with sum_t P_t * 2^(8t) ==
+    (x @ mat) * 2^32 (mod p) for ANY integer x representable in `in_limbs`
+    balanced int8 limbs (x need not be reduced mod p).  Rows limb-MAJOR,
+    output columns plane-MAJOR (matches _limbs/_combine4 lane layouts).
+    """
+    k_dim, l_dim = mat.shape
+    out = np.empty((in_limbs, k_dim, 4, l_dim), dtype=np.int8)
+    m64 = np.asarray(mat, dtype=np.int64) % p
+    for a in range(in_limbs):
+        weight = pow(2, 8 * a + 32, p)
+        scaled = m64 * weight % p
+        out[a] = np.moveaxis(_limb_i8(_center_i64(scaled, p), 4), -1, 1)
+    return np.ascontiguousarray(out.reshape(in_limbs * k_dim, 4 * l_dim))
+
+
+def _shoup_pair(vals: np.ndarray, p: int):
+    """(val, floor(val * 2^32 / p)) as u32 arrays; vals in [0, p)."""
+    v = np.asarray(vals, dtype=np.uint64)
+    sh = (v << np.uint64(32)) // np.uint64(p)
+    return v.astype(np.uint32), sh.astype(np.uint32)
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedTables:
+    """Stacked per-prime device tables for the fused step kernel.
+
+    All tables together are ~0.6 MB per prime and stay VMEM-resident for
+    the entire scan (constant block indices).
+    """
+    primes: tuple
+    p_neg_invs: tuple          # -p^-1 mod 2^32 per prime
+    kappas: tuple              # combine4 offset constants per prime
+    n1: int
+    dl: int                    # digit int8 limbs (stage-1 lhs width)
+    w1f: jnp.ndarray           # (P, dl*n1, 4*n1) i8 fwd stage-1 [i1 -> k1]
+    dft2: jnp.ndarray          # (P, 4*n2, 4*n2) i8 fwd stage-2 [i2 -> k2]
+    idft2: jnp.ndarray         # (P, 4*n2, 4*n2) i8 inv stage-1 [k2 -> i2]
+    v1i: jnp.ndarray           # (P, 4*n1, 4*n1) i8 inv stage-2 [k1 -> i1]
+    twf_val: jnp.ndarray       # (P, n1, n2) u32 fwd twiddle [k1, i2]
+    twf_sh: jnp.ndarray        # Shoup companion
+    twi_val: jnp.ndarray       # (P, n1, n2) u32 inv twiddle [k1, i2]
+    twi_sh: jnp.ndarray
+
+
+@functools.lru_cache(maxsize=None)
+def build_fused_tables(n: int, primes: tuple, dl: int) -> FusedTables:
+    assert n % N2 == 0 and n // N2 >= 8, f"fused NTT needs N >= 1024, got {n}"
+    n1 = n // N2
+    w1f, dft2, idft2, v1i = [], [], [], []
+    twfv, twfs, twiv, twis = [], [], [], []
+    p_neg_invs, kappas = [], []
+    for p in primes:
+        g = ntt_host._primitive_root(p)
+        psi = pow(g, (p - 1) // (2 * n), p)
+        assert pow(psi, n, p) == p - 1
+        w = psi * psi % p
+        w1, w2 = pow(w, N2, p), pow(w, n1, p)       # order n1, order n2
+        psi_i = pow(psi, -1, p)
+        w1i, w2i = pow(w1, -1, p), pow(w2, -1, p)
+        wi = pow(w, -1, p)
+        n_inv = pow(n, -1, p)
+        i1 = np.arange(n1)
+        i2 = np.arange(N2)
+
+        def pows(base, exps, p=p):
+            return np.array(
+                [pow(base, int(e) % (p - 1), p)
+                 for e in np.asarray(exps).reshape(-1)],
+                dtype=np.int64).reshape(np.shape(exps))
+
+        # fwd stage-1: A1[i1, k1] = psi^(i1*n2) * w1^(i1*k1)
+        a1 = pows(w1, np.multiply.outer(i1, i1)) \
+            * pows(psi, i1 * N2)[:, None] % p
+        # fwd twiddle [k1, i2]: psi^i2 * w^(i2*k1)
+        twf = pows(psi, i2)[None, :] * pows(w, np.multiply.outer(i1, i2)) % p
+        # fwd stage-2 (shared over k1): A2[i2, k2] = w2^(i2*k2)
+        a2 = pows(w2, np.multiply.outer(i2, i2))
+        # inv stage-1 (shared): B2[k2, i2] = w2^(-k2*i2)
+        b2 = pows(w2i, np.multiply.outer(i2, i2))
+        # inv twiddle [k1, i2]: psi^-i2 * w^(-i2*k1) / N
+        twi = (pows(psi_i, i2) * n_inv % p)[None, :] \
+            * pows(wi, np.multiply.outer(i1, i2)) % p
+        # inv stage-2: B1[k1, i1] = w1^(-k1*i1) * psi^(-i1*n2)
+        b1 = pows(w1i, np.multiply.outer(i1, i1)) \
+            * pows(psi_i, i1 * N2)[None, :] % p
+
+        w1f.append(_premult_planes_limbs(a1, p, dl))
+        dft2.append(_premult_planes_limbs(a2, p, 4))
+        idft2.append(_premult_planes_limbs(b2, p, 4))
+        v1i.append(_premult_planes_limbs(b1, p, 4))
+        for dst_v, dst_s, tw in ((twfv, twfs, twf), (twiv, twis, twi)):
+            v, s = _shoup_pair(tw, p)
+            dst_v.append(v)
+            dst_s.append(s)
+        p_neg_invs.append((-pow(p, -1, 1 << 32)) % (1 << 32))
+        kappas.append((((1 << 31) + (1 << 47)) * pow(1 << 32, -1, p)) % p)
+    return FusedTables(
+        primes=tuple(primes), p_neg_invs=tuple(p_neg_invs),
+        kappas=tuple(kappas), n1=n1, dl=dl,
+        w1f=jnp.asarray(np.stack(w1f)), dft2=jnp.asarray(np.stack(dft2)),
+        idft2=jnp.asarray(np.stack(idft2)), v1i=jnp.asarray(np.stack(v1i)),
+        twf_val=jnp.asarray(np.stack(twfv)),
+        twf_sh=jnp.asarray(np.stack(twfs)),
+        twi_val=jnp.asarray(np.stack(twiv)),
+        twi_sh=jnp.asarray(np.stack(twis)))
+
+
+# ---------------------------------------------------------------------------
+# BSK packing
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=["spec_val", "spec_sh"],
+                   meta_fields=["primes", "trunc_bits", "base_log", "levels"])
+@dataclasses.dataclass(frozen=True)
+class FusedBSK:
+    """BSK pre-transformed per CRT prime for the fused step kernel.
+
+    spec_val/spec_sh: (n, P * Cin * (k+1), N) u32 — plain NTT residues of
+    the centered, t-bit-truncated BSK polynomials (four-step [k1-major]
+    layout) and their Shoup companions, flattened so one step's slice is a
+    single 3D block; row index = (pr * Cin + ci) * (k+1) + co.
+    """
+    spec_val: jnp.ndarray
+    spec_sh: jnp.ndarray
+    primes: tuple
+    trunc_bits: int
+    base_log: int
+    levels: int
+
+    @property
+    def n_small(self) -> int:
+        return self.spec_val.shape[0]
+
+
+def _plan_perm(n: int, n1: int) -> np.ndarray:
+    """four-step flat index k1*n2 + k2 holds natural frequency k2*n1 + k1."""
+    n2 = n // n1
+    k1, k2 = np.meshgrid(np.arange(n1), np.arange(n2), indexing="ij")
+    return (k2 * n1 + k1).reshape(-1)
+
+
+def pack_bsk_fused(bsk_u64: np.ndarray, params: CryptoParams,
+                   message_bits: int = None, norm2: int = 1,
+                   primes: tuple = None, trunc_bits: int = None) -> FusedBSK:
+    """Truncate + pre-transform a u64 BSK (n, l, k+1, k+1, N) per CRT prime
+    (host side).  The truncation is part of the key: the plaintext oracle
+    for bit-exactness tests is refimpl on truncate_bsk_u64(bsk, t)."""
+    if primes is None or trunc_bits is None:
+        primes, trunc_bits = choose_fused_primes(params, message_bits, norm2)
+    bsk_u64 = np.asarray(bsk_u64, dtype=np.uint64)
+    n_small, l, kp1, _, n = bsk_u64.shape
+    n1 = n // N2
+    cin = l * kp1
+    flat = bsk_u64.reshape(n_small, cin, kp1, n)
+    # centered, truncated, divided by 2^t: |b'| <= 2^(63-t)
+    signed = truncate_bsk_u64(flat, trunc_bits).astype(np.int64)
+    signed >>= np.int64(trunc_bits)
+    perm = _plan_perm(n, n1)
+    vals = np.empty((n_small, len(primes) * cin * kp1, n), dtype=np.uint32)
+    shs = np.empty_like(vals)
+    for pi, p in enumerate(primes):
+        nat = ntt_host.ntt_forward(signed % p, n, p)
+        four = nat[..., perm]                       # (n_small, cin, kp1, N)
+        v, s = _shoup_pair(four, p)
+        rows = slice(pi * cin * kp1, (pi + 1) * cin * kp1)
+        vals[:, rows] = v.reshape(n_small, cin * kp1, n)
+        shs[:, rows] = s.reshape(n_small, cin * kp1, n)
+    return FusedBSK(spec_val=jnp.asarray(vals), spec_sh=jnp.asarray(shs),
+                    primes=tuple(primes), trunc_bits=int(trunc_bits),
+                    base_log=params.pbs_base_log, levels=params.pbs_level)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel arithmetic
+# ---------------------------------------------------------------------------
+
+def _shoup_mul(a, b_val, b_sh, p: int):
+    """a (any u32) * b (plain, < p, with Shoup companion) mod p -> [0, p).
+
+    q = hi32(a * b_sh) with b_sh = floor(b * 2^32 / p) satisfies
+    q in {Q, Q-1} for Q = floor(a*b/p), so r = a*b - q*p (mod 2^32) is the
+    exact remainder up to one conditional subtraction [Shoup/Harvey].
+    ~18 VPU ops vs ~30 for a Montgomery multiply.
+    """
+    hi, _lo = _mul_pair(a, b_sh)
+    r = a * b_val - hi * U32(p)
+    return r - U32(p) * (~_lt_u32(r, U32(p))).astype(U32)
+
+
+def _add_mod_p(a, b, p: int):
+    s = a + b
+    return s - U32(p) * (~_lt_u32(s, U32(p))).astype(U32)
+
+
+def _limbs_i32(x, dl: int):
+    """Balanced base-256 limb split of 2D i32 -> (M, dl*K) int8, limb-major
+    along lanes (generalizes pallas_ntt._limbs4_i32 to dl limbs)."""
+    outs = []
+    v = x
+    for i in range(dl):
+        if i < dl - 1:
+            t = v & I32(0xFF)
+            carry = (t >= I32(128)).astype(I32)
+            outs.append((t - (carry << I32(8))).astype(jnp.int8))
+            v = (v >> I32(8)) + carry
+        else:
+            outs.append(v.astype(jnp.int8))
+    if dl == 1:
+        return outs[0]
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _mm_combine(x_i8, w_i8, p: int, pni: int, kappa: int):
+    """(M, L*K) i8 @ Montgomery premult planes (L*K, 4*L2) -> (M, L2) u32
+    plain residues (MXU matmul + plane combine + REDC)."""
+    planes = jax.lax.dot_general(
+        x_i8, w_i8, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return _combine4(planes, p, pni, kappa)
+
+
+# ---------------------------------------------------------------------------
+# The fused step kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_rows(x_i32, pr: int, tabs: FusedTables, w1f, dft2, twv, tws):
+    """(M, N) i32 digit rows -> (M, N) u32 four-step spectrum, one prime.
+    Everything stays in VMEM: transpose -> stage-1 limb matmul -> Shoup
+    twiddle -> stage-2 limb matmul."""
+    p = tabs.primes[pr]
+    pni = tabs.p_neg_invs[pr]
+    kap = tabs.kappas[pr]
+    n1 = tabs.n1
+    m = x_i32.shape[0]
+    xt = jnp.swapaxes(x_i32.reshape(m, n1, N2), 1, 2).reshape(m * N2, n1)
+    y = _mm_combine(_limbs_i32(xt, tabs.dl), w1f[pr], p, pni, kap)
+    y = jnp.swapaxes(y.reshape(m, N2, n1), 1, 2)        # (m, n1, n2) [k1,i2]
+    if "twiddle" not in _ABLATE:
+        y = _shoup_mul(y, twv[pr], tws[pr], p)
+    z8 = _limbs4_i32(_center_residues(y.reshape(m * n1, N2), p))
+    out = _mm_combine(z8, dft2[pr], p, pni, kap)        # (m*n1, n2) [k1,k2]
+    return out.reshape(m, n1 * N2)
+
+
+def _inv_rows(x_u32, pr: int, tabs: FusedTables, idft2, v1i, twv, tws):
+    """(M, N) u32 four-step spectrum -> (M, N) u32 coefficient residues."""
+    p = tabs.primes[pr]
+    pni = tabs.p_neg_invs[pr]
+    kap = tabs.kappas[pr]
+    n1 = tabs.n1
+    m = x_u32.shape[0]
+    z8 = _limbs4_i32(_center_residues(x_u32.reshape(m * n1, N2), p))
+    u = _mm_combine(z8, idft2[pr], p, pni, kap)         # (m*n1, n2) [k1,i2]
+    u = u.reshape(m, n1, N2)
+    if "twiddle" not in _ABLATE:
+        u = _shoup_mul(u, twv[pr], tws[pr], p)
+    ut = jnp.swapaxes(u, 1, 2).reshape(m * N2, n1)
+    w = _mm_combine(_limbs4_i32(_center_residues(ut, p)), v1i[pr],
+                    p, pni, kap)                        # (m*N2, n1) [i2,i1]
+    return jnp.swapaxes(w.reshape(m, N2, n1), 1, 2).reshape(m, n1 * N2)
+
+
+def _step_kernel(a_ref, acc0_lo_ref, acc0_hi_ref, sv_ref, ss_ref,
+                 w1f_ref, dft2_ref, idft2_ref, v1i_ref,
+                 twfv_ref, twfs_ref, twiv_ref, twis_ref,
+                 out_lo_ref, out_hi_ref,
+                 *, tabs: FusedTables, n: int, base_log: int, levels: int,
+                 kp1: int, r_blk: int, trunc_bits: int):
+    from concrete_tpu.ops import pallas_step as ps
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_lo_ref[...] = acc0_lo_ref[...]
+        out_hi_ref[...] = acc0_hi_ref[...]
+
+    primes = tabs.primes
+    n_p = len(primes)
+    cin = levels * kp1
+    acc_lo = out_lo_ref[...].reshape(r_blk * kp1, n)
+    acc_hi = out_hi_ref[...].reshape(r_blk * kp1, n)
+    # step-j rotation amounts: the a block carries the full per-row step
+    # vector (blocks with a lane dim of 1 are not lowerable); select
+    # column j by mask-reduce — negligible next to the transforms
+    a_all = a_ref[...]                                   # (R, n_small) i32
+    lane = jax.lax.broadcasted_iota(jnp.int32, a_all.shape, 1)
+    sel = jnp.where(lane == jnp.int32(j), a_all, jnp.zeros_like(a_all))
+    # dtype pinned: x64-mode jnp.sum would promote i32 -> i64 (unsupported
+    # in Mosaic)
+    a = jnp.sum(sel, axis=1, keepdims=True, dtype=jnp.int32)
+    a_rows = jnp.broadcast_to(a[:, None, :], (r_blk, kp1, 1)) \
+        .reshape(r_blk * kp1, 1)
+    if "rotate" in _ABLATE:
+        digs = [jax.lax.bitcast_convert_type(
+            acc_lo >> U32(10), I32)] * levels
+    else:
+        digs = ps.rotate_diff_digits(acc_lo, acc_hi, a_rows, n=n,
+                                     base_log=base_log, levels=levels)
+
+    res = []
+    for pr in range(n_p):
+        p = primes[pr]
+        if "fwd" in _ABLATE:
+            dhat = [jax.lax.bitcast_convert_type(d, U32)
+                    .reshape(r_blk, kp1, n) for d in digs]
+        else:
+            dhat = [_fwd_rows(digs[lev], pr, tabs, w1f_ref, dft2_ref,
+                              twfv_ref, twfs_ref).reshape(r_blk, kp1, n)
+                    for lev in range(levels)]
+        if "pointwise" in _ABLATE:
+            prods = [dhat[0][:, co % kp1, :] for co in range(kp1)]
+        else:
+            prods = []
+            for co in range(kp1):
+                acc_f = None
+                for lev in range(levels):
+                    for comp in range(kp1):
+                        ci = lev * kp1 + comp
+                        row = (pr * cin + ci) * kp1 + co
+                        t = _shoup_mul(dhat[lev][:, comp, :],
+                                       sv_ref[0, row:row + 1, :],
+                                       ss_ref[0, row:row + 1, :], p)
+                        acc_f = t if acc_f is None \
+                            else _add_mod_p(acc_f, t, p)
+                prods.append(acc_f)                      # (R, N) u32
+        stacked = jnp.concatenate(prods, axis=0)         # (kp1*R, N) co-major
+        if "inv" in _ABLATE:
+            res.append(stacked)
+        else:
+            res.append(_inv_rows(stacked, pr, tabs, idft2_ref, v1i_ref,
+                                 twiv_ref, twis_ref))
+
+    p_neg_invs = tabs.p_neg_invs
+    if "garner" in _ABLATE:
+        v_hi, v_lo = res[0], res[-1]
+    else:
+        v_hi, v_lo = _garner_value(primes, p_neg_invs, res)
+    tb = trunc_bits
+    if tb == 0:
+        add_lo, add_hi = v_lo, v_hi
+    elif tb < 32:
+        add_lo = v_lo * U32(1 << tb)
+        add_hi = (v_hi * U32(1 << tb)) | (v_lo >> U32(32 - tb))
+    elif tb == 32:
+        add_lo = jnp.zeros_like(v_lo)
+        add_hi = v_lo
+    else:
+        add_lo = jnp.zeros_like(v_lo)
+        add_hi = v_lo * U32(1 << (tb - 32))
+    add_lo = add_lo.reshape(kp1, r_blk, n)
+    add_hi = add_hi.reshape(kp1, r_blk, n)
+    for co in range(kp1):
+        cur_lo = out_lo_ref[:, co, :]
+        new_lo = cur_lo + add_lo[co]
+        carry = _lt_u32(new_lo, add_lo[co]).astype(U32)
+        out_lo_ref[:, co, :] = new_lo
+        out_hi_ref[:, co, :] = out_hi_ref[:, co, :] + add_hi[co] + carry
+
+
+def _choose_row_block(b_ct: int, n: int, kp1: int, cin: int, n_p: int,
+                      budget_bytes: int = 6 << 20) -> int:
+    """Largest power-of-two batch-row block whose live VMEM estimate fits."""
+    per_row = 4 * n * (4 * kp1 + 3 * cin + (n_p + 1) * kp1 + 10)
+    r = 32
+    while r > 1 and (r * per_row > budget_bytes or b_ct % r):
+        r //= 2
+    while b_ct % r:
+        r //= 2
+    return max(r, 1)
+
+
+def blind_rotate_fused(ct_small, bsk: FusedBSK, lut_poly,
+                       params: CryptoParams, row_block: int = None,
+                       interpret: bool = None):
+    """Batched blind rotation, entire scan in ONE pallas_call.
+
+    (B, n+1) u64 + (N,) LUT -> accumulator (B, k+1, N) u64, bit-identical
+    to refimpl.blind_rotate on truncate_bsk_u64(bsk, t).
+    """
+    from concrete_tpu.core import kernels as kn
+    from concrete_tpu.ops import pallas_step as ps
+    if interpret is None:
+        interpret = not _on_tpu()
+    b_ct = ct_small.shape[0]
+    n = params.polynomial_size
+    k = params.glwe_dimension
+    kp1 = k + 1
+    levels = params.pbs_level
+    cin = levels * kp1
+    n_small = bsk.n_small
+    tabs = build_fused_tables(n, bsk.primes, digit_limbs(bsk.base_log))
+    n_p = len(bsk.primes)
+
+    switched = kn.modulus_switch(ct_small, params.log2_polynomial_size)
+    a_t = switched[:, :-1].astype(jnp.int32)             # (B, n_small)
+    b_t = switched[:, -1]
+    body0 = kn._lut_rows(lut_poly, b_ct, n)
+    body0 = kn.monomial_mul_rolls(body0, (2 * n - b_t) % (2 * n))
+    acc0 = jnp.zeros((b_ct, kp1, n), dtype=jnp.uint64).at[:, k, :].set(
+        body0[:, 0, :])
+    lo0, hi0 = ps.split_u64(acc0.reshape(b_ct * kp1, n))
+    lo0 = lo0.reshape(b_ct, kp1, n)
+    hi0 = hi0.reshape(b_ct, kp1, n)
+
+    r_blk = row_block or _choose_row_block(b_ct, n, kp1, cin, n_p)
+    kernel = functools.partial(
+        _step_kernel, tabs=tabs, n=n, base_log=bsk.base_log, levels=levels,
+        kp1=kp1, r_blk=r_blk, trunc_bits=bsk.trunc_bits)
+
+    acc_spec = pl.BlockSpec((r_blk, kp1, n), lambda i, j: (i, _I0, _I0),
+                            memory_space=pltpu.VMEM)
+    spec_spec = pl.BlockSpec((1, n_p * cin * kp1, n),
+                             lambda i, j: (j, _I0, _I0),
+                             memory_space=pltpu.VMEM)
+
+    def _tab(shape3):
+        return pl.BlockSpec(shape3, lambda i, j: (_I0, _I0, _I0),
+                            memory_space=pltpu.VMEM)
+
+    lo, hi = pl.pallas_call(
+        kernel,
+        grid=(b_ct // r_blk, n_small),
+        in_specs=[
+            pl.BlockSpec((r_blk, n_small), lambda i, j: (i, _I0),
+                         memory_space=pltpu.VMEM),
+            acc_spec, acc_spec,
+            spec_spec, spec_spec,
+            _tab(tabs.w1f.shape), _tab(tabs.dft2.shape),
+            _tab(tabs.idft2.shape), _tab(tabs.v1i.shape),
+            _tab(tabs.twf_val.shape), _tab(tabs.twf_sh.shape),
+            _tab(tabs.twi_val.shape), _tab(tabs.twi_sh.shape),
+        ],
+        out_specs=(acc_spec, acc_spec),
+        out_shape=(jax.ShapeDtypeStruct((b_ct, kp1, n), jnp.uint32),
+                   jax.ShapeDtypeStruct((b_ct, kp1, n), jnp.uint32)),
+        interpret=interpret,
+    )(a_t, lo0, hi0, bsk.spec_val, bsk.spec_sh,
+      tabs.w1f, tabs.dft2, tabs.idft2, tabs.v1i,
+      tabs.twf_val, tabs.twf_sh, tabs.twi_val, tabs.twi_sh)
+    return ps.merge_u64(lo.reshape(b_ct * kp1, n),
+                        hi.reshape(b_ct * kp1, n)).reshape(b_ct, kp1, n)

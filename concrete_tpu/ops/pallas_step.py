@@ -175,18 +175,14 @@ def rotate_decompose_limbs(acc_lo, acc_hi, a_rows, *, base_log: int,
     )(a_rows.reshape(rows, 1), acc_lo, acc_hi)
 
 
-def _rotate_digits_kernel(a_ref, lo_ref, hi_ref, *d_refs,
-                          n: int, base_log: int, levels: int):
-    """_rotate_kernel without the int8 limb split: emits the signed int32
-    gadget digits themselves (the CRT-NTT path's input).
+def rotate_diff_digits(lo, hi, a, *, n: int, base_log: int, levels: int):
+    """Negacyclic rotate-by-a, subtract, balanced gadget decompose — on
+    VALUES (u32 pair planes), shared by the standalone kernel below and
+    the fused CRT-NTT step kernel (ops/pallas_fused_ntt.py).
 
-    a_ref: (Rt, 1) int32 rotations in [0, 2N)
-    lo/hi_ref: (Rt, N) u32 accumulator planes
-    d_refs: `levels` outputs of (Rt, N) int32 (index = lev)
+    lo/hi: (M, N) u32 accumulator planes; a: (M, 1) int32 in [0, 2N).
+    Returns `levels` signed int32 digit arrays of shape (M, N).
     """
-    lo = lo_ref[...]
-    hi = hi_ref[...]
-    a = a_ref[...]
     a_mod = a & jnp.int32(n - 1)
     s_bit = (a >> jnp.int32(int(n).bit_length() - 1)) & 1
     r_lo, r_hi = lo, hi
@@ -207,7 +203,21 @@ def _rotate_digits_kernel(a_ref, lo_ref, hi_ref, *d_refs,
     d_lo = rot_lo - lo
     bw = (rot_lo < lo).astype(U32)
     d_hi = rot_hi - hi - bw
-    for lev, dig in enumerate(_digits_i32(d_hi, d_lo, base_log, levels)):
+    return _digits_i32(d_hi, d_lo, base_log, levels)
+
+
+def _rotate_digits_kernel(a_ref, lo_ref, hi_ref, *d_refs,
+                          n: int, base_log: int, levels: int):
+    """_rotate_kernel without the int8 limb split: emits the signed int32
+    gadget digits themselves (the CRT-NTT path's input).
+
+    a_ref: (Rt, 1) int32 rotations in [0, 2N)
+    lo/hi_ref: (Rt, N) u32 accumulator planes
+    d_refs: `levels` outputs of (Rt, N) int32 (index = lev)
+    """
+    digits = rotate_diff_digits(lo_ref[...], hi_ref[...], a_ref[...],
+                                n=n, base_log=base_log, levels=levels)
+    for lev, dig in enumerate(digits):
         d_refs[lev][...] = dig
 
 

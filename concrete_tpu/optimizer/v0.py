@@ -43,6 +43,39 @@ def safe_variance_bound(precision: int, p_error: float) -> float:
     return (margin / kappa_of_p_error(p_error)) ** 2
 
 
+def pattern_variance(params: "pp.CryptoParams", pattern: tuple) -> float:
+    """Achieved decision variance of one (precision, in_sq, lut_sq) atomic
+    pattern under concrete `params` — mirrors the optimizer's feasibility
+    expression (i_sq * var_bsk + l_sq * v_br + v_ks + v_ms), so the
+    achieved per-PBS p_error of a solution can be computed after the fact
+    (the reference reads it off DagSolution.p_error; we recompute)."""
+    _p, i_sq, l_sq = pattern
+    var_bsk = params.glwe_std ** 2
+    var_lwe = params.lwe_std ** 2
+    n_big = params.glwe_dimension * params.polynomial_size
+    v_br = params.n_small * pp.variance_external_product(
+        params.glwe_dimension, params.polynomial_size,
+        params.pbs_base_log, params.pbs_level, var_bsk)
+    v_ks = pp.variance_keyswitch(n_big, params.ks_base_log,
+                                 params.ks_level, var_lwe)
+    v_ms = pp.variance_modulus_switch(params.n_small,
+                                      params.log2_polynomial_size)
+    return i_sq * var_bsk + l_sq * v_br + v_ks + v_ms
+
+
+def p_error_of_variance(precision: int, variance: float) -> float:
+    """Gaussian decision-failure probability at the 2-padding-bit margin
+    (inverse of safe_variance_bound)."""
+    margin = 2.0 ** (-(precision + 2))
+    return math.erfc(margin / math.sqrt(2.0 * variance))
+
+
+def achieved_p_error(params: "pp.CryptoParams", patterns) -> float:
+    """Worst achieved per-PBS p_error across atomic patterns under params."""
+    return max(p_error_of_variance(p, pattern_variance(params, (p, i, s)))
+               for p, i, s in patterns)
+
+
 def cost_pbs_macs(n, k: int, big_n: int, br_l: int, br_b: int,
                   precision: int = None, p_error: float = 6.3e-5):
     """int8 MACs of one PBS blind rotate with the banded-matmul kernel.

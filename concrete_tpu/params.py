@@ -160,6 +160,23 @@ def variance_bsk_limb_truncation(in_lwe_dimension: int, glwe_dimension: int,
     return per_coeff * key_factor
 
 
+def variance_bsk_truncation_bits(in_lwe_dimension: int, glwe_dimension: int,
+                                 polynomial_size: int, log2_base: int,
+                                 level: int, bits: int,
+                                 q_log: int = 64) -> float:
+    """variance_bsk_limb_truncation generalized to an arbitrary number of
+    truncated low BITS (the CRT-NTT path drops bits, not 8-bit limbs, to
+    shrink the exact-range requirement to fewer primes)."""
+    if bits == 0:
+        return 0.0
+    count = (glwe_dimension + 1) * level * polynomial_size
+    e_d2 = (2.0 ** (log2_base - 1)) ** 2 / 3.0
+    e_t2 = (2.0 ** bits) ** 2 / 3.0
+    per_coeff = in_lwe_dimension * count * e_d2 * e_t2 / 2.0 ** (2 * q_log)
+    key_factor = 1.0 + glwe_dimension * polynomial_size / 2.0
+    return per_coeff * key_factor
+
+
 def choose_truncate_limbs(params: "CryptoParams", message_bits: int,
                           norm2: int = 1,
                           budget_fraction: float = 0.05,

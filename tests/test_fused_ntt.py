@@ -1,0 +1,101 @@
+"""Bit-exactness tests for the single-kernel fused CRT-NTT blind rotation
+(ops/pallas_fused_ntt.py) against the numpy oracle (core/refimpl.py) on the
+truncated BSK — interpret mode on CPU.
+"""
+
+import numpy as np
+import pytest
+
+import concrete_tpu.jax_config  # noqa: F401
+import jax.numpy as jnp
+
+from concrete_tpu.core import keygen as kg
+from concrete_tpu.core import kernels as kn
+from concrete_tpu.core import ntt_tpu as nt
+from concrete_tpu.core import refimpl as ref
+from concrete_tpu.ops import pallas_fused_ntt as fn
+from concrete_tpu.params import BENCH_PARAMS_6BIT, CryptoParams
+
+# smallest shape the fused kernel supports (n1 = N/128 >= 8)
+P_TEST = CryptoParams(
+    n_small=6, glwe_dimension=1, polynomial_size=1024,
+    pbs_level=2, pbs_base_log=8, ks_level=2, ks_base_log=8,
+    lwe_std=2.0 ** -25, glwe_std=2.0 ** -35, security_level=0)
+
+
+def test_choose_fused_primes_6bit_is_three_primes():
+    primes, t = fn.choose_fused_primes(BENCH_PARAMS_6BIT, message_bits=6)
+    assert len(primes) == 3
+    assert t >= 1
+    # exact range actually covers the truncated product
+    import math
+    cap = math.prod(primes).bit_length() - 1
+    assert fn.required_bits(BENCH_PARAMS_6BIT, t) <= cap
+
+
+def _random_inputs(rng, params, b_ct):
+    bsk = rng.integers(0, 1 << 64, (params.n_small, params.pbs_level,
+                                    params.glwe_dimension + 1,
+                                    params.glwe_dimension + 1,
+                                    params.polynomial_size),
+                       dtype=np.uint64)
+    ct = rng.integers(0, 1 << 64, (b_ct, params.n_small + 1),
+                      dtype=np.uint64)
+    lut = rng.integers(0, 1 << 64, params.polynomial_size, dtype=np.uint64)
+    return bsk, ct, lut
+
+
+@pytest.mark.parametrize("n_primes,expect_trunc", [(3, False), (2, True)])
+def test_blind_rotate_fused_bit_exact(rng, n_primes, expect_trunc):
+    params = P_TEST
+    b_ct = 4
+    bsk, ct, lut = _random_inputs(rng, params, b_ct)
+    pool = nt.ntt_primes_near_pow2(params.polynomial_size, 128)
+    primes = pool[:n_primes]
+    import math
+    cap = math.prod(primes).bit_length() - 1
+    t = max(0, fn.required_bits(params, 0) - cap)
+    assert (t > 0) == expect_trunc
+    fbsk = fn.pack_bsk_fused(bsk, params, primes=primes, trunc_bits=t)
+    got = np.asarray(fn.blind_rotate_fused(
+        jnp.asarray(ct), fbsk, jnp.asarray(lut), params, interpret=True))
+    bsk_oracle = fn.truncate_bsk_u64(bsk, t)
+    for b in range(b_ct):
+        want = ref.blind_rotate(ct[b], bsk_oracle, lut, params)
+        assert np.array_equal(got[b], want), f"row {b} differs (t={t})"
+
+
+def test_pbs_batch_dispatches_fused(rng):
+    """Full PBS through the FusedBSK path decrypts to the right LUT values."""
+    params = P_TEST
+    p_bits = 3
+    sk, server = kg.keygen(rng, params)
+    ksk = kn.pack_ksk(server.ksk, params)
+    fbsk = fn.pack_bsk_fused(server.bsk, params, message_bits=p_bits)
+    lut = np.array([(5 * v + 2) % (1 << p_bits) for v in range(1 << p_bits)],
+                   dtype=np.uint64)
+    lut_poly = jnp.asarray(ref.encode_expand_lut(
+        lut, params.polynomial_size, p_bits))
+    msgs = rng.integers(0, 1 << p_bits, 4)
+    ct = jnp.asarray(kg.encrypt_lwe_batch(
+        rng, sk.lwe_big, ref.encode(msgs, p_bits), params.lwe_std / 4))
+    out = kn.pbs_batch(ct, ksk, fbsk, lut_poly, params, p_bits)
+    dec = ref.decode(ref.lwe_decrypt(sk.lwe_big, np.asarray(out)), p_bits)
+    want = (5 * msgs + 2) % (1 << p_bits)
+    assert np.array_equal(dec, want)
+
+
+def test_truncation_noise_budget_6bit():
+    """The 3-prime truncation's added variance is negligible next to the
+    intrinsic blind-rotate variance of the 6-bit parameters."""
+    from concrete_tpu import params as pp
+    params = BENCH_PARAMS_6BIT
+    _, t = fn.choose_fused_primes(params, message_bits=6)
+    added = pp.variance_bsk_truncation_bits(
+        params.n_small, params.glwe_dimension, params.polynomial_size,
+        params.pbs_base_log, params.pbs_level, t, params.q_log)
+    intrinsic = pp.variance_blind_rotate(
+        params.n_small, params.glwe_dimension, params.polynomial_size,
+        params.pbs_base_log, params.pbs_level, params.glwe_std ** 2,
+        params.q_log)
+    assert added < 0.05 * intrinsic

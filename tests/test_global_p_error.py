@@ -1,0 +1,68 @@
+"""Global p_error calibration search (reference V0Parameters.cpp:70-119
+getSolutionWithGlobalPError): the per-PBS request shrinks only until the
+ACHIEVED global error meets the budget, instead of the old union-bound
+request global/n_pbs — large circuits get strictly cheaper parameters."""
+
+import numpy as np
+
+import concrete_tpu as fhe
+from concrete_tpu.optimizer.v0 import (achieved_p_error, cost_pbs_macs,
+                                       p_error_of_variance,
+                                       pattern_variance)
+
+
+def _tlu_circuit(cfg, count=64, width=4):
+    table = fhe.LookupTable([(3 * v + 1) % (1 << width)
+                             for v in range(1 << width)])
+
+    @fhe.compiler({"x": "encrypted"})
+    def f(x):
+        return table[x]
+
+    inputset = [np.random.randint(0, 1 << width, (count,))
+                for _ in range(10)]
+    inputset.append(np.full((count,), (1 << width) - 1))
+    return f.compile(inputset, cfg)
+
+
+def _pbs_cost(params):
+    return float(cost_pbs_macs(
+        np.array([params.n_small], dtype=np.float64), params.glwe_dimension,
+        params.polynomial_size, params.pbs_level, params.pbs_base_log)[0])
+
+
+def test_calibrated_global_p_error_is_cheaper_than_union_bound():
+    n, target = 64, 0.4
+    c_cal = _tlu_circuit(fhe.Configuration(global_p_error=target), count=n)
+    c_ub = _tlu_circuit(fhe.Configuration(p_error=target / n), count=n)
+    p_cal = c_cal.client_specs.params
+    p_ub = c_ub.client_specs.params
+    # the calibrated solution still meets the global budget (exact product
+    # criterion over the n PBS instances)...
+    ach = achieved_p_error(p_cal, ((4, 1.0, 1.0),))
+    assert 1.0 - (1.0 - ach) ** n <= target * 1.0001, (ach,)
+    # ...at a strictly cheaper per-PBS cost than the union-bound request
+    assert _pbs_cost(p_cal) < _pbs_cost(p_ub), (p_cal, p_ub)
+
+
+def test_tight_global_p_error_still_meets_budget():
+    n, target = 50, 0.001
+    c = _tlu_circuit(fhe.Configuration(global_p_error=target), count=n)
+    ach = achieved_p_error(c.client_specs.params, ((4, 1.0, 1.0),))
+    assert 1.0 - (1.0 - ach) ** n <= target * 1.0001, (ach,)
+
+
+def test_p_error_of_variance_inverts_safe_bound():
+    from concrete_tpu.optimizer.v0 import safe_variance_bound
+    for p in (2, 5, 8):
+        for pe in (1e-3, 6.3e-5, 1e-7):
+            v = safe_variance_bound(p, pe)
+            got = p_error_of_variance(p, v)
+            assert abs(got - pe) / pe < 1e-3, (p, pe, got)
+
+
+def test_pattern_variance_positive_and_monotone():
+    from concrete_tpu.params import BENCH_PARAMS_4BIT_TPUOPT as P
+    v1 = pattern_variance(P, (4, 1.0, 1.0))
+    v4 = pattern_variance(P, (4, 1.0, 16.0))
+    assert 0 < v1 < v4
