@@ -85,6 +85,13 @@ class Compiler:
                 native = min(8, int(config.forced_parameters
                                     .polynomial_size).bit_length() - 2)
             chunk_wide_comparisons(graph, native_bits=native)
+        from concrete_tpu.compilation.transforms import \
+            chunk_wide_encrypted_shifts
+        native_sh = 8
+        if config.forced_parameters is not None:
+            native_sh = min(8, int(config.forced_parameters
+                                   .polynomial_size).bit_length() - 2)
+        chunk_wide_encrypted_shifts(graph, native_bits=native_sh)
         widths = assign_encoding_widths(graph,
                                         composable=config.composable)
 

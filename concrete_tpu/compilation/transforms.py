@@ -451,3 +451,133 @@ def chunk_wide_comparisons(graph: Graph, native_bits: int = 8) -> int:
                     g.remove_node(n)
                     changed = True
     return rewritten
+
+
+def chunk_wide_encrypted_shifts(graph: Graph, native_bits: int = 8) -> int:
+    """Chunked strategy for `enc << enc` / `enc >> enc` whose packed
+    one-TLU form would exceed the native TLU width (reference
+    mlir/context.py:3472 `shift`, CHUNKED branch).
+
+    A traced encrypted shift is a packed multivariate TLU over
+    (x * 2^pb + b) — fine while px + pb <= native_bits.  Beyond that the
+    node is rewritten with the reference's per-bit trick: for each bit i
+    of b (MSB first),
+
+      y = (b_i ? (x << 2^i) - x : 0) + x          (left)
+      y = x - (b_i ? x - (x >> 2^i) : 0)          (right)
+
+    where the parenthesized "shifter" value is produced by per-chunk
+    native TLUs on x, each packed with the 1-bit `b_i` TLU.
+
+    Only RIGHT shifts are rewritten: a right shift never grows x, so all
+    chunk TLUs stay native.  A left shift grows x by up to 2^pb - 1 bits,
+    and whenever the chunked intermediates would still fit natively the
+    packed form (px + pb bits) also fits — i.e. chunked left shifts would
+    only ever run with wide (WoP) intermediate TLUs, which cost MORE than
+    the single packed WoP TLU they replace; wide `enc << enc` therefore
+    keeps the packed lowering on the CRT/WoP path.  (The reference can
+    profit from chunked left shifts because its native TLU ceiling is 16
+    bits; ours is 8 with WoP beyond.)  Runs after bounds measurement;
+    returns the rewrite count.
+    """
+    from concrete_tpu.dtypes import Integer
+
+    g = graph.graph
+    rewritten = 0
+
+    def vd(shape, bits):
+        return ValueDescription(dtype=Integer(bits, False), shape=shape,
+                                is_encrypted=True)
+
+    def add_node(node, lo, hi, *preds):
+        node.bounds = (int(lo), int(hi))
+        g.add_node(node)
+        for idx, p in enumerate(preds):
+            g.add_edge(p, node, input_idx=idx)
+        return node
+
+    targets = [n for n in list(g.nodes)
+               if n.properties.get("shift") == "right"
+               and n.name == "multivariate"]
+    for node in targets:
+        preds = graph.ordered_preds_of(node)
+        if len(preds) != 2 or node.bounds is None \
+                or any(q.bounds is None for q in preds):
+            continue
+        x_node, b_node = preds
+        if any(q.bounds[0] < 0 for q in preds):
+            continue                     # unsigned only, like the reference
+        px = max(int(x_node.bounds[1]).bit_length(), 1)
+        pb = max(int(b_node.bounds[1]).bit_length(), 1)
+        if px + pb <= native_bits or pb > native_bits:
+            continue                     # packed one-TLU stays / b too wide
+        shape = node.output.shape
+        # chunk TLU packs with the 1-bit b_i; staying one bit BELOW the
+        # native edge keeps the packed TLU off the modulus-switch noise
+        # cliff (a packed width == native runs at kappa ~1 on small N)
+        chunk_in = native_bits - 2
+
+        cur = x_node
+        cur_hi = int(x_node.bounds[1])
+        for i in reversed(range(pb)):
+            to_check = 1 << i
+
+            def shifter(v, t=to_check):
+                return np.int64(v) - (np.int64(v) >> t)
+            shifter_hi = cur_hi - (cur_hi >> to_check)
+            shifter_bits = max(int(shifter_hi).bit_length(), 1)
+
+            should = add_node(Node.generic(
+                "univariate", [b_node.output], vd(b_node.output.shape, 1),
+                lambda v, t=to_check: ((np.asarray(v) & t) > 0)
+                .astype(np.int64),
+                function=lambda v, t=to_check: int((int(v) & t) > 0)),
+                0, 1, b_node)
+
+            chunks = []
+            for off in range(0, shifter_bits, chunk_in):
+                bits_here = min(chunk_in, shifter_bits - off)
+                rsh = shifter_bits - off - bits_here
+                mask = (1 << bits_here) - 1
+
+                def cfn(v, f=shifter, r=rsh, m=mask):
+                    return (np.asarray(f(v), dtype=np.int64) >> r) & m
+                chunk_x = add_node(Node.generic(
+                    "univariate", [cur.output],
+                    vd(cur.output.shape, bits_here),
+                    cfn, function=lambda v, f=cfn: int(f(v))),
+                    0, mask, cur)
+
+                def efn(c, b, r=rsh):
+                    return int(c) << r if int(b) else 0
+                chunks.append(add_node(Node.generic(
+                    "multivariate", [chunk_x.output, should.output],
+                    vd(shape, max((mask << rsh).bit_length(), 1)),
+                    lambda c, b: np.vectorize(efn, otypes=[np.int64])(c, b),
+                    function=efn),
+                    0, mask << rsh, chunk_x, should))
+
+            diff = chunks[0]
+            d_hi = diff.bounds[1]
+            for ck in chunks[1:]:
+                d_hi += ck.bounds[1]
+                diff = add_node(Node.generic(
+                    "add", [diff.output, ck.output],
+                    vd(shape, max(int(d_hi).bit_length(), 1)),
+                    lambda a, b: a + b), 0, d_hi, diff, ck)
+
+            cur = add_node(Node.generic(
+                "subtract", [cur.output, diff.output],
+                vd(shape, max(int(cur_hi).bit_length(), 1)),
+                lambda a, b: a - b), 0, cur_hi, cur, diff)
+
+        cur.properties["tag"] = node.properties.get("tag", "")
+        for _, succ, key, data in list(g.out_edges(node, keys=True,
+                                                   data=True)):
+            g.add_edge(cur, succ, **data)
+        g.remove_node(node)
+        for pos, n2 in list(graph.output_nodes.items()):
+            if n2 is node:
+                graph.output_nodes[pos] = cur
+        rewritten += 1
+    return rewritten

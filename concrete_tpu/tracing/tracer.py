@@ -389,7 +389,11 @@ class Tracer:
     def __rshift__(self, other):
         if isinstance(other, Tracer):
             from concrete_tpu.extensions.multivariate import multivariate
-            return multivariate(lambda a, b: int(a) >> int(b))(self, other)
+            out = multivariate(lambda a, b: int(a) >> int(b))(self, other)
+            # tagged for transforms.chunk_wide_encrypted_shifts (reference
+            # mlir/context.py:3472 shift strategies)
+            out.node.properties["shift"] = "right"
+            return out
         k = int(other)
         return Tracer._generic(
             "univariate", [self], lambda x: np.asarray(x) >> k,
@@ -400,7 +404,9 @@ class Tracer:
     def __lshift__(self, other):
         if isinstance(other, Tracer):
             from concrete_tpu.extensions.multivariate import multivariate
-            return multivariate(lambda a, b: int(a) << int(b))(self, other)
+            out = multivariate(lambda a, b: int(a) << int(b))(self, other)
+            out.node.properties["shift"] = "left"
+            return out
         return self * (1 << int(other))
 
     def __iter__(self):

@@ -34,12 +34,11 @@ cin = P.pbs_level * kp1
 
 
 def run_variant(ablate: str):
-    os.environ["CONCRETE_TPU_FUSED_ABLATE"] = ablate.replace(":", ",")
-    # reimport with the new ablation set (module-level frozenset)
-    import importlib
-
+    # the ablation set is read at module import (frozenset); this tool is
+    # invoked once per variant with CONCRETE_TPU_FUSED_ABLATE preset
+    assert os.environ.get("CONCRETE_TPU_FUSED_ABLATE", "") \
+        == ablate.replace(":", ",")
     import concrete_tpu.ops.pallas_fused_ntt as fn
-    importlib.reload(fn)
     primes, tb = fn.choose_fused_primes(P, message_bits=6)
     n1 = N // fn.N2
     # synthetic spectra/ct: timing only
@@ -82,11 +81,4 @@ def run_variant(ablate: str):
     return best / STEPS
 
 
-base = None
-for v in VARIANTS:
-    dt = run_variant(v)
-    if v == "":
-        base = dt
-    elif base is not None:
-        print(f"{'':16s} -> phase cost ~{(base - dt) * 1e3:7.3f} ms/step",
-              flush=True)
+run_variant(os.environ.get("CONCRETE_TPU_FUSED_ABLATE", ""))
