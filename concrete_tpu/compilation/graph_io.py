@@ -103,6 +103,11 @@ def graph_to_records(graph: Graph) -> tuple[dict, dict[str, np.ndarray]]:
             "encoding_width": node.properties.get("encoding_width"),
             "partition": node.properties.get("partition"),
         }
+        if node.properties.get("approximate"):
+            # Exactness.APPROXIMATE on truncate_bit_pattern: without this
+            # the executor re-adds the half-step bias after a Server
+            # save/load round-trip
+            rec["approximate"] = True
         if node.operation == Operation.Constant:
             rec["constant"] = _encode_value(
                 np.asarray(node.properties["constant"]), arrays,
@@ -150,6 +155,8 @@ def graph_from_records(record: dict, arrays) -> Graph:
             properties["tag"] = rec["tag"]
         if rec.get("encoding_width") is not None:
             properties["encoding_width"] = int(rec["encoding_width"])
+        if rec.get("approximate"):
+            properties["approximate"] = True
         if rec.get("partition") is not None:
             properties["partition"] = int(rec["partition"])
         if operation == Operation.Constant:

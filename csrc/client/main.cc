@@ -29,6 +29,7 @@
 #include "keygen.h"
 #include "npz.h"
 #include "npz_write.h"
+#include "run.h"
 #include "specs.h"
 #include "tfhe.h"
 #include "value.h"
@@ -43,7 +44,7 @@ using namespace ctpu;
 }
 
 struct Args {
-  std::string cmd, specs, keys, out;
+  std::string cmd, specs, keys, out, server;
   std::vector<std::string> rest;
 };
 
@@ -60,6 +61,7 @@ Args parse_args(int argc, char **argv) {
     if (s == "--specs") a.specs = next();
     else if (s == "--keys") a.keys = next();
     else if (s == "--out") a.out = next();
+    else if (s == "--server") a.server = next();
     else a.rest.push_back(s);
   }
   return a;
@@ -202,6 +204,87 @@ int cmd_keygen(const Args &a) {
   return 0;
 }
 
+int cmd_run(const Args &a) {
+  // concrete-tpu-client run --server server.zip --keys keys.npz
+  //     --out outdir arg0.ctv [arg1.ctv ...]   -> outdir/result0.ctv ...
+  //
+  // Executes the deployment archive natively (run.h NativeExecutor): the
+  // C++ analog of Server.run, closing the second-language deployment loop
+  // (keygen -> encrypt -> run -> decrypt with no Python anywhere).
+  if (a.server.empty()) die("run: --server server.zip is required");
+  if (a.keys.empty()) die("run: --keys keys.npz is required");
+  if (a.out.empty()) die("run: --out outdir is required");
+  auto entries = read_zip_entries(read_file_bytes(a.server));
+  auto need = [&](const char *name) -> std::vector<uint8_t> & {
+    auto it = entries.find(name);
+    if (it == entries.end())
+      die(std::string("run: archive has no ") + name);
+    return it->second;
+  };
+  ClientSpecs specs = ClientSpecs::parse(std::string(
+      need("client.specs.json").begin(), need("client.specs.json").end()));
+  Json graph_json = JsonParser::parse(std::string(
+      need("graph.json").begin(), need("graph.json").end()));
+  auto arrays = parse_npz_bytes(need("graph_arrays.npz"));
+  auto keys = load_npz(a.keys);
+
+  rt::LoadedGraph graph = rt::parse_graph(graph_json);
+  if (a.rest.size() != specs.inputs.size())
+    die("run: expected " + std::to_string(specs.inputs.size()) +
+        " argument file(s), got " + std::to_string(a.rest.size()));
+
+  NativeExecutor ex(specs, std::move(graph), std::move(arrays), keys);
+  std::map<int, Tensor> inputs;
+  for (size_t pos = 0; pos < a.rest.size(); pos++) {
+    const GateSpec &g = specs.inputs[pos];
+    TransportValue v = TransportValue::load(a.rest[pos]);
+    if (v.is_encrypted != g.is_encrypted)
+      die("run: argument " + std::to_string(pos) +
+          " encryption flag does not match the circuit specs");
+    Tensor t;
+    if (g.is_encrypted) {
+      if (v.shape.empty() ||
+          v.shape.back() != static_cast<int64_t>(ex.n_big()) + 1)
+        die("run: argument " + std::to_string(pos) + " has the wrong "
+            "ciphertext size for these parameters");
+      t.encrypted = true;
+      t.shape.assign(v.shape.begin(), v.shape.end() - 1);
+      t.ct_len = ex.n_big() + 1;
+      const uint64_t *p = v.as_u64();
+      t.ct.assign(p, p + v.size());
+    } else {
+      t.shape = v.shape;
+      const int64_t *p = v.as_i64();
+      t.clear.assign(p, p + v.size());
+    }
+    if (t.elements() != g.size())
+      die("run: argument " + std::to_string(pos) + " shape mismatch");
+    inputs[static_cast<int>(pos)] = std::move(t);
+  }
+
+  std::vector<Tensor> outs = ex.run(std::move(inputs));
+  for (size_t pos = 0; pos < outs.size(); pos++) {
+    const Tensor &t = outs[pos];
+    TransportValue v;
+    v.shape = t.shape;
+    v.is_encrypted = t.encrypted;
+    if (t.encrypted) {
+      v.dtype = "uint64";
+      v.shape.push_back(static_cast<int64_t>(t.ct_len));
+      v.payload.resize(t.ct.size() * 8);
+      memcpy(v.payload.data(), t.ct.data(), v.payload.size());
+    } else {
+      v.dtype = "int64";
+      v.payload.resize(t.clear.size() * 8);
+      memcpy(v.payload.data(), t.clear.data(), v.payload.size());
+    }
+    std::string path = a.out + "/result" + std::to_string(pos) + ".ctv";
+    v.save(path);
+    std::cout << path << "\n";
+  }
+  return 0;
+}
+
 int cmd_decrypt(const Args &a) {
   ClientSpecs s = ClientSpecs::load(a.specs);
   if (s.is_multi)
@@ -256,6 +339,7 @@ int main(int argc, char **argv) {
     if (a.cmd == "inspect") return cmd_inspect(a);
     if (a.cmd == "keygen") return cmd_keygen(a);
     if (a.cmd == "encrypt") return cmd_encrypt(a);
+    if (a.cmd == "run") return cmd_run(a);
     if (a.cmd == "decrypt") return cmd_decrypt(a);
     die("unknown command '" + a.cmd + "'");
   } catch (const std::exception &e) {

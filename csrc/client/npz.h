@@ -35,6 +35,39 @@ struct NpyArray {
       throw std::runtime_error("npy: expected <u8 array, got " + descr);
     return reinterpret_cast<const uint64_t *>(data.data());
   }
+  // Graph-archive payloads (TLU tables, constants) as int64, converting
+  // the narrower integer descrs numpy may have chosen for small values.
+  std::vector<int64_t> to_i64() const {
+    std::vector<int64_t> out(size());
+    const uint8_t *p = data.data();
+    if (descr == "<i8")
+      memcpy(out.data(), p, out.size() * 8);
+    else if (descr == "<u8")
+      for (size_t i = 0; i < out.size(); i++)
+        out[i] = static_cast<int64_t>(
+            reinterpret_cast<const uint64_t *>(p)[i]);
+    else if (descr == "<i4")
+      for (size_t i = 0; i < out.size(); i++)
+        out[i] = reinterpret_cast<const int32_t *>(p)[i];
+    else if (descr == "<u4")
+      for (size_t i = 0; i < out.size(); i++)
+        out[i] = reinterpret_cast<const uint32_t *>(p)[i];
+    else if (descr == "<i2")
+      for (size_t i = 0; i < out.size(); i++)
+        out[i] = reinterpret_cast<const int16_t *>(p)[i];
+    else if (descr == "<u2")
+      for (size_t i = 0; i < out.size(); i++)
+        out[i] = reinterpret_cast<const uint16_t *>(p)[i];
+    else if (descr == "|i1")
+      for (size_t i = 0; i < out.size(); i++)
+        out[i] = reinterpret_cast<const int8_t *>(p)[i];
+    else if (descr == "|u1" || descr == "|b1")
+      for (size_t i = 0; i < out.size(); i++) out[i] = p[i];
+    else
+      throw std::runtime_error("npy: expected an integer array, got " +
+                               descr);
+    return out;
+  }
 };
 
 namespace detail {
@@ -95,14 +128,13 @@ inline NpyArray parse_npy(const uint8_t *p, uint64_t len) {
 
 }  // namespace detail
 
-// Load every entry of a stored (uncompressed) npz into name -> NpyArray;
-// entry names have their trailing ".npy" stripped, matching np.load.
-inline std::map<std::string, NpyArray> load_npz(const std::string &path) {
-  std::ifstream f(path, std::ios::binary);
-  if (!f) throw std::runtime_error("npz: cannot open " + path);
-  std::vector<uint8_t> buf((std::istreambuf_iterator<char>(f)),
-                           std::istreambuf_iterator<char>());
-  if (buf.size() < 22) throw std::runtime_error("npz: too small");
+// Every stored (uncompressed) entry of a zip, name -> raw bytes.  Shared
+// by the npz keyset reader and the server deployment archive reader
+// (Server.save writes ZIP_STORED entries: client.specs.json, graph.json,
+// graph_arrays.npz).
+inline std::map<std::string, std::vector<uint8_t>> read_zip_entries(
+    const std::vector<uint8_t> &buf) {
+  if (buf.size() < 22) throw std::runtime_error("zip: too small");
 
   // End of central directory: scan backwards for the signature
   size_t eocd = std::string::npos;
@@ -111,17 +143,17 @@ inline std::map<std::string, NpyArray> load_npz(const std::string &path) {
     if (i == 0 || buf.size() - i > (1 << 16) + 22) break;
   }
   if (eocd == std::string::npos)
-    throw std::runtime_error("npz: no end-of-central-directory record");
+    throw std::runtime_error("zip: no end-of-central-directory record");
   uint16_t n_entries = detail::rd16(&buf[eocd + 10]);
   uint32_t cd_off = detail::rd32(&buf[eocd + 16]);
   if (n_entries == 0xFFFF || cd_off == 0xFFFFFFFFu)
-    throw std::runtime_error("npz: zip64 archives unsupported");
+    throw std::runtime_error("zip: zip64 archives unsupported");
 
-  std::map<std::string, NpyArray> out;
+  std::map<std::string, std::vector<uint8_t>> out;
   size_t p = cd_off;
   for (uint16_t e = 0; e < n_entries; e++) {
     if (p + 46 > buf.size() || detail::rd32(&buf[p]) != 0x02014b50u)
-      throw std::runtime_error("npz: bad central directory entry");
+      throw std::runtime_error("zip: bad central directory entry");
     uint16_t method = detail::rd16(&buf[p + 10]);
     uint32_t usize = detail::rd32(&buf[p + 24]);
     uint16_t fnlen = detail::rd16(&buf[p + 28]);
@@ -129,25 +161,49 @@ inline std::map<std::string, NpyArray> load_npz(const std::string &path) {
     uint16_t cmtlen = detail::rd16(&buf[p + 32]);
     uint32_t lho = detail::rd32(&buf[p + 42]);
     if (p + 46 + static_cast<size_t>(fnlen) + extlen + cmtlen > buf.size())
-      throw std::runtime_error("npz: truncated central directory entry");
+      throw std::runtime_error("zip: truncated central directory entry");
     std::string name(reinterpret_cast<const char *>(&buf[p + 46]), fnlen);
     if (method != 0)
-      throw std::runtime_error("npz: compressed entry '" + name +
-                               "' unsupported (keys are saved stored)");
+      throw std::runtime_error("zip: compressed entry '" + name +
+                               "' unsupported (archives are saved stored)");
     // local header: data starts after its own (possibly different) lengths
     if (lho + 30 > buf.size() || detail::rd32(&buf[lho]) != 0x04034b50u)
-      throw std::runtime_error("npz: bad local header for " + name);
+      throw std::runtime_error("zip: bad local header for " + name);
     uint16_t lfn = detail::rd16(&buf[lho + 26]);
     uint16_t lex = detail::rd16(&buf[lho + 28]);
     uint64_t doff = static_cast<uint64_t>(lho) + 30 + lfn + lex;
     if (doff + usize > buf.size())
-      throw std::runtime_error("npz: truncated data for " + name);
-    if (name.size() > 4 && name.substr(name.size() - 4) == ".npy")
-      name = name.substr(0, name.size() - 4);
-    out[name] = detail::parse_npy(&buf[doff], usize);
+      throw std::runtime_error("zip: truncated data for " + name);
+    out[name] = std::vector<uint8_t>(buf.begin() + doff,
+                                     buf.begin() + doff + usize);
     p += 46 + fnlen + extlen + cmtlen;
   }
   return out;
+}
+
+inline std::vector<uint8_t> read_file_bytes(const std::string &path) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) throw std::runtime_error("cannot open " + path);
+  return std::vector<uint8_t>((std::istreambuf_iterator<char>(f)),
+                              std::istreambuf_iterator<char>());
+}
+
+// Parse npz bytes (zip of .npy) into name -> NpyArray; entry names have
+// their trailing ".npy" stripped, matching np.load.
+inline std::map<std::string, NpyArray> parse_npz_bytes(
+    const std::vector<uint8_t> &buf) {
+  std::map<std::string, NpyArray> out;
+  for (auto &kv : read_zip_entries(buf)) {
+    std::string name = kv.first;
+    if (name.size() > 4 && name.substr(name.size() - 4) == ".npy")
+      name = name.substr(0, name.size() - 4);
+    out[name] = detail::parse_npy(kv.second.data(), kv.second.size());
+  }
+  return out;
+}
+
+inline std::map<std::string, NpyArray> load_npz(const std::string &path) {
+  return parse_npz_bytes(read_file_bytes(path));
 }
 
 }  // namespace ctpu
