@@ -380,6 +380,7 @@ def bench_latency_row() -> None:
     """Single-PBS latency at B=1 (latency-mode blind rotate,
     core/kernels._blind_rotate_xla_latency)."""
     import concrete_tpu.jax_config  # noqa: F401
+    import jax
     import jax.numpy as jnp
     from concrete_tpu import params as pp
     from concrete_tpu.core import keygen as kg
@@ -407,9 +408,22 @@ def bench_latency_row() -> None:
         t0 = time.time()
         run()
         times.append(time.time() - t0)
-    best = min(times) - 0.030                  # tunnel RTT
-    print(f"# latency B=1: {[f'{t*1e3:.0f}' for t in times]} ms",
-          file=sys.stderr)
+    # measure the tunnel round trip inline instead of assuming a constant
+    # (round-3 review): the fetch of a trivial jitted scalar bounds the
+    # non-compute cost of `run`'s element fetch
+    tiny = jax.jit(lambda v: v + jnp.uint64(1))(jnp.uint64(1))
+    int(tiny)
+    rtts = []
+    for _ in range(5):
+        t0 = time.time()
+        int(jax.jit(lambda v: v + jnp.uint64(1))(tiny))
+        rtts.append(time.time() - t0)
+    rtt = min(rtts)
+    raw = min(times)
+    best = max(raw - rtt, 0.0)
+    print(f"# latency B=1: raw {[f'{t*1e3:.0f}' for t in times]} ms, "
+          f"measured tunnel RTT {rtt * 1e3:.1f} ms -> adjusted "
+          f"{best * 1e3:.1f} ms", file=sys.stderr)
     print(json.dumps({"metric": "pbs_latency_b1",
                       "value": round(best * 1e3, 1), "unit": "ms",
                       "vs_baseline": 1.0}), flush=True)

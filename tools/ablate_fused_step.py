@@ -5,6 +5,7 @@ random spectra — results are numerically meaningless) under each ablation
 in turn and reports ms/step.  python tools/ablate_fused_step.py [B] [steps]
 optionally CONCRETE_TPU_FUSED_ABLATE set externally for a single variant.
 """
+import functools
 import os
 import sys
 import time
@@ -61,18 +62,20 @@ def run_variant(ablate: str):
         ks_base_log=P.ks_base_log, lwe_std=P.lwe_std,
         glwe_std=P.glwe_std, security_level=0)
 
-    @jax.jit
-    def run(c):
-        return fn.blind_rotate_fused(c, fbsk, lut, params, row_block=RB)
+    # keys/lut must be runtime ARGS, not closure constants: the remote
+    # compile server chokes on multi-MB constant payloads (bench.py note)
+    @functools.partial(jax.jit, static_argnames=("rb",))
+    def run(c, keys, lp, rb=None):
+        return fn.blind_rotate_fused(c, keys, lp, params, row_block=rb)
 
     t0 = time.time()
-    out = run(ct)
+    out = run(ct, fbsk, lut, rb=RB)
     int(out[0, 0, 0])
     compile_s = time.time() - t0
     times = []
     for _ in range(3):
         t0 = time.time()
-        int(run(ct)[0, 0, 0])
+        int(run(ct, fbsk, lut, rb=RB)[0, 0, 0])
         times.append(time.time() - t0)
     best = min(times)
     name = ablate if ablate else "FULL"
