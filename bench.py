@@ -350,12 +350,14 @@ def main() -> None:
         # the headline row stays first; each tail row is best-effort AND
         # budget-gated so a slow/failed row can't blow the driver budget
         # (round-3 rc=124) or lose the headline
+        # priority order: a budget squeeze drops the LAST rows first, and
+        # the latency row (stable since r3) is the cheapest to lose
         for name, fn, est_s in [
-                ("pbs_latency_b1", bench_latency_row, 90),
-                ("pbs_n4096_fused_ntt", bench_n4096_row, 420),
+                ("pbs_n4096_fused_ntt", bench_n4096_row, 250),
                 ("ntt_polymuls", bench_ntt_polymuls_row, 5),
-                ("multi_mixed_precision", bench_multi_row, 150),
-                ("wop_tlu_12bit", bench_wop_row, 180)]:
+                ("multi_mixed_precision", bench_multi_row, 100),
+                ("wop_tlu_12bit", bench_wop_row, 180),
+                ("pbs_latency_b1", bench_latency_row, 90)]:
             if _remaining() < est_s + 30:
                 print(f"# tail row {name} skipped: {_remaining():.0f}s "
                       f"left < {est_s}s estimate", file=sys.stderr)
@@ -411,12 +413,13 @@ def bench_latency_row() -> None:
     # measure the tunnel round trip inline instead of assuming a constant
     # (round-3 review): the fetch of a trivial jitted scalar bounds the
     # non-compute cost of `run`'s element fetch
-    tiny = jax.jit(lambda v: v + jnp.uint64(1))(jnp.uint64(1))
-    int(tiny)
+    bump = jax.jit(lambda v: v + jnp.uint64(1))   # jit ONCE — a fresh
+    tiny = bump(jnp.uint64(1))                    # lambda per call would
+    int(tiny)                                     # re-compile every probe
     rtts = []
     for _ in range(5):
         t0 = time.time()
-        int(jax.jit(lambda v: v + jnp.uint64(1))(tiny))
+        int(bump(tiny))
         rtts.append(time.time() - t0)
     rtt = min(rtts)
     raw = min(times)

@@ -32,7 +32,8 @@ import numpy as np
 from concrete_tpu import params as pp
 from concrete_tpu.compilation.widths import (MAX_NATIVE_TLU_BITS, TLU_OPS,
                                              decision_constraints_after,
-                                             encoding_width, partition_of,
+                                             encoding_width, part_width,
+                                             partition_of,
                                              tlu_effective_input_width,
                                              tlu_input_partition,
                                              wop_nb_bits)
@@ -173,19 +174,10 @@ def _partition_noise(params: pp.CryptoParams):
     return v_br, v_ks, v_ms
 
 
-def plan_partitions(graph: Graph, p_error: float = 6.3e-5,
-                    security_level: int = 128,
-                    max_iterations: int = 4,
-                    restriction=None) -> PartitionPlan | None:
-    """Choose per-partition parameters + conversion keyswitches.
-
-    Returns None when the circuit has a single partition (mono compilation
-    is the right answer).  Raises if no feasible multi solution exists.
-    """
-    patterns, crossings = partition_pattern_split(graph)
-    if len(patterns) < 2:
-        return None
-
+def _solve_plan(patterns: dict, crossings: list, p_error: float,
+                security_level: int, max_iterations: int,
+                restriction) -> PartitionPlan:
+    """Fixed-point parameter solve for one partition grouping."""
     # A crossing's decision margin sv(p) is shared by three stages:
     # src BR (after the n2 dot), the conversion keyswitch, and the dst's
     # own KS+MS.  Reserve it up front — half for the destination's KS+MS,
@@ -281,3 +273,165 @@ def plan_partitions(graph: Graph, p_error: float = 6.3e-5,
     return PartitionPlan(
         params=params, wop_gadgets=wop_gadgets, fks=fks,
         norm2={w: pt.max_norm2 for w, pt in patterns.items()})
+
+
+# ---------------------------------------------------------------------------
+# Joint (mergeable) partition planning
+# ---------------------------------------------------------------------------
+#
+# The reference optimizer searches macro parameters JOINTLY across
+# partitions and keeps a cut only when it is modeled cheaper than
+# unification (multi_parameters/optimize/mod.rs:1009 optimize_macro /
+# best_candidate comparison across partitionings).  Here the same decision
+# is made explicitly: starting from the finest cut (one partition per
+# width/norm2 class), greedily merge the pair of partitions whose merge
+# reduces the modeled per-evaluation MAC cost the most, down to mono if
+# mono wins.  A 2-bit + 7-bit circuit therefore compiles mono when paying
+# 7-bit parameters for the 2-bit TLUs is cheaper than a second keyset +
+# conversion keyswitches — and multi when it is not.
+
+
+def _tlu_instructions(graph: Graph):
+    """(pid_in, pid_out, p_eff, weight, wop_nb) per PBS-bearing node.
+
+    `weight` counts PBS instructions (tensor size; extract_bits scaled by
+    its bit count, mirroring compiler.pbs_of)."""
+    default = graph.max_bit_width
+    instrs = []
+    for node in graph.topological_order():
+        if node.name not in TLU_OPS:
+            continue
+        preds = [p for p in graph.ordered_preds_of(node)
+                 if p.output.is_encrypted]
+        if not preds:
+            continue
+        weight = max(int(np.prod(node.output.shape)), 1)
+        if node.name == "extract_bits":
+            pos = node.properties["kwargs"]["positions"]
+            weight *= max(int(q) for q in pos) + 1
+        p_eff = tlu_effective_input_width(graph, node, default)
+        nb = wop_nb_bits(graph, node, default) \
+            if (p_eff > MAX_NATIVE_TLU_BITS
+                and node.name != "extract_bits") else 0
+        instrs.append((tlu_input_partition(graph, node, default),
+                       partition_of(node, default), p_eff, weight, nb))
+    return instrs
+
+
+def _modeled_cost(instrs, group: dict, plan: PartitionPlan) -> float:
+    """Modeled int8-MAC cost of one circuit evaluation under `plan` with
+    partitions merged per `group` (pid -> gid)."""
+    from concrete_tpu.optimizer.v0 import (cost_fks_macs, cost_ks_macs,
+                                           cost_pbs_macs, cost_wop_macs)
+    total = 0.0
+    for pid_in, pid_out, p_eff, weight, nb in instrs:
+        g = group[pid_in]
+        pr = plan.params[g]
+        if nb:
+            gad = plan.wop_gadgets.get(g)
+            if gad is None:
+                continue  # infeasible grouping caught by the solver
+            cbs_l, cbs_b, pfks_l, pfks_b = gad
+            total += weight * float(cost_wop_macs(
+                pr, nb, cbs_l, pfks_l, cbs_b, pfks_b))
+        else:
+            total += weight * (
+                float(cost_ks_macs(pr.n_big, pr.n_small, pr.ks_level,
+                                   pr.ks_base_log))
+                + float(np.asarray(cost_pbs_macs(
+                    np.array([pr.n_small], dtype=np.float64),
+                    pr.glwe_dimension, pr.polynomial_size, pr.pbs_level,
+                    pr.pbs_base_log, precision=min(p_eff, 8)))[0]))
+        gd = group[pid_out]
+        if gd != g:
+            lvl, base = plan.fks[(g, gd)]
+            total += weight * float(cost_fks_macs(
+                pr.n_big, plan.params[gd].n_big, lvl, base))
+    return total
+
+
+def _merge_grouping(patterns: dict, crossings: list, group: dict):
+    """Relabel the finest-cut patterns/crossings under pid -> gid."""
+    merged: dict[int, PartitionPatterns] = {}
+    for pid, pt in patterns.items():
+        g = group[pid]
+        if g not in merged:
+            merged[g] = PartitionPatterns([], [], [])
+        mp = merged[g]
+        mp.native.extend(pt.native)
+        mp.wide_in.extend(pt.wide_in)
+        mp.wop.extend(pt.wop)
+        mp.max_norm2 = max(mp.max_norm2, pt.max_norm2)
+    for mp in merged.values():
+        if not mp.native:
+            mp.native.append((1, 1))
+    mcross = [dataclasses.replace(c, src=group[c.src], dst=group[c.dst])
+              for c in crossings if group[c.src] != group[c.dst]]
+    return merged, mcross
+
+
+def _gid_of(members, widths: dict) -> int:
+    """Merged-group id: the widest member's pid (part_width stays the
+    group's message width; ties break on the larger pid)."""
+    return max(members, key=lambda pid: (widths[pid], pid))
+
+
+def plan_partitions(graph: Graph, p_error: float = 6.3e-5,
+                    security_level: int = 128,
+                    max_iterations: int = 4,
+                    restriction=None) -> PartitionPlan | None:
+    """Joint multi-partition planning: solve the finest width/norm2 cut,
+    then greedily merge partitions (down to mono) whenever the merge
+    lowers the modeled per-evaluation cost.
+
+    Returns None when mono is the chosen (or only) grouping — the caller's
+    mono path then solves the union of patterns, which is exactly the
+    single-group solution.  Raises if no feasible grouping exists.
+    """
+    patterns, crossings = partition_pattern_split(graph)
+    if len(patterns) < 2:
+        return None
+    instrs = _tlu_instructions(graph)
+    widths = {pid: part_width(pid) for pid in patterns}
+
+    def evaluate(group: dict):
+        mpat, mcross = _merge_grouping(patterns, crossings, group)
+        try:
+            plan = _solve_plan(mpat, mcross, p_error, security_level,
+                               max_iterations, restriction)
+        except ValueError:
+            return None, np.inf
+        return plan, _modeled_cost(instrs, group, plan)
+
+    group = {pid: pid for pid in patterns}
+    plan, cost = evaluate(group)
+    while len(set(group.values())) > 1:
+        gids = sorted(set(group.values()))
+        best = None
+        for i in range(len(gids)):
+            for j in range(i + 1, len(gids)):
+                a, b = gids[i], gids[j]
+                members = [pid for pid in group if group[pid] in (a, b)]
+                gid = _gid_of(members, widths)
+                cand = {pid: gid if group[pid] in (a, b) else group[pid]
+                        for pid in group}
+                cplan, ccost = evaluate(cand)
+                if ccost < cost and (best is None or ccost < best[1]):
+                    best = (cand, ccost, cplan)
+        if best is None:
+            break
+        group, cost, plan = best
+    if plan is None:
+        raise ValueError("no feasible partition grouping "
+                         "(finest multi cut and all merges failed)")
+    if len(set(group.values())) == 1:
+        return None                       # mono is modeled cheapest
+    if any(group[pid] != pid for pid in group):
+        # persist the merge: partition ids are read from node properties
+        # everywhere downstream (widths.partition_of)
+        default = graph.max_bit_width
+        for node in graph.graph.nodes:
+            if node.output.is_encrypted:
+                pid = partition_of(node, default)
+                node.properties["partition"] = group.get(pid, pid)
+    return plan

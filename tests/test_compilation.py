@@ -781,8 +781,13 @@ def test_multi_precision_archive_roundtrip(tmp_path):
     server2 = Server.load(path)
     for uid, spec in server2._executor.tlu_specs.items():
         assert spec.message_bits in (2, 4)
-    enc = circuit.encrypt(9, 2)
-    for _ in range(4):
+    for attempt in range(4):
+        # re-encrypt (and rekey) every attempt: server2.run is deterministic
+        # given (ciphertext, keys), so retrying the same pair re-runs the
+        # identical computation and can never absorb a bad noise draw
+        if attempt:
+            circuit.keygen(force=True)
+        enc = circuit.encrypt(9, 2)
         out = server2.run(*enc, evaluation_keys=circuit.keys.evaluation)
         if int(circuit.decrypt(*out)) == 9 // 5 + 0:
             return

@@ -198,6 +198,86 @@ def test_extract_bits_crossing_needs_no_wop_gadgets():
 
 
 # ---------------------------------------------------------------------------
+# Joint (mergeable) planning: the cut is kept only when it is modeled
+# cheaper than unification (reference multi_parameters/optimize/mod.rs:1009
+# compares candidate partitionings by cost) — see plan_partitions
+# ---------------------------------------------------------------------------
+
+
+def _plan_for(f, inputset):
+    from concrete_tpu.compilation.transforms import run_default_transforms
+    from concrete_tpu.compilation.widths import assign_encoding_widths
+    graph = f.trace(inputset)
+    run_default_transforms(graph)
+    assign_encoding_widths(graph)
+    return plan_partitions(graph)
+
+
+def test_joint_planning_decision_flips_with_small_partition_weight():
+    """A 2-bit + 7-bit circuit with a SINGLE small TLU compiles mono (a
+    second keyset + conversion keyswitch costs more than running one
+    cheap TLU at the big partition's parameters); chaining more small
+    TLUs flips the decision to multi (the small keyset amortizes).
+    Reference behavior: optimize/mod.rs keeps a cut only when the
+    partitioned solution beats unification."""
+    t2 = fhe.LookupTable([3, 1, 2, 0])
+    t7 = fhe.LookupTable([(i * 7) % (1 << 7) for i in range(1 << 7)])
+
+    def make(reps):
+        @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+        def f(x, y):
+            a = x
+            for _ in range(reps):
+                a = t2[a]
+            return a + t7[y]
+        return f
+
+    inputset = [(int(i % 4), int((i * 13) % (1 << 7)))
+                for i in range(30)] + [(3, 127)]
+    assert _plan_for(make(1), inputset) is None          # mono wins
+    plan = _plan_for(make(8), inputset)                  # multi wins
+    assert plan is not None and 2 in plan.params
+    big = max(plan.params, key=lambda w: plan.params[w].polynomial_size)
+    assert plan.params[2].polynomial_size \
+        < plan.params[big].polynomial_size
+
+
+def test_joint_planning_merges_partial_groups():
+    """Close widths merge while distant ones stay split: partition ids on
+    the graph nodes are rewritten to the merged group id, so downstream
+    (keysets, executor) sees the merged grouping."""
+    from concrete_tpu.compilation.transforms import run_default_transforms
+    from concrete_tpu.compilation.widths import (assign_encoding_widths,
+                                                 part_width, partition_of)
+    t2 = fhe.LookupTable([3, 1, 2, 0])
+    t7 = fhe.LookupTable([(i * 7) % 4 for i in range(1 << 7)])
+
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def f(x, y):
+        a = x
+        for _ in range(8):
+            a = t2[a]
+        return a + t7[y]
+
+    graph = f.trace([(int(i % 4), int((i * 13) % (1 << 7)))
+                     for i in range(30)])
+    run_default_transforms(graph)
+    assign_encoding_widths(graph)
+    plan = plan_partitions(graph)
+    assert plan is not None
+    # every node's (possibly rewritten) partition id resolves to a solved
+    # partition — the merge is persisted on the graph, not just the plan
+    default = graph.max_bit_width
+    for node in graph.graph.nodes:
+        if node.output.is_encrypted:
+            assert partition_of(node, default) in plan.params
+    # parameters per partition stay monotone in width
+    ws = sorted(plan.params, key=part_width)
+    polys = [plan.params[w].polynomial_size for w in ws]
+    assert polys == sorted(polys)
+
+
+# ---------------------------------------------------------------------------
 # PRECISION_AND_NORM2 cut (reference partition_cut.rs PrecisionAndNorm2):
 # same-width encoding classes with different norm2 buckets get their own
 # partitions/keysets (widths.assign_norm2_partitions)
@@ -207,14 +287,16 @@ N2_TABLE = [(3 * i) % 16 for i in range(1 << 6)]
 
 
 def _norm2_circuit(multi_parameter_strategy):
-    """Two 6-bit classes: x*15 (norm2 15) and y (norm2 1), each feeding a
-    6-bit TLU.  PRECISION merges them into one 6-bit partition; the norm2
-    cut splits them."""
+    """Two 6-bit classes: x*15 (norm2 15) feeding one TLU, and y (norm2 1)
+    feeding a CHAIN of two TLUs.  PRECISION merges them into one 6-bit
+    partition; the norm2 cut splits them — and the chain gives the cheap
+    class enough weight that the joint planner keeps the split (with a
+    single TLU per class, unification is modeled cheaper and wins)."""
     table = fhe.LookupTable(N2_TABLE)
 
     @fhe.compiler({"x": "encrypted", "y": "encrypted"})
     def f(x, y):
-        return table[x * 15] + table[y]
+        return table[x * 15] + table[table[y]]
 
     inputset = [(int(i % 4), int((i * 31) % 64)) for i in range(40)]
     return f.compile(
@@ -225,7 +307,7 @@ def _norm2_circuit(multi_parameter_strategy):
 
 def _clear_norm2(x, y):
     t = np.asarray(N2_TABLE)
-    return int(t[x * 15] + t[y])
+    return int(t[x * 15] + t[t[y]])
 
 
 @pytest.fixture(scope="module")
