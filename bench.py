@@ -198,16 +198,7 @@ def main() -> None:
     ap.add_argument("--config", choices=["pbs", "quickstart", "radix16",
                                          "mlp", "llm"],
                     default="pbs", help="BASELINE benchmark config")
-    ap.add_argument("--ntt", action=argparse.BooleanOptionalAction,
-                    default=None,
-                    help="CRT-NTT blind rotate (default: off — banded is the measured-fastest path at every N)")
-    ap.add_argument("--ntt-pallas", action="store_true",
-                    help="fused Pallas NTT kernels (ops/pallas_ntt.py; "
-                         "requires hardware-validated Mosaic build)")
     args = ap.parse_args()
-    if args.ntt_pallas:
-        import os
-        os.environ["CONCRETE_TPU_NTT_PALLAS"] = "1"
 
     if args.config == "quickstart":
         bench_quickstart()
@@ -266,19 +257,11 @@ def main() -> None:
 
     t0 = time.time()
     ksk = K.pack_ksk(server.ksk, params)
-    use_ntt = args.ntt
-    if use_ntt is None:
-        use_ntt = False   # banded measured-fastest at every N (RESULTS.md)
-    if use_ntt:
-        from concrete_tpu.core import ntt_tpu as nt
-        bsk = nt.pack_bsk_ntt(server.bsk, params)
-        print(f"# bsk: CRT-NTT spectra, primes={bsk.primes}", file=sys.stderr)
-    else:
-        # noise-budget-aware BSK limb truncation (<=5% of the safe variance);
-        # base-32 digits allow dropping 5 of 8 planes (~2x fewer matmul MACs)
-        trunc = pp.choose_truncate_limbs(params, p_bits)
-        print(f"# truncate_limbs: {trunc}", file=sys.stderr)
-        bsk = K.pack_bsk(server.bsk, params, truncate_limbs=trunc)
+    # noise-budget-aware BSK limb truncation (<=5% of the safe variance);
+    # base-32 digits allow dropping 5 of 8 planes (~2x fewer matmul MACs)
+    trunc = pp.choose_truncate_limbs(params, p_bits)
+    print(f"# truncate_limbs: {trunc}", file=sys.stderr)
+    bsk = K.pack_bsk(server.bsk, params, truncate_limbs=trunc)
     lut = np.array([(3 * v + 1) % (1 << p_bits) for v in range(1 << p_bits)],
                    dtype=np.uint64)
     lut_poly = jnp.asarray(ref.encode_expand_lut(
@@ -326,7 +309,7 @@ def main() -> None:
         "vs_baseline": round(pbs_per_sec / 1250.0, 3),
     }), flush=True)
 
-    if args.params == "4bit-tpuopt" and not use_ntt:
+    if args.params == "4bit-tpuopt":
         # effective int8 MXU utilization of the headline path: model MACs
         # per PBS (optimizer cost model incl. BSK truncation) x measured
         # rate vs the ~400 Tmac/s measured MXU peak

@@ -71,20 +71,34 @@ class Compiler:
         progress("transforms + bounds measurement")
         graph.measure_bounds(inputset)
         graph.update_dtypes_from_bounds()
-        from concrete_tpu.compilation.configuration import ComparisonStrategy
-        from concrete_tpu.compilation.transforms import chunk_wide_comparisons
+        from concrete_tpu.compilation.configuration import (
+            ComparisonStrategy, MinMaxStrategy)
+        from concrete_tpu.compilation.transforms import (
+            chunk_wide_comparisons, chunk_wide_minmax)
+        # The native limit is N-dependent (mega-case packing): exact
+        # under forced parameters, the 8-bit production ceiling else.
+        native = 8
+        if config.forced_parameters is not None:
+            native = min(8, int(config.forced_parameters
+                                .polynomial_size).bit_length() - 2)
         prefs = config.comparison_strategy_preference or []
         if ComparisonStrategy.ONE_TLU_PROMOTED not in prefs:
             # chunk comparisons whose promoted difference exceeds the
             # native TLU width (else they would cost a WoP-PBS); explicit
-            # ONE_TLU_PROMOTED preference keeps the single wide TLU.
-            # The native limit is N-dependent (mega-case packing): exact
-            # under forced parameters, the 8-bit production ceiling else.
-            native = 8
-            if config.forced_parameters is not None:
-                native = min(8, int(config.forced_parameters
-                                    .polynomial_size).bit_length() - 2)
-            chunk_wide_comparisons(graph, native_bits=native)
+            # ONE_TLU_PROMOTED preference keeps the single wide TLU,
+            # explicit CHUNKED chunks even natively-fitting ones
+            # (reference context.py:880 strategy catalog)
+            chunk_wide_comparisons(
+                graph, native_bits=native,
+                force=ComparisonStrategy.CHUNKED in prefs)
+        mm_prefs = config.min_max_strategy_preference or []
+        if MinMaxStrategy.ONE_TLU_PROMOTED not in mm_prefs:
+            # same catalog for min/max (reference minimum/maximum
+            # MinMaxStrategy): chunk the relu-of-difference when the
+            # promoted width would need WoP, or always when explicitly
+            # preferred
+            chunk_wide_minmax(graph, native_bits=native,
+                              force=MinMaxStrategy.CHUNKED in mm_prefs)
         from concrete_tpu.compilation.transforms import \
             chunk_wide_encrypted_shifts
         native_sh = 8

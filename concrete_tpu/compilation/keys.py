@@ -126,11 +126,6 @@ class Keys:
         from concrete_tpu.compilation.evaluation_keys import EvaluationKeys
         return EvaluationKeys.from_keys(self)
 
-    #: legacy per-stage NTT switchover — effectively disabled (the
-    #: per-stage XLA/Pallas CRT-NTT paths lose to banded at every N,
-    #: RESULTS.md round 3); they stay opt-in via CONCRETE_TPU_NTT=1.
-    NTT_MIN_POLY_SIZE = 1 << 30
-
     #: single-kernel fused CRT-NTT blind rotate (ops/pallas_fused_ntt.py)
     #: switchover: the O(N sqrt N) path wins over banded's ~N^2 MACs from
     #: N >= 2048 once the whole scan is one Pallas kernel (round-4
@@ -138,8 +133,7 @@ class Keys:
     #: banded; =1 forces fused at any supported N (>= 1024).
     FUSED_NTT_MIN_POLY_SIZE = 2048
 
-    def evaluation_for(self, message_bits=None, norm2: int = 1,
-                       use_ntt: bool = None):
+    def evaluation_for(self, message_bits=None, norm2: int = 1):
         """Packed evaluation keys (LimbKSK + BSK).
 
         When `message_bits` is given, the largest provably-negligible BSK
@@ -147,17 +141,17 @@ class Keys:
         banded path, choose_fused_primes for the fused-NTT path, both
         scaled by the circuit's norm2 amplification); else none.
 
-        use_ntt: pack the BSK as per-prime NTT spectra (ntt_tpu.NttBSK)
-        instead of banded limb planes (legacy per-stage path, opt-in via
-        CONCRETE_TPU_NTT=1 / use_ntt=True).  Independent of that, N >=
-        FUSED_NTT_MIN_POLY_SIZE defaults to the fused single-kernel
-        CRT-NTT blind rotate.  All paths give oracle-exact PBS results.
+        N >= FUSED_NTT_MIN_POLY_SIZE defaults to the fused single-kernel
+        CRT-NTT blind rotate; smaller N runs the banded limb-plane path.
+        Both give oracle-exact PBS results.  (The retired per-stage
+        XLA/Pallas CRT-NTT variants lost to these everywhere and the XLA
+        one crashed the TPU worker — VERDICT r3 #10; core/ntt_tpu.py
+        remains only as the limb-sharded multi-chip math.)
         """
         import os
         self._require_server()
         forced_fused = os.environ.get("CONCRETE_TPU_FUSED_NTT")
-        if use_ntt is None and (
-                forced_fused == "1"
+        if (forced_fused == "1"
                 or (forced_fused != "0"
                     and self.params.polynomial_size
                     >= self.FUSED_NTT_MIN_POLY_SIZE)):
@@ -172,30 +166,6 @@ class Keys:
                                           norm2=norm2)
                 self._packed_bsk_fused = cached = (key, fbsk)
             return self._packed_ksk, cached[1]
-        if use_ntt is None:
-            forced = os.environ.get("CONCRETE_TPU_NTT")
-            if forced is not None:
-                use_ntt = forced == "1"
-            else:
-                use_ntt = (self.params.polynomial_size
-                           >= self.NTT_MIN_POLY_SIZE)
-        if use_ntt:
-            if self._packed_ksk is None:
-                self._packed_ksk = kn.pack_ksk(self._server.ksk, self.params)
-            if getattr(self, "_packed_bsk_ntt", None) is None:
-                # fused Pallas kernels (ops/pallas_ntt.py) are opt-in via
-                # CONCRETE_TPU_NTT_PALLAS=1 until hardware-validated; the
-                # XLA CRT-NTT path is the default
-                use_pl = os.environ.get("CONCRETE_TPU_NTT_PALLAS") == "1"
-                if use_pl:
-                    from concrete_tpu.ops import pallas_ntt as pnt
-                    self._packed_bsk_ntt = pnt.pack_bsk_pallas(
-                        self._server.bsk, self.params)
-                else:
-                    from concrete_tpu.core import ntt_tpu as nt
-                    self._packed_bsk_ntt = nt.pack_bsk_ntt(self._server.bsk,
-                                                           self.params)
-            return self._packed_ksk, self._packed_bsk_ntt
         truncate = 0
         if message_bits is not None:
             from concrete_tpu.params import choose_truncate_limbs

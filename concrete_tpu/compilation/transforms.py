@@ -307,8 +307,114 @@ def run_default_transforms(graph: Graph, enable_tlu_fusing: bool = True,
     check_integer_only(graph)
 
 
-def chunk_wide_comparisons(graph: Graph, native_bits: int = 8) -> int:
-    """Chunked comparison strategy for wide unsigned operands (reference
+def _vd(shape, bits):
+    from concrete_tpu.dtypes import Integer
+    return ValueDescription(dtype=Integer(bits, False), shape=shape,
+                            is_encrypted=True)
+
+
+def _add_node(g, node, lo, hi, *preds):
+    node.bounds = (lo, hi)
+    g.add_node(node)
+    for idx, p in enumerate(preds):
+        g.add_edge(p, node, input_idx=idx)
+    return node
+
+
+def _unsigned_operand_widths(diff, ops):
+    """(diff_width, max operand width) for an all-encrypted unsigned
+    subtract, or None when bounds are missing / an operand is signed
+    (signed operands keep the one-TLU lowering)."""
+    from concrete_tpu.dtypes import Integer
+    if diff.bounds is None or any(q.bounds is None for q in ops):
+        return None
+    d_lo, d_hi = diff.bounds
+    diff_width = Integer.that_can_represent(
+        np.array([d_lo, d_hi])).bit_width
+    widths = []
+    for q in ops:
+        lo, hi = q.bounds
+        if lo < 0:
+            return None
+        widths.append(max(int(hi).bit_length(), 1))
+    return diff_width, max(widths)
+
+
+def _chunk_extract(graph, src, i, c):
+    """Per-chunk extraction TLU: (src >> c*i) & (2^c - 1).  Keeps the
+    OPERAND's own shape (sizing by the consumer's broadcast shape would
+    overcount PBS work)."""
+    mask = (1 << c) - 1
+    shift = c * i
+    fn = (lambda s: (lambda v: (np.asarray(v) >> s) & mask))(shift)
+    n2 = Node.generic("univariate", [src.output],
+                      _vd(src.output.shape, c),
+                      lambda v, f=fn: f(v).astype(np.int64),
+                      function=fn)
+    return _add_node(graph.graph, n2, 0, mask, src)
+
+
+def _sign_fold_acc(graph, x_node, y_node, shape, c, n_chunks):
+    """Chunked three-way comparison: per-chunk packed sign TLUs
+    (0 eq, 1 gt, 2 lt) MSB-first-folded into one accumulator node.
+    Also returns the per-operand chunk extraction nodes for reuse."""
+    g = graph.graph
+
+    def sign_fn(a, b):
+        return 0 if a == b else (1 if a > b else 2)
+
+    signs, xs, ys = [], [], []
+    for i in range(n_chunks):
+        xi = _chunk_extract(graph, x_node, i, c)
+        yi = _chunk_extract(graph, y_node, i, c)
+        xs.append(xi)
+        ys.append(yi)
+        sn = Node.generic(
+            "multivariate", [xi.output, yi.output], _vd(shape, 2),
+            lambda a, b: np.vectorize(sign_fn, otypes=[np.int64])(a, b),
+            function=sign_fn)
+        signs.append(_add_node(g, sn, 0, 2, xi, yi))
+
+    acc = signs[-1]                       # most significant chunk
+    for sn in reversed(signs[:-1]):
+        def fold_fn(a, s):
+            return a if a != 0 else s
+        an = Node.generic(
+            "multivariate", [acc.output, sn.output], _vd(shape, 2),
+            lambda a, s: np.vectorize(fold_fn, otypes=[np.int64])(a, s),
+            function=fold_fn)
+        acc = _add_node(g, an, 0, 2, acc, sn)
+    return acc, xs, ys
+
+
+def _replace_node(graph, node, new_node):
+    g = graph.graph
+    for _, succ, key, data in list(g.out_edges(node, keys=True, data=True)):
+        g.add_edge(new_node, succ, **data)
+    g.remove_node(node)
+    for pos, n2 in list(graph.output_nodes.items()):
+        if n2 is node:
+            graph.output_nodes[pos] = new_node
+
+
+def _prune_dead(graph):
+    """Remove nodes left with no consumers after a rewrite (a dead wide
+    subtract would otherwise inflate its operands' encoding-width class)."""
+    g = graph.graph
+    protected = set(graph.output_nodes.values()) \
+        | set(graph.input_nodes.values())
+    changed = True
+    while changed:
+        changed = False
+        for n in list(g.nodes):
+            if n not in protected and g.out_degree(n) == 0:
+                g.remove_node(n)
+                changed = True
+
+
+def chunk_wide_comparisons(graph: Graph, native_bits: int = 8,
+                           force: bool = False) -> int:
+    """Chunked comparison strategy for unsigned operands (reference
     mlir/context.py:880 ComparisonStrategy CHUNKED).
 
     A comparison traces as univariate(x - y) — one TLU at the *promoted
@@ -322,26 +428,15 @@ def chunk_wide_comparisons(graph: Graph, native_bits: int = 8) -> int:
       result     <- verdict TLU on the final acc
 
     ~4*ceil(w/c) native TLUs instead of one (w+1)-bit WoP-PBS — and no
-    PFPKSK/WoP keys needed.  Runs AFTER bounds measurement (it needs
-    widths); inserted nodes get explicit bounds/dtypes.  Returns the
-    number of comparisons rewritten.
+    PFPKSK/WoP keys needed.  `force=True` (the explicit
+    ComparisonStrategy.CHUNKED preference) chunks even when the one-TLU
+    form fits natively.  Runs AFTER bounds measurement (it needs widths);
+    inserted nodes get explicit bounds/dtypes.  Returns the number of
+    comparisons rewritten.
     """
-    from concrete_tpu.dtypes import Integer
-
     g = graph.graph
     c = native_bits // 2
     rewritten = 0
-
-    def vd(shape, bits):
-        return ValueDescription(dtype=Integer(bits, False), shape=shape,
-                                is_encrypted=True)
-
-    def add_node(node, lo, hi, *preds):
-        node.bounds = (lo, hi)
-        g.add_node(node)
-        for idx, p in enumerate(preds):
-            g.add_edge(p, node, input_idx=idx)
-        return node
 
     targets = [n for n in list(g.nodes)
                if n.properties.get("comparison")
@@ -355,65 +450,21 @@ def chunk_wide_comparisons(graph: Graph, native_bits: int = 8) -> int:
         if len(ops) != 2 or not all(q.output.is_encrypted for q in ops):
             continue
         x_node, y_node = ops
-        if diff.bounds is None or any(q.bounds is None for q in ops):
+        dw = _unsigned_operand_widths(diff, ops)
+        if dw is None:
             continue
-        d_lo, d_hi = diff.bounds
-        diff_width = Integer.that_can_represent(
-            np.array([d_lo, d_hi])).bit_width
-        widths = []
-        ok = True
-        for q in ops:
-            lo, hi = q.bounds
-            if lo < 0:
-                ok = False  # signed operands keep the one-TLU lowering
-                break
-            widths.append(max(int(hi).bit_length(), 1))
-        if not ok:
-            continue
-        w = max(widths)
-        if diff_width <= native_bits or w > native_bits:
+        diff_width, w = dw
+        if (diff_width <= native_bits and not force) or w > native_bits:
             continue  # native one-TLU is fine / operands too wide anyway
+        if w <= c and force:
+            continue  # single-chunk "chunked" degenerates to one TLU pair
 
         kind = node.properties["comparison"]
         shape = node.output.shape
         n_chunks = -(-w // c)
-        mask = (1 << c) - 1
 
-        def extract(src, i):
-            shift = c * i
-            fn = (lambda s: (lambda v: (np.asarray(v) >> s) & mask))(shift)
-            # the extraction keeps the OPERAND's own shape (the comparison
-            # output shape is the broadcast of both operands; sizing the
-            # per-operand TLUs by it would overcount PBS work)
-            n2 = Node.generic("univariate", [src.output],
-                              vd(src.output.shape, c),
-                              lambda v, f=fn: f(v).astype(np.int64),
-                              function=fn)
-            return add_node(n2, 0, mask, src)
-
-        def sign_fn(a, b):
-            return 0 if a == b else (1 if a > b else 2)
-
-        signs = []
-        for i in range(n_chunks):
-            xi = extract(x_node, i)
-            yi = extract(y_node, i)
-            sn = Node.generic(
-                "multivariate", [xi.output, yi.output], vd(shape, 2),
-                lambda a, b: np.vectorize(sign_fn, otypes=[np.int64])(a, b),
-                function=sign_fn)
-            signs.append(add_node(sn, 0, 2, xi, yi))
-
-        acc = signs[-1]                       # most significant chunk
-        for sn in reversed(signs[:-1]):
-            def fold_fn(a, s):
-                return a if a != 0 else s
-            an = Node.generic(
-                "multivariate", [acc.output, sn.output], vd(shape, 2),
-                lambda a, s: np.vectorize(fold_fn, otypes=[np.int64])(a, s),
-                function=fold_fn)
-            acc = add_node(an, 0, 2, acc, sn)
-
+        acc, _, _ = _sign_fold_acc(graph, x_node, y_node, shape, c,
+                                   n_chunks)
         verdict = {
             "equal": lambda s: int(s == 0),
             "not_equal": lambda s: int(s != 0),
@@ -423,33 +474,134 @@ def chunk_wide_comparisons(graph: Graph, native_bits: int = 8) -> int:
             "less_equal": lambda s: int(s != 1),
         }[kind]
         out_n = Node.generic(
-            "univariate", [acc.output], vd(shape, 1),
+            "univariate", [acc.output], _vd(shape, 1),
             lambda v: np.vectorize(verdict, otypes=[np.int64])(v),
             function=verdict)
-        add_node(out_n, 0, 1, acc)
+        _add_node(g, out_n, 0, 1, acc)
         out_n.properties["tag"] = node.properties.get("tag", "")
-
-        for _, succ, key, data in list(g.out_edges(node, keys=True,
-                                                   data=True)):
-            g.add_edge(out_n, succ, **data)
-        g.remove_node(node)
-        for pos, n2 in list(graph.output_nodes.items()):
-            if n2 is node:
-                graph.output_nodes[pos] = out_n
+        _replace_node(graph, node, out_n)
         rewritten += 1
 
     if rewritten:
-        # prune now-dead nodes (the wide subtract would otherwise stay in
-        # the graph and inflate its operands' encoding-width class)
-        protected = set(graph.output_nodes.values()) \
-            | set(graph.input_nodes.values())
-        changed = True
-        while changed:
-            changed = False
-            for n in list(g.nodes):
-                if n not in protected and g.out_degree(n) == 0:
-                    g.remove_node(n)
-                    changed = True
+        _prune_dead(graph)
+    return rewritten
+
+
+def chunk_wide_minmax(graph: Graph, native_bits: int = 8,
+                      force: bool = False) -> int:
+    """Chunked min/max strategy for unsigned operands (reference
+    mlir/context.py minimum/maximum, MinMaxStrategy.CHUNKED).
+
+    min/max trace as `y + relu(x - y)` / `x - relu(x - y)` (FHEMaxTransform
+    semantics) — one relu TLU at the promoted signed-difference width.
+    When that width exceeds `native_bits` (the one-TLU form would need a
+    WoP-PBS) but each operand fits natively, the relu node is rewritten
+    chunk-wise:
+
+      gt          <- chunked comparison boolean x > y (sign TLUs + fold)
+      out_i       <- mv(gt, x_i): gt ? x_i : 0   +   mv(gt, y_i): gt ? 0 : y_i
+      max(x, y)   <- sum_i out_i << (c*i)          (linear recombination)
+      relu(x - y) <- max(x, y) - y                 (linear)
+
+    so the surrounding `y + relu(...)` / `x - relu(...)` reconstruction
+    keeps working unchanged.  ~(4*ceil(w/c) + ceil(w/c)) native TLUs, no
+    WoP keys.  `force=True` (explicit MinMaxStrategy.CHUNKED preference)
+    chunks even when the one-TLU form fits.  Returns the number of relu
+    nodes rewritten.
+    """
+    g = graph.graph
+    c = native_bits // 2
+    rewritten = 0
+
+    targets = [n for n in list(g.nodes)
+               if n.properties.get("minmax_relu")
+               and n.name == "univariate"]
+    for node in targets:
+        diff = graph.ordered_preds_of(node)
+        if len(diff) != 1 or diff[0].name != "subtract":
+            continue
+        diff = diff[0]
+        ops = graph.ordered_preds_of(diff)
+        if len(ops) != 2 or not all(q.output.is_encrypted for q in ops):
+            continue
+        x_node, y_node = ops
+        dw = _unsigned_operand_widths(diff, ops)
+        if dw is None:
+            continue
+        diff_width, w = dw
+        if (diff_width <= native_bits and not force) or w > native_bits:
+            continue
+        if w <= c and force:
+            continue
+
+        shape = node.output.shape
+        n_chunks = -(-w // c)
+        mask = (1 << c) - 1
+
+        acc, xs, ys = _sign_fold_acc(graph, x_node, y_node, shape, c,
+                                     n_chunks)
+        gt_n = Node.generic(
+            "univariate", [acc.output], _vd(shape, 1),
+            lambda v: (np.asarray(v) == 1).astype(np.int64),
+            function=lambda s: int(s == 1))
+        gt = _add_node(g, gt_n, 0, 1, acc)
+
+        def sel(flag_wanted, chunk, shift, hi):
+            # the chunk's positional shift is baked into the TLU output
+            # (free, and TLU output noise is fresh regardless of output
+            # magnitude — a multiply-by-2^shift node would amplify norm2)
+            fn = (lambda fw, sh: (
+                lambda cc, v: (int(v) << sh) if cc == fw else 0))(
+                flag_wanted, shift)
+            mv = Node.generic(
+                "multivariate", [gt.output, chunk.output],
+                _vd(shape, max(int(hi << shift).bit_length(), 1)),
+                lambda cc, v, f=fn:
+                    np.vectorize(f, otypes=[np.int64])(cc, v),
+                function=fn)
+            return _add_node(g, mv, 0, hi << shift, gt, chunk)
+
+        # max(x, y) = sum_i ((gt ? x_i : 0) + (gt ? 0 : y_i)) << c*i.
+        # Bounds are TIGHT, not naive-sum: exactly one select branch per
+        # position is nonzero (both are keyed on the same gt), and the
+        # top chunk of a w'-bit operand is narrower than the chunk mask —
+        # loose bounds here would inflate y's encoding-width class past
+        # the native TLU limit and force the extractions onto WoP.
+        x_hi = int(x_node.bounds[1])
+        y_hi = int(y_node.bounds[1])
+        maxv, hi_sum = None, 0
+        for i in range(n_chunks):
+            xc_hi = min(mask, x_hi >> (c * i))
+            yc_hi = min(mask, y_hi >> (c * i))
+            sx = sel(1, xs[i], c * i, xc_hi)
+            sy = sel(0, ys[i], c * i, yc_hi)
+            pair_hi = max(xc_hi, yc_hi) << (c * i)
+            pn = Node.generic(
+                "add", [sx.output, sy.output],
+                _vd(shape, max(int(pair_hi).bit_length(), 1)),
+                lambda a, b: a + b)
+            pair = _add_node(g, pn, 0, pair_hi, sx, sy)
+            if maxv is None:
+                maxv, hi_sum = pair, pair_hi
+            else:
+                hi_sum += pair_hi
+                an = Node.generic(
+                    "add", [maxv.output, pair.output],
+                    _vd(shape, max(int(hi_sum).bit_length(), 1)),
+                    lambda a, b: a + b)
+                maxv = _add_node(g, an, 0, hi_sum, maxv, pair)
+        # relu(x - y) = max(x, y) - y (linear; the surrounding min/max
+        # reconstruction `y + relu` / `x - relu` keeps working unchanged)
+        relu_n = Node.generic(
+            "subtract", [maxv.output, y_node.output],
+            node.output, lambda a, b: a - b)
+        relu_out = _add_node(g, relu_n, *node.bounds, maxv, y_node)
+        relu_out.properties["tag"] = node.properties.get("tag", "")
+        _replace_node(graph, node, relu_out)
+        rewritten += 1
+
+    if rewritten:
+        _prune_dead(graph)
     return rewritten
 
 

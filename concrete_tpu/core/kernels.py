@@ -726,24 +726,21 @@ def pbs_batch(ct_big, ksk: LimbKSK, bsk, lut_poly,
     (including the signed quarter-torus offset, FHEToTFHEScalar.cpp:395-411).
 
     `bsk` selects the blind-rotate algorithm: a LimbBSK runs the banded
-    int8-matmul path (fastest at N <= 1024); an ntt_tpu.NttBSK runs the
-    CRT-NTT external product (the O(N sqrt N) path for N >= 2048).  Both
-    are exact and bit-identical.
+    int8-matmul path (fastest at N <= 1024); a pallas_fused_ntt.FusedBSK
+    runs the single-kernel CRT-NTT external product (the O(N sqrt N) path
+    for N >= 2048).  Both are exact and bit-identical.  (The per-stage
+    XLA/Pallas CRT-NTT variants were retired in round 4: both lost to
+    these at every N and the XLA one crashed the TPU worker; the math
+    survives in core/ntt_tpu.py for the limb-sharded multi-chip layout.)
     """
     if signed:
         offset = U64((1 << (message_bits - 1)) << (_Q_LOG - message_bits - 1))
         ct_big = ct_big.at[:, -1].add(offset)
     ct_small = keyswitch(ct_big, ksk)
-    from concrete_tpu.core.ntt_tpu import NttBSK, blind_rotate_ntt
     from concrete_tpu.ops.pallas_fused_ntt import (FusedBSK,
                                                    blind_rotate_fused)
-    from concrete_tpu.ops.pallas_ntt import PallasBSK, blind_rotate_pallas_ntt
     if isinstance(bsk, FusedBSK):
         acc = blind_rotate_fused(ct_small, bsk, lut_poly, params)
-    elif isinstance(bsk, PallasBSK):
-        acc = blind_rotate_pallas_ntt(ct_small, bsk, lut_poly, params)
-    elif isinstance(bsk, NttBSK):
-        acc = blind_rotate_ntt(ct_small, bsk, lut_poly, params)
     else:
         acc = blind_rotate(ct_small, bsk, lut_poly, params)
     return sample_extract(acc, 0)

@@ -1,10 +1,22 @@
-"""Fused Pallas kernels for the CRT-NTT external product (N >= 2048 PBS).
+"""Pallas CRT-NTT primitives: per-stage transform kernels + in-kernel
+modular arithmetic shared by the fused blind rotate (ops/pallas_fused_ntt).
 
-The XLA lowering of the four-step NTT (core/ntt_tpu.py) is HBM-bound: each
-mod-p matmul materializes int8 limb and int32 plane intermediates 4-7x the
-size of the data, and every twiddle/fold pass re-streams the residue
-tensors (measured 13.7 ms per external-product step at N=4096, B=256 —
-~25x off the HBM roofline).  This module keeps all of that in VMEM:
+History: this module originally also carried a per-stage blind-rotate
+variant (one pallas_call per NTT stage).  It was retired in round 4 —
+measured slower than both the banded path and the single-kernel fused
+path at every N, because residues round-tripped HBM between the per-prime
+stage kernels (RESULTS.md r3/r4); the fused kernel holds them in VMEM
+across fwd -> pointwise -> inv.  What remains here is the validated
+primitive layer:
+
+- the standalone stage kernels (ntt_fwd_pallas / ntt_inv_pallas), kept as
+  the hardware-testable unit surface for the transform math
+  (tests/test_pallas_ntt.py, tools/check_pallas_ntt_tpu.py);
+- the u32 modular-arithmetic toolbox (_mul_pair/_mont_mul/_lt_u32/
+  _limbs4_i32/_combine4/_center_residues/_garner_value ...) imported by
+  ops/pallas_fused_ntt.py.
+
+Design notes for the kernels (all still true of the fused consumer):
 
 - **One kernel per transform stage**: center + balanced int8 limb split +
   MXU matmul + plane combine + Montgomery reduction fused, so HBM sees
@@ -46,7 +58,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from concrete_tpu.core import ntt as ntt_host
-from concrete_tpu.params import CryptoParams
 
 U32 = jnp.uint32
 I32 = jnp.int32
@@ -426,45 +437,6 @@ def ntt_inv_pallas(spec_u32, plan: PallasPlan, interpret=None):
 
 
 # ---------------------------------------------------------------------------
-# Pointwise spectral contraction
-# ---------------------------------------------------------------------------
-
-def _k_pointwise(plan: PallasPlan, cin: int, k1p: int, d_ref, s_ref, o_ref):
-    """(RB, Cin, N) plain x (Cin, K1, N) Montgomery -> (RB, K1, N) plain:
-    out[b, co] = sum_cin d[b, cin] * S[cin, co] mod p."""
-    for co in range(k1p):
-        acc = None
-        for ci in range(cin):
-            t = _mont_mul(d_ref[:, ci, :], s_ref[ci, co, :][None, :],
-                          plan.p, plan.p_neg_inv)
-            acc = t if acc is None else _add_mod(acc, t, plan.p)
-        o_ref[:, co, :] = acc
-
-
-def pointwise_pallas(d_hat, spec_mont, plan: PallasPlan, interpret=None):
-    """d_hat (B, Cin, N) u32 plain x spec (Cin, K1, N) u32 Montgomery ->
-    (B, K1, N) u32 plain (the GGSW column contraction, per prime)."""
-    if interpret is None:
-        interpret = not _on_tpu()
-    b, cin, n = d_hat.shape
-    k1p = spec_mont.shape[1]
-    # scoped-VMEM cap: ~(cin + k1p) * 6 * 4n B live per batch row
-    # (in/out blocks double-buffered + Montgomery temporaries)
-    rb = _pick_rows(b, max(1, (12 << 20) // (4 * n * (cin + k1p) * 6)))
-    return pl.pallas_call(
-        functools.partial(_k_pointwise, plan, cin, k1p),
-        grid=(b // rb,),
-        in_specs=[
-            pl.BlockSpec((rb, cin, n), lambda i: (i, _I0, _I0)),
-            pl.BlockSpec((cin, k1p, n), lambda i: (_I0, _I0, _I0)),
-        ],
-        out_specs=pl.BlockSpec((rb, k1p, n), lambda i: (i, _I0, _I0)),
-        out_shape=jax.ShapeDtypeStruct((b, k1p, n), jnp.uint32),
-        interpret=interpret,
-    )(d_hat, spec_mont)
-
-
-# ---------------------------------------------------------------------------
 # Garner / CRT recombination to (lo, hi) u32 planes
 # ---------------------------------------------------------------------------
 
@@ -531,216 +503,3 @@ def _garner_value(primes: tuple, p_neg_invs: tuple, res_vals):
     s = v_lo - U32(t_lo) * g
     borrow = _lt_u32(v_lo, s).astype(U32)
     return v_hi - U32(t_hi) * g - borrow, s
-
-
-def _k_garner(primes: tuple, p_neg_invs: tuple, res_refs, lo_ref, hi_ref):
-    v_hi, v_lo = _garner_value(primes, p_neg_invs,
-                               [r[...] for r in res_refs])
-    lo_ref[...] = v_lo
-    hi_ref[...] = v_hi
-
-
-def _k_garner_acc(primes: tuple, p_neg_invs: tuple, res_refs,
-                  acc_lo_ref, acc_hi_ref, lo_ref, hi_ref):
-    v_hi, v_lo = _garner_value(primes, p_neg_invs,
-                               [r[...] for r in res_refs])
-    acc_lo = acc_lo_ref[...]
-    new_lo = acc_lo + v_lo
-    carry = _lt_u32(new_lo, v_lo).astype(U32)
-    lo_ref[...] = new_lo
-    hi_ref[...] = acc_hi_ref[...] + v_hi + carry
-
-
-def garner_pallas(residues: list, primes: tuple, interpret=None):
-    """Per-prime (M, N) u32 residues -> exact centered value mod 2^64 as
-    (lo, hi) u32 planes (TPUs have no u64 vectors; the caller packs)."""
-    if interpret is None:
-        interpret = not _on_tpu()
-    m, n = residues[0].shape
-    p_neg_invs = tuple((-pow(p, -1, 1 << 32)) % (1 << 32) for p in primes)
-    # scoped-VMEM cap: P input blocks + 2 outputs (double-buffered) plus
-    # ~3P Garner temporaries, each 4n B per row
-    rm = _pick_rows(m, max(1, (12 << 20) // (4 * n * (4 * len(primes) + 4))))
-
-    def kernel(*refs):
-        _k_garner(primes, p_neg_invs, refs[:len(primes)], refs[-2], refs[-1])
-
-    lo, hi = pl.pallas_call(
-        kernel,
-        grid=(m // rm,),
-        in_specs=[pl.BlockSpec((rm, n), lambda i: (i, _I0))
-                  for _ in primes],
-        out_specs=[pl.BlockSpec((rm, n), lambda i: (i, _I0))
-                   for _ in range(2)],
-        out_shape=[jax.ShapeDtypeStruct((m, n), jnp.uint32)
-                   for _ in range(2)],
-        interpret=interpret,
-    )(*residues)
-    return lo, hi
-
-
-def garner_accumulate_pallas(residues: list, primes: tuple, acc_lo, acc_hi,
-                             interpret=None):
-    """garner_pallas fused with the blind-rotate accumulation: returns
-    (acc_lo, acc_hi) + centered_value as u32 pairs — the CRT-NTT step's
-    u64 external-product result never exists in HBM."""
-    if interpret is None:
-        interpret = not _on_tpu()
-    m, n = residues[0].shape
-    p_neg_invs = tuple((-pow(p, -1, 1 << 32)) % (1 << 32) for p in primes)
-    rm = _pick_rows(m, max(1, (12 << 20) // (4 * n * (4 * len(primes) + 8))))
-
-    def kernel(*refs):
-        _k_garner_acc(primes, p_neg_invs, refs[:len(primes)],
-                      refs[len(primes)], refs[len(primes) + 1],
-                      refs[-2], refs[-1])
-
-    lo, hi = pl.pallas_call(
-        kernel,
-        grid=(m // rm,),
-        in_specs=[pl.BlockSpec((rm, n), lambda i: (i, _I0))
-                  for _ in range(len(primes) + 2)],
-        out_specs=[pl.BlockSpec((rm, n), lambda i: (i, _I0))
-                   for _ in range(2)],
-        out_shape=[jax.ShapeDtypeStruct((m, n), jnp.uint32)
-                   for _ in range(2)],
-        interpret=interpret,
-    )(*residues, acc_lo, acc_hi)
-    return lo, hi
-
-
-# ---------------------------------------------------------------------------
-# BSK packing + external product + blind rotate
-# ---------------------------------------------------------------------------
-
-@functools.partial(jax.tree_util.register_dataclass,
-                   data_fields=["spectra"],
-                   meta_fields=["primes", "base_log", "levels"])
-@dataclasses.dataclass(frozen=True)
-class PallasBSK:
-    """Bootstrap key pre-transformed per CRT prime for the Pallas path.
-
-    spectra: (primes, n, Cin, k+1, N) u32 — the NTT (n1 = N/128 four-step
-    layout) of the centered BSK polynomials mod each prime, premultiplied
-    by 2^32 (Montgomery domain) so the pointwise kernel's REDC lands on
-    plain products.
-    """
-    spectra: jnp.ndarray
-    primes: tuple
-    base_log: int
-    levels: int
-
-    @property
-    def n_small(self) -> int:
-        return self.spectra.shape[1]
-
-
-def _plan_perm(n: int, n1: int) -> np.ndarray:
-    n2 = n // n1
-    k1, k2 = np.meshgrid(np.arange(n1), np.arange(n2), indexing="ij")
-    return (k2 * n1 + k1).reshape(-1)
-
-
-def pack_bsk_pallas(bsk_u64: np.ndarray, params: CryptoParams,
-                    primes: tuple = None) -> PallasBSK:
-    """Pre-transform a u64 BSK (n, l, k+1, k+1, N) per CRT prime into the
-    Pallas plan's spectrum layout, Montgomery domain (host side)."""
-    from concrete_tpu.core import ntt_tpu as nt
-    if primes is None:
-        primes = nt.choose_primes(params)
-    bsk_u64 = np.asarray(bsk_u64)
-    n_small, l, kp1, _, n = bsk_u64.shape
-    flat = bsk_u64.reshape(n_small, l * kp1, kp1, n)
-    signed = flat.astype(np.int64)                     # centered (balanced)
-    out = np.empty((len(primes), n_small, l * kp1, kp1, n), dtype=np.uint32)
-    for pi, p in enumerate(primes):
-        plan = build_pallas_plan(n, p)
-        perm = _plan_perm(n, plan.n1)
-        nat = ntt_host.ntt_forward(signed % p, n, p)
-        mont = nat[..., perm] * (pow(2, 32, p) % p) % p
-        out[pi] = mont.astype(np.uint32)
-    return PallasBSK(spectra=jnp.asarray(out), primes=tuple(primes),
-                     base_log=params.pbs_base_log, levels=params.pbs_level)
-
-
-def external_product_pallas(digits, bsk_step, primes: tuple,
-                            params: CryptoParams, interpret=None):
-    """One CMUX external product, fully fused.
-
-    digits: (B, Cin, N) i32 balanced gadget digits of the rotated diff;
-    bsk_step: (primes, Cin, k+1, N) u32 Montgomery spectra (one scan step).
-    Returns (B, k+1, N) u64 — bit-identical to the XLA paths.
-    """
-    n = params.polynomial_size
-    b, cin, _ = digits.shape
-    kp1 = bsk_step.shape[2]
-    residues = []
-    for pi, p in enumerate(primes):
-        plan = build_pallas_plan(n, p)
-        d_hat = ntt_fwd_pallas(digits.reshape(b * cin, n), plan,
-                               interpret=interpret)
-        prod = pointwise_pallas(d_hat.reshape(b, cin, n), bsk_step[pi],
-                                plan, interpret=interpret)
-        residues.append(ntt_inv_pallas(prod.reshape(b * kp1, n), plan,
-                                       interpret=interpret))
-    lo, hi = garner_pallas(residues, primes, interpret=interpret)
-    out = hi.astype(jnp.uint64) << jnp.uint64(32) | lo.astype(jnp.uint64)
-    return out.reshape(b, kp1, n)
-
-
-def blind_rotate_pallas_ntt(ct_small, bsk: PallasBSK, lut_poly,
-                            params: CryptoParams, interpret=None):
-    """Batched blind rotation with the fused Pallas CRT-NTT external
-    product: (B, n+1) u64 + (N,) LUT -> accumulator (B, k+1, N) u64.
-    Bit-identical to kernels.blind_rotate / ntt_tpu.blind_rotate_ntt.
-
-    The accumulator lives as (lo, hi) u32 planes across the whole scan
-    (like kernels._blind_rotate_pallas): the rotate/diff/decompose phase
-    is the Pallas rotate_decompose_digits kernel and the Garner
-    reconstruction accumulates in-kernel — no XLA u64 elementwise op (and
-    no u64 external-product tensor) appears anywhere in the step.
-    """
-    from concrete_tpu.core import kernels as kn
-    from concrete_tpu.ops import pallas_step as ps
-    b_ct = ct_small.shape[0]
-    n = params.polynomial_size
-    k = params.glwe_dimension
-    l = params.pbs_level
-    kp1 = k + 1
-    switched = kn.modulus_switch(ct_small, params.log2_polynomial_size)
-    a_t = switched[:, :-1]
-    b_t = switched[:, -1]
-    body0 = kn._lut_rows(lut_poly, b_ct, n)
-    body0 = kn.monomial_mul_rolls(body0, (2 * n - b_t) % (2 * n))
-    acc0 = jnp.zeros((b_ct, kp1, n), dtype=jnp.uint64).at[:, k, :].set(
-        body0[:, 0, :])
-    lo0, hi0 = ps.split_u64(acc0.reshape(b_ct * kp1, n))
-    spectra_steps = jnp.moveaxis(bsk.spectra, 1, 0)   # (n_small, primes, ..)
-
-    def step(carry, xs):
-        lo, hi = carry                                 # (B*(k+1), N) u32
-        a_j, spec_j = xs
-        a_rows = jnp.repeat(a_j, kp1,
-                            total_repeat_length=b_ct * kp1).astype(jnp.int32)
-        d_planes = ps.rotate_decompose_digits(
-            lo, hi, a_rows, base_log=params.pbs_base_log, levels=l,
-            interpret=bool(interpret))
-        # (lev-major, r-minor) Cin layout, matching pack_bsk_pallas
-        d = jnp.concatenate(
-            [pl_.reshape(b_ct, kp1, n) for pl_ in d_planes],
-            axis=1) if l > 1 else d_planes[0].reshape(b_ct, kp1, n)
-        residues = []
-        for pi, p in enumerate(bsk.primes):
-            plan = build_pallas_plan(n, p)
-            d_hat = ntt_fwd_pallas(d.reshape(b_ct * l * kp1, n), plan,
-                                   interpret=interpret)
-            prod = pointwise_pallas(d_hat.reshape(b_ct, l * kp1, n),
-                                    spec_j[pi], plan, interpret=interpret)
-            residues.append(ntt_inv_pallas(prod.reshape(b_ct * kp1, n),
-                                           plan, interpret=interpret))
-        lo2, hi2 = garner_accumulate_pallas(residues, bsk.primes, lo, hi,
-                                            interpret=interpret)
-        return (lo2, hi2), None
-
-    (lo, hi), _ = jax.lax.scan(step, (lo0, hi0), (a_t.T, spectra_steps))
-    return ps.merge_u64(lo, hi).reshape(b_ct, kp1, n)

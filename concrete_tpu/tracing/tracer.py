@@ -576,8 +576,12 @@ def _relu_diff(x, y):
     diff = Tracer.sanitize(x) - Tracer.sanitize(y)
     ev = lambda v: np.maximum(np.asarray(v), 0)  # noqa: E731
     output = Tracer._infer_output("relu", ev, [diff])
-    return Tracer._generic("univariate", [diff], ev, output,
-                           function=lambda v: max(int(v), 0))
+    out = Tracer._generic("univariate", [diff], ev, output,
+                          function=lambda v: max(int(v), 0))
+    # marks the min/max relu-of-difference for the chunked lowering
+    # (transforms.chunk_wide_minmax, MinMaxStrategy.CHUNKED)
+    out.node.properties["minmax_relu"] = True
+    return out
 
 
 def _np_maximum(x, y):

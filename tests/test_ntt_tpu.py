@@ -97,8 +97,13 @@ def test_blind_rotate_ntt_matches_banded(rng):
     assert np.array_equal(acc_ntt, acc_banded)
 
 
-def test_pbs_batch_ntt_bit_exact(rng):
-    """Full PBS through pbs_batch with an NttBSK equals the LimbBSK PBS."""
+def test_pbs_small_ntt_matches_refimpl(rng):
+    """KS + NTT blind rotate + extract equals the refimpl PBS end-to-end.
+
+    (The NttBSK dispatch was retired from kernels.pbs_batch in round 4 —
+    VERDICT r3 #10; blind_rotate_ntt survives only as the math behind the
+    limb-sharded multi-chip layout, parallel/limb_sharding.py, so it is
+    validated here directly.)"""
     sk, server = kg.keygen(rng, P)
     bits = 3
     lut = np.array([(v + 2) % 8 for v in range(8)], dtype=np.uint64)
@@ -108,28 +113,26 @@ def test_pbs_batch_ntt_bit_exact(rng):
     ct = kg.encrypt_lwe_batch(rng, sk.lwe_big, ref.encode(msgs, bits),
                               P.lwe_std / 256)
     ksk = K.pack_ksk(server.ksk, P)
-    want = np.asarray(K.pbs_batch(jnp.asarray(ct), ksk,
-                                  K.pack_bsk(server.bsk, P), lut_poly,
-                                  P, bits))
-    got = np.asarray(K.pbs_batch(jnp.asarray(ct), ksk,
-                                 nt.pack_bsk_ntt(server.bsk, P), lut_poly,
-                                 P, bits))
+    small = K.keyswitch(jnp.asarray(ct), ksk)
+    acc = nt.blind_rotate_ntt(small, nt.pack_bsk_ntt(server.bsk, P),
+                              lut_poly, P)
+    got = np.asarray(K.sample_extract(acc, 0))
+    want_acc = K.blind_rotate(small, K.pack_bsk(server.bsk, P), lut_poly,
+                              P, use_pallas=False)
+    want = np.asarray(K.sample_extract(want_acc, 0))
     assert np.array_equal(got, want)
     dec = ref.decode(ref.lwe_decrypt(sk.lwe_big, got), bits)
     assert np.array_equal(dec, (msgs + 2) % 8)
 
 
-def test_keys_evaluation_ntt_option():
+def test_keys_evaluation_default_is_banded():
+    """Default policy below the fused switchover: banded limb planes (the
+    retired per-stage NTT variants are no longer selectable)."""
     from concrete_tpu.compilation.keys import Keys
     keys = Keys(P)
     keys.generate(seed=3)
-    ksk, bsk = keys.evaluation_for(3, use_ntt=True)
-    assert isinstance(bsk, nt.NttBSK)
-    ksk2, bsk2 = keys.evaluation_for(3, use_ntt=False)
-    assert isinstance(bsk2, K.LimbBSK)
-    # default policy: banded below the switchover size
-    _, bsk3 = keys.evaluation_for(3)
-    assert isinstance(bsk3, K.LimbBSK)
+    _, bsk = keys.evaluation_for(3)
+    assert isinstance(bsk, K.LimbBSK)
 
 
 def test_garner_centering(rng):

@@ -78,51 +78,3 @@ def test_limbs4_i32(rng):
     # recombination wraps mod 2^32, matching the i32 input
     assert np.array_equal(recon.astype(np.int32), x)
     assert limbs.min() >= -128 and limbs.max() <= 127
-
-
-def test_external_product_matches_oracle(rng):
-    """Fused Pallas external product == the exact numpy contraction."""
-    from concrete_tpu.core import refimpl as ref
-    from concrete_tpu.params import TEST_PARAMS_TINY_WIDE as P
-    n = P.polynomial_size
-    l, kp1 = P.pbs_level, P.glwe_dimension + 1
-    cin = l * kp1
-    bsk = rng.integers(0, 1 << 63, (4, l, kp1, kp1, n), dtype=np.uint64)
-    packed = pn.pack_bsk_pallas(bsk, P)
-    digits = rng.integers(-(1 << (P.pbs_base_log - 1)),
-                          1 << (P.pbs_base_log - 1),
-                          (2, cin, n)).astype(np.int32)
-    got = np.asarray(pn.external_product_pallas(
-        jnp.asarray(digits), packed.spectra[:, 1], packed.primes, P,
-        interpret=True))
-    want = np.zeros((2, kp1, n), dtype=np.uint64)
-    flat = bsk.reshape(4, cin, kp1, n)
-    for b in range(2):
-        for c in range(cin):
-            for co in range(kp1):
-                want[b, co] += ref.negacyclic_polymul(
-                    digits[b, c].astype(np.int64).astype(np.uint64),
-                    flat[1, c, co])
-    assert np.array_equal(got, want)
-
-
-def test_blind_rotate_pallas_matches_banded(rng):
-    from concrete_tpu.core import keygen as kg
-    from concrete_tpu.core import kernels as K
-    from concrete_tpu.core import refimpl as ref
-    from concrete_tpu.params import TEST_PARAMS_TINY_WIDE as P
-    sk, server = kg.keygen(rng, P)
-    bits = 3
-    lut = np.array([(v * 5 + 2) % 8 for v in range(8)], dtype=np.uint64)
-    lut_poly = jnp.asarray(ref.encode_expand_lut(lut, P.polynomial_size,
-                                                 bits))
-    msgs = rng.integers(0, 8, 4)
-    ct = kg.encrypt_lwe_batch(rng, sk.lwe_small.astype(np.uint64),
-                              ref.encode(msgs, bits), P.lwe_std / 256)
-    acc_banded = np.asarray(K.blind_rotate(
-        jnp.asarray(ct), K.pack_bsk(server.bsk, P), lut_poly, P,
-        use_pallas=False))
-    acc_pallas = np.asarray(pn.blind_rotate_pallas_ntt(
-        jnp.asarray(ct), pn.pack_bsk_pallas(server.bsk, P), lut_poly, P,
-        interpret=True))
-    assert np.array_equal(acc_pallas, acc_banded)
