@@ -147,6 +147,7 @@ def _kernel(lhs_ref, rhs_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref,
 def dot_recombine(lhs, rhs, acc_lo, acc_hi, *, keep: int,
                   limb_offset: int = 0, block_b: int = 256,
                   block_k: int = 8192, jo_outer: bool = True,
+                  parallel_dims: bool = False,
                   interpret: bool = False):
     """acc' = acc + recombine(lhs @ rhs) without materializing the planes.
 
@@ -209,7 +210,14 @@ def dot_recombine(lhs, rhs, acc_lo, acc_hi, *, keep: int,
         out_shape=(jax.ShapeDtypeStruct((b_ct, jo * BLOCK), U32),
                    jax.ShapeDtypeStruct((b_ct, jo * BLOCK), U32)),
         scratch_shapes=[pltpu.VMEM((tb, keep * BLOCK), jnp.int32)],
+        # in the KO==1 regime every (j, io) cell is independent, so the
+        # two outer grid dims can be declared parallel (Mosaic may
+        # pipeline/overlap across cells); ko accumulates in scratch and
+        # stays arbitrary
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+            dimension_semantics=(
+                ("parallel", "parallel", "arbitrary")
+                if parallel_dims and n_ko == 1
+                else ("arbitrary", "arbitrary", "arbitrary"))),
         interpret=interpret,
     )(lhs, rhs, acc_lo, acc_hi)

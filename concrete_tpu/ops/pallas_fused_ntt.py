@@ -61,7 +61,6 @@ from concrete_tpu.ops.pallas_ntt import (
     N2,
     _center_residues,
     _combine4,
-    _garner_value,
     _limbs4_i32,
     _lt_u32,
     _mul_pair,
@@ -344,6 +343,86 @@ def pack_bsk_fused(bsk_u64: np.ndarray, params: CryptoParams,
 # In-kernel arithmetic
 # ---------------------------------------------------------------------------
 
+def _shoup_mul_const(a, c_val: int, c_sh: int, p: int):
+    """a (u32 < p... any) * constant c (< p, Shoup pair) mod p."""
+    hi, _lo = _mul_pair(a, U32(c_sh))
+    r = a * U32(c_val) - hi * U32(p)
+    return r - U32(p) * (~_lt_u32(r, U32(p))).astype(U32)
+
+
+@functools.lru_cache(maxsize=None)
+def _garner_shift_tables(primes: tuple, shift: int):
+    """Constants for the explicit-CRT shifted reconstruction (see
+    _garner_shifted): Shoup pairs of M_i^{-1} mod p_i, H mod p_i, and the
+    64-bit images of M_i, P, H premultiplied by 2^shift."""
+    p_prod = math.prod(primes)
+    h_half = (p_prod - 1) // 2
+    inv, m64, h_mod = [], [], []
+    for p in primes:
+        assert (1 << 31) - p < (1 << 24), \
+            "exact-k estimate needs primes within 2^24 of 2^31"
+        m_i = p_prod // p
+        v = pow(m_i % p, -1, p)
+        inv.append((v, (v << 32) // p))
+        m64.append(_u64_pair((m_i << shift) % (1 << 64)))
+        h_mod.append(int(h_half % p))
+    p64 = _u64_pair((p_prod << shift) % (1 << 64))
+    h64 = _u64_pair((h_half << shift) % (1 << 64))
+    return tuple(inv), tuple(h_mod), tuple(m64), p64, h64
+
+
+def _u64_pair(v: int):
+    return int((v >> 32) % (1 << 32)), int(v % (1 << 32))
+
+
+def _garner_shifted(primes: tuple, res_vals, shift: int):
+    """Exact (z << shift) mod 2^64 from per-prime residues of the signed
+    external product z, as a (hi, lo) u32 pair — the round-4 rewrite of
+    pallas_ntt._garner_value (+ the separate truncation-shift block):
+
+      w = z + H reconstructed explicitly: w = sum_i c_i M_i - k P with
+      c_i = (r_i + H) M_i^{-1} mod p_i, M_i = P / p_i, H = (P-1)/2;
+      z << shift = (sum c_i (M_i << s) - k (P << s) - (H << s)) mod 2^64.
+
+    k = floor(sum c_i / p_i) < n_p is recovered EXACTLY by the 6-op
+    estimate (sum_i c_i >> 3) >> 28: the primes are 2^31 - a_i with
+    a_i < 2^24 (asserted) so the estimate errs by < n_p * (2^-7 + 2^-28),
+    while any configuration accepted by choose_fused_primes has
+    |z| <= P/4 (required_bits' +2 guard), keeping sum c_i / p_i at least
+    ~1/4 away from every integer.  Versus the mixed-radix digit chain: no serial
+    digit dependencies (the three c_i chains are independent ILP), no
+    magnitude-compare cascade for sign centering, and the truncation
+    shift costs nothing (folded into the constants).
+    """
+    inv, h_mod, m64, p64, h64 = _garner_shift_tables(primes, shift)
+    cs = []
+    for i, p in enumerate(primes):
+        s = res_vals[i] + U32(h_mod[i])
+        s = s - U32(p) * (~_lt_u32(s, U32(p))).astype(U32)
+        cs.append(_shoup_mul_const(s, inv[i][0], inv[i][1], p))
+    k = cs[0] >> U32(3)
+    for c in cs[1:]:
+        k = k + (c >> U32(3))
+    k = k >> U32(28)
+    lo = jnp.zeros_like(res_vals[0])
+    hi = jnp.zeros_like(res_vals[0])
+    for i in range(len(primes)):
+        mh_c, ml_c = m64[i]
+        mh, ml = _mul_pair(cs[i], U32(ml_c))
+        mh = mh + cs[i] * U32(mh_c)
+        nlo = lo + ml
+        hi = hi + mh + _lt_u32(nlo, ml).astype(U32)
+        lo = nlo
+    kp_hi, kp_lo = _mul_pair(k, U32(p64[1]))
+    kp_hi = kp_hi + k * U32(p64[0])
+    t = lo - kp_lo
+    hi = hi - kp_hi - _lt_u32(lo, t).astype(U32)
+    lo = t
+    t = lo - U32(h64[1])
+    hi = hi - U32(h64[0]) - _lt_u32(lo, t).astype(U32)
+    return hi, t
+
+
 def _shoup_mul(a, b_val, b_sh, p: int):
     """a (any u32) * b (plain, < p, with Shoup companion) mod p -> [0, p).
 
@@ -386,12 +465,42 @@ def _mm_combine(x_i8, w_i8, p: int, pni: int, kappa: int):
     planes = jax.lax.dot_general(
         x_i8, w_i8, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
+    if "combine" in _ABLATE:
+        l2 = planes.shape[-1] // 4
+        return jax.lax.bitcast_convert_type(planes[..., :l2], U32)
     return _combine4(planes, p, pni, kappa)
 
 
 # ---------------------------------------------------------------------------
 # The fused step kernel
 # ---------------------------------------------------------------------------
+
+def _swap12(a, m, d1, d2):
+    """swapaxes(a.reshape(m, d1, d2), 1, 2) -> (m*d2, d1); under the
+    'transpose' ablation a scalar-broadcast stand-in replaces the
+    relayout (keeps upstream alive + downstream shapes; results wrong —
+    a flat relabel is itself an unsupported Mosaic shape cast)."""
+    if "transpose" in _ABLATE:
+        s = jnp.sum(a, dtype=a.dtype)
+        return jnp.zeros((m * d2, d1), a.dtype) + s
+    return jnp.swapaxes(a.reshape(m, d1, d2), 1, 2).reshape(m * d2, d1)
+
+
+def _limbs_abl(x, dl: int):
+    """_limbs_i32 / _limbs4_i32, or a shape-correct cheap stand-in under
+    the 'limbs' ablation (results wrong)."""
+    if "limbs" in _ABLATE:
+        x8 = x.astype(jnp.int8)
+        return x8 if dl == 1 else jnp.concatenate([x8] * dl, axis=-1)
+    return _limbs_i32(x, dl) if dl != 4 else _limbs4_i32(x)
+
+
+def _center_abl(x, p: int):
+    if "center" in _ABLATE:
+        return jax.lax.bitcast_convert_type(x, I32) \
+            if x.dtype == jnp.uint32 else x
+    return _center_residues(x, p)
+
 
 def _fwd_rows(x_i32, pr: int, tabs: FusedTables, w1f, dft2, twv, tws):
     """(M, N) i32 digit rows -> (M, N) u32 four-step spectrum, one prime.
@@ -402,12 +511,12 @@ def _fwd_rows(x_i32, pr: int, tabs: FusedTables, w1f, dft2, twv, tws):
     kap = tabs.kappas[pr]
     n1 = tabs.n1
     m = x_i32.shape[0]
-    xt = jnp.swapaxes(x_i32.reshape(m, n1, N2), 1, 2).reshape(m * N2, n1)
-    y = _mm_combine(_limbs_i32(xt, tabs.dl), w1f[pr], p, pni, kap)
-    y = jnp.swapaxes(y.reshape(m, N2, n1), 1, 2)        # (m, n1, n2) [k1,i2]
+    xt = _swap12(x_i32, m, n1, N2)
+    y = _mm_combine(_limbs_abl(xt, tabs.dl), w1f[pr], p, pni, kap)
+    y = _swap12(y, m, N2, n1).reshape(m, n1, N2)        # [k1, i2]
     if "twiddle" not in _ABLATE:
         y = _shoup_mul(y, twv[pr], tws[pr], p)
-    z8 = _limbs4_i32(_center_residues(y.reshape(m * n1, N2), p))
+    z8 = _limbs_abl(_center_abl(y.reshape(m * n1, N2), p), 4)
     out = _mm_combine(z8, dft2[pr], p, pni, kap)        # (m*n1, n2) [k1,k2]
     return out.reshape(m, n1 * N2)
 
@@ -419,15 +528,15 @@ def _inv_rows(x_u32, pr: int, tabs: FusedTables, idft2, v1i, twv, tws):
     kap = tabs.kappas[pr]
     n1 = tabs.n1
     m = x_u32.shape[0]
-    z8 = _limbs4_i32(_center_residues(x_u32.reshape(m * n1, N2), p))
+    z8 = _limbs_abl(_center_abl(x_u32.reshape(m * n1, N2), p), 4)
     u = _mm_combine(z8, idft2[pr], p, pni, kap)         # (m*n1, n2) [k1,i2]
     u = u.reshape(m, n1, N2)
     if "twiddle" not in _ABLATE:
         u = _shoup_mul(u, twv[pr], tws[pr], p)
-    ut = jnp.swapaxes(u, 1, 2).reshape(m * N2, n1)
-    w = _mm_combine(_limbs4_i32(_center_residues(ut, p)), v1i[pr],
+    ut = _swap12(u.reshape(m, n1 * N2), m, n1, N2)
+    w = _mm_combine(_limbs_abl(_center_abl(ut, p), 4), v1i[pr],
                     p, pni, kap)                        # (m*N2, n1) [i2,i1]
-    return jnp.swapaxes(w.reshape(m, N2, n1), 1, 2).reshape(m, n1 * N2)
+    return _swap12(w, m, N2, n1).reshape(m, n1 * N2)
 
 
 def _step_kernel(a_ref, acc0_lo_ref, acc0_hi_ref, sv_ref, ss_ref,
@@ -500,23 +609,13 @@ def _step_kernel(a_ref, acc0_lo_ref, acc0_hi_ref, sv_ref, ss_ref,
             res.append(_inv_rows(stacked, pr, tabs, idft2_ref, v1i_ref,
                                  twiv_ref, twis_ref))
 
-    p_neg_invs = tabs.p_neg_invs
     if "garner" in _ABLATE:
-        v_hi, v_lo = res[0], res[-1]
+        add_hi, add_lo = res[0], res[-1]
     else:
-        v_hi, v_lo = _garner_value(primes, p_neg_invs, res)
-    tb = trunc_bits
-    if tb == 0:
-        add_lo, add_hi = v_lo, v_hi
-    elif tb < 32:
-        add_lo = v_lo * U32(1 << tb)
-        add_hi = (v_hi * U32(1 << tb)) | (v_lo >> U32(32 - tb))
-    elif tb == 32:
-        add_lo = jnp.zeros_like(v_lo)
-        add_hi = v_lo
-    else:
-        add_lo = jnp.zeros_like(v_lo)
-        add_hi = v_lo * U32(1 << (tb - 32))
+        # explicit-CRT reconstruction with the truncation shift folded
+        # into the constants (round-4: replaces the mixed-radix digit
+        # chain + compare cascade + shift block, ~45% of the step)
+        add_hi, add_lo = _garner_shifted(primes, res, trunc_bits)
     add_lo = add_lo.reshape(kp1, r_blk, n)
     add_hi = add_hi.reshape(kp1, r_blk, n)
     for co in range(kp1):

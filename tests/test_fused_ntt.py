@@ -99,3 +99,33 @@ def test_truncation_noise_budget_6bit():
         params.pbs_base_log, params.pbs_level, params.glwe_std ** 2,
         params.q_log)
     assert added < 0.05 * intrinsic
+
+
+def test_garner_shifted_exact_incl_boundary():
+    """_garner_shifted == (z << t) mod 2^64 for random AND adversarial
+    |z| -> P/4 values (the exact-k estimate's worst case; accepted
+    configurations stay under P/4 via required_bits' +2 guard)."""
+    import jax
+    from concrete_tpu.core import ntt_tpu as nt2
+
+    primes = tuple(nt2.ntt_primes_near_pow2(4096, 128)[:3])
+    p_prod = int(np.prod([int(p) for p in primes], dtype=object))
+    rng = np.random.default_rng(3)
+    z = rng.integers(-(1 << 62), 1 << 62, (8, 256)).astype(object)
+    edge = [(p_prod >> 2) - 1, -(p_prod >> 2), (p_prod >> 2) - 12345,
+            -((p_prod >> 2) - 7), 1, -1, 0, (p_prod >> 3) * 2 - 3]
+    z[0, :len(edge)] = edge
+    res = [jnp.asarray((np.vectorize(int)(z) % p).astype(np.uint32))
+           for p in primes]
+    for shift in (0, 9, 32, 40):
+        hi, lo = jax.jit(
+            lambda r, s=shift: fn._garner_shifted(primes, r, s))(res)
+        want = np.vectorize(
+            lambda v, s=shift: (int(v) << s) % (1 << 64),
+            otypes=[object])(z)
+        np.testing.assert_array_equal(
+            np.asarray(lo), (want % (1 << 32)).astype(np.int64)
+            .astype(np.uint32))
+        np.testing.assert_array_equal(
+            np.asarray(hi), (want >> 32).astype(np.int64)
+            .astype(np.uint32))

@@ -67,7 +67,7 @@ def bench(name, step_fn, carry, iters=3):
     return dt
 
 
-def full_step(block_b, block_k, jo_outer=True):
+def full_step(block_b, block_k, jo_outer=True, parallel_dims=False):
     def step(carry):
         lo, hi = carry
         d_planes = ps.rotate_decompose_limbs(lo, hi, a_rows,
@@ -80,17 +80,21 @@ def full_step(block_b, block_k, jo_outer=True):
         lo2, hi2 = dot_recombine(
             lhs, rhs, lo.reshape(B, KP1 * N), hi.reshape(B, KP1 * N),
             keep=keep, limb_offset=trunc, block_b=block_b,
-            block_k=block_k, jo_outer=jo_outer)
+            block_k=block_k, jo_outer=jo_outer,
+            parallel_dims=parallel_dims)
         return (lo2.reshape(B * KP1, N), hi2.reshape(B * KP1, N))
     return step
 
 
-for bb, bk, joo in [(256, 8192, True), (128, 8192, True),
-                    (256, 4096, True), (512, 2048, True),
-                    (256, 8192, False)]:
+import os
+CONFIGS = os.environ.get(
+    "CONCRETE_TPU_SWEEP",
+    "256:8192:1:0,256:8192:1:1,128:8192:1:1,512:4096:1:1,128:16384:1:0")
+for spec in CONFIGS.split(","):
+    bb, bk, joo, par = (int(v) for v in spec.split(":"))
     try:
-        bench(f"fusedrecombine bb={bb} bk={bk} jo_outer={int(joo)}",
-              full_step(bb, bk, joo), (lo, hi))
+        bench(f"fusedrecombine bb={bb} bk={bk} jo={joo} par={par}",
+              full_step(bb, bk, bool(joo), bool(par)), (lo, hi))
     except Exception as e:  # vmem OOM etc: report and keep sweeping
-        print(f"fusedrecombine bb={bb} bk={bk} jo_outer={int(joo)}: "
+        print(f"fusedrecombine {spec}: "
               f"{type(e).__name__}: {str(e)[:120]}", flush=True)
