@@ -29,6 +29,12 @@ cross-stage-fused redesign:
   Shoup's precomputed-quotient trick (b_sh = floor(b * 2^32 / p)):
   ~18 VPU ops per modular multiply vs ~30 for Montgomery-REDC, valid for
   any u32 input and exact.
+- **Special-form primes p = 2^31 - d*2^14 + 1** (round 4): 2^32 ≡ e
+  (mod p) with e < 2^21, so the plane-combine after every limb matmul
+  reduces its u32 pair with three cheap multiplies instead of a
+  Montgomery REDC (the combine was 45% of the step), and emits LAZY
+  (non-canonical) residues that every consumer — Shoup multiplies, limb
+  matmuls, the Garner c_i chains — absorbs for free by mod-p linearity.
 - **Digit-width-aware int8 limb split**: balanced gadget digits satisfy
   |d| <= 2^(base_log - 1), so the forward stage-1 lhs needs only
   ceil((base_log + 1) / 8) int8 limbs (3 for the 6-bit N=4096 parameters)
@@ -60,11 +66,12 @@ from concrete_tpu.core import ntt as ntt_host
 from concrete_tpu.ops.pallas_ntt import (
     N2,
     _center_residues,
-    _combine4,
     _limbs4_i32,
     _lt_u32,
     _mul_pair,
     _on_tpu,
+    _shl16,
+    _shr16,
 )
 from concrete_tpu.params import CryptoParams
 
@@ -102,13 +109,51 @@ def required_bits(params: CryptoParams, trunc_bits: int) -> int:
             + (params.polynomial_size * cin).bit_length() + 2)
 
 
+def _is_prime(n: int) -> bool:
+    if n < 2 or n % 2 == 0:
+        return n == 2
+    d, s = n - 1, 0
+    while d % 2 == 0:
+        d //= 2
+        s += 1
+    for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):  # exact < 3e24
+        x = pow(a, d, n)
+        if x in (1, n - 1):
+            continue
+        for _ in range(s - 1):
+            x = x * x % n
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+@functools.lru_cache(maxsize=None)
+def special_ntt_primes(n: int, min_total_bits: int) -> tuple:
+    """NTT primes of the special form p = 2^31 - d*2^14 + 1 (d <= 63), so
+    e = 2^32 mod p = d*2^15 - 2 < 2^21 and the plane-combine reduces a
+    u32 pair mod p in ~3 cheap multiplies (no Montgomery REDC).  All
+    support negacyclic transforms up to N = 8192 (2N | p-1)."""
+    assert 2 * n <= (1 << 14)
+    out, total_bits = [], 0
+    for d in range(1, 64):
+        p = (1 << 31) - d * (1 << 14) + 1
+        if _is_prime(p):
+            out.append(p)
+            total_bits += 31
+            if total_bits >= min_total_bits + 31:
+                break
+    return tuple(out)
+
+
 def choose_fused_primes(params: CryptoParams, message_bits: int = None,
                         norm2: int = 1) -> tuple[tuple, int]:
-    """(primes, trunc_bits): fewest near-2^31 NTT primes whose range covers
-    the external product after a noise-budget-validated BSK truncation."""
-    from concrete_tpu.core import ntt_tpu as nt
+    """(primes, trunc_bits): fewest special-form NTT primes whose range
+    covers the external product after a noise-budget-validated BSK
+    truncation."""
     from concrete_tpu import params as pp
-    pool = nt.ntt_primes_near_pow2(params.polynomial_size, 128)
+    pool = special_ntt_primes(params.polynomial_size, 128)
     req0 = required_bits(params, 0)
     for count in range(2, len(pool) + 1):
         ps = pool[:count]
@@ -161,21 +206,24 @@ def _limb_i8(vals: np.ndarray, limbs: int) -> np.ndarray:
 
 
 def _premult_planes_limbs(mat: np.ndarray, p: int, in_limbs: int) -> np.ndarray:
-    """(K, L) mod-p matrix -> (in_limbs*K, 4*L) int8 Montgomery-premultiplied
-    limb-convolution planes:
+    """(K, L) mod-p matrix -> (in_limbs*K, 4*L) int8 limb-convolution
+    planes:
 
-      W[a*K + k, t*L + l] = limb_t(center(mat[k,l] * 2^(8a) * 2^32 mod p))
+      W[a*K + k, t*L + l] = limb_t(center(mat[k,l] * 2^(8a) mod p))
 
     so limbs(x) @ W yields 4 planes P_t with sum_t P_t * 2^(8t) ==
-    (x @ mat) * 2^32 (mod p) for ANY integer x representable in `in_limbs`
+    (x @ mat) (mod p) for ANY integer x representable in `in_limbs`
     balanced int8 limbs (x need not be reduced mod p).  Rows limb-MAJOR,
-    output columns plane-MAJOR (matches _limbs/_combine4 lane layouts).
+    output columns plane-MAJOR (matches _limbs/_combine_special lane
+    layouts).  K must satisfy K * 127 * 127 * 257 < 2^31 (the combine's
+    pair packing adds plane pairs exactly in i32).
     """
     k_dim, l_dim = mat.shape
+    assert k_dim * 127 * 127 * 257 < (1 << 31), k_dim
     out = np.empty((in_limbs, k_dim, 4, l_dim), dtype=np.int8)
     m64 = np.asarray(mat, dtype=np.int64) % p
     for a in range(in_limbs):
-        weight = pow(2, 8 * a + 32, p)
+        weight = pow(2, 8 * a, p)
         scaled = m64 * weight % p
         out[a] = np.moveaxis(_limb_i8(_center_i64(scaled, p), 4), -1, 1)
     return np.ascontiguousarray(out.reshape(in_limbs * k_dim, 4 * l_dim))
@@ -196,8 +244,8 @@ class FusedTables:
     the entire scan (constant block indices).
     """
     primes: tuple
-    p_neg_invs: tuple          # -p^-1 mod 2^32 per prime
-    kappas: tuple              # combine4 offset constants per prime
+    e_consts: tuple            # 2^32 mod p (special form: < 2^21)
+    off_mods: tuple            # (2^31 + 2^47) mod p (pair-packing bias)
     n1: int
     dl: int                    # digit int8 limbs (stage-1 lhs width)
     w1f: jnp.ndarray           # (P, dl*n1, 4*n1) i8 fwd stage-1 [i1 -> k1]
@@ -216,7 +264,7 @@ def build_fused_tables(n: int, primes: tuple, dl: int) -> FusedTables:
     n1 = n // N2
     w1f, dft2, idft2, v1i = [], [], [], []
     twfv, twfs, twiv, twis = [], [], [], []
-    p_neg_invs, kappas = [], []
+    e_consts, off_mods = [], []
     for p in primes:
         g = ntt_host._primitive_root(p)
         psi = pow(g, (p - 1) // (2 * n), p)
@@ -260,11 +308,13 @@ def build_fused_tables(n: int, primes: tuple, dl: int) -> FusedTables:
             v, s = _shoup_pair(tw, p)
             dst_v.append(v)
             dst_s.append(s)
-        p_neg_invs.append((-pow(p, -1, 1 << 32)) % (1 << 32))
-        kappas.append((((1 << 31) + (1 << 47)) * pow(1 << 32, -1, p)) % p)
+        e = (1 << 32) % p
+        assert e < (1 << 21), (p, e)      # special form: cheap reduction
+        e_consts.append(e)
+        off_mods.append(((1 << 31) + (1 << 47)) % p)
     return FusedTables(
-        primes=tuple(primes), p_neg_invs=tuple(p_neg_invs),
-        kappas=tuple(kappas), n1=n1, dl=dl,
+        primes=tuple(primes), e_consts=tuple(e_consts),
+        off_mods=tuple(off_mods), n1=n1, dl=dl,
         w1f=jnp.asarray(np.stack(w1f)), dft2=jnp.asarray(np.stack(dft2)),
         idft2=jnp.asarray(np.stack(idft2)), v1i=jnp.asarray(np.stack(v1i)),
         twf_val=jnp.asarray(np.stack(twfv)),
@@ -357,7 +407,7 @@ def _garner_shift_tables(primes: tuple, shift: int):
     64-bit images of M_i, P, H premultiplied by 2^shift."""
     p_prod = math.prod(primes)
     h_half = (p_prod - 1) // 2
-    inv, m64, h_mod = [], [], []
+    inv, m64, hinv_mod = [], [], []
     for p in primes:
         assert (1 << 31) - p < (1 << 24), \
             "exact-k estimate needs primes within 2^24 of 2^31"
@@ -365,10 +415,10 @@ def _garner_shift_tables(primes: tuple, shift: int):
         v = pow(m_i % p, -1, p)
         inv.append((v, (v << 32) // p))
         m64.append(_u64_pair((m_i << shift) % (1 << 64)))
-        h_mod.append(int(h_half % p))
+        hinv_mod.append(int(h_half * v % p))
     p64 = _u64_pair((p_prod << shift) % (1 << 64))
     h64 = _u64_pair((h_half << shift) % (1 << 64))
-    return tuple(inv), tuple(h_mod), tuple(m64), p64, h64
+    return tuple(inv), tuple(hinv_mod), tuple(m64), p64, h64
 
 
 def _u64_pair(v: int):
@@ -394,12 +444,15 @@ def _garner_shifted(primes: tuple, res_vals, shift: int):
     magnitude-compare cascade for sign centering, and the truncation
     shift costs nothing (folded into the constants).
     """
-    inv, h_mod, m64, p64, h64 = _garner_shift_tables(primes, shift)
+    inv, hinv_mod, m64, p64, h64 = _garner_shift_tables(primes, shift)
     cs = []
     for i, p in enumerate(primes):
-        s = res_vals[i] + U32(h_mod[i])
-        s = s - U32(p) * (~_lt_u32(s, U32(p))).astype(U32)
-        cs.append(_shoup_mul_const(s, inv[i][0], inv[i][1], p))
+        # c_i = (r_i + H) * inv = r_i * inv + (H * inv mod p): the Shoup
+        # multiply accepts the combine's LAZY (non-canonical) residues,
+        # so no canonicalization pass is needed anywhere
+        t = _shoup_mul_const(res_vals[i], inv[i][0], inv[i][1], p)
+        s = t + U32(hinv_mod[i])
+        cs.append(s - U32(p) * (~_lt_u32(s, U32(p))).astype(U32))
     k = cs[0] >> U32(3)
     for c in cs[1:]:
         k = k + (c >> U32(3))
@@ -459,16 +512,57 @@ def _limbs_i32(x, dl: int):
     return jnp.concatenate(outs, axis=-1)
 
 
-def _mm_combine(x_i8, w_i8, p: int, pni: int, kappa: int):
-    """(M, L*K) i8 @ Montgomery premult planes (L*K, 4*L2) -> (M, L2) u32
-    plain residues (MXU matmul + plane combine + REDC)."""
+def _combine_special(planes, p: int, e: int, off: int):
+    """Plane-major int32 planes (M, 4*L) -> LAZY u32 residues (M, L):
+    the returned u32 ≡ (x @ mat) (mod p) as an integer but is NOT
+    canonicalized — downstream Shoup multiplies and limb matmuls are
+    mod-p linear in the represented integer, so no consumer pays for a
+    canonicalization pass.
+
+    v = P0 + 2^8 P1 + 2^16 P2 + 2^24 P3, formed as an exact u32 pair with
+    a 2^31 + 2^47 bias (K*127*127*257 < 2^31 keeps the i32 plane pairs
+    exact), then reduced with the special-prime identity 2^32 ≡ e (mod p)
+    for e = 2^32 - 2p + ... < 2^21: three cheap u32 multiplies instead of
+    Montgomery REDC's seven (the round-4 hot-spot fix: the REDC-based
+    combine was 45% of the fused step).
+    """
+    l_dim = planes.shape[-1] // 4
+    g0 = planes[:, :l_dim] + (planes[:, l_dim:2 * l_dim] << I32(8))
+    g1 = planes[:, 2 * l_dim:3 * l_dim] \
+        + (planes[:, 3 * l_dim:] << I32(8))
+    u0 = jax.lax.bitcast_convert_type(g0, U32) ^ U32(1 << 31)  # g0 + 2^31
+    u1 = jax.lax.bitcast_convert_type(g1, U32) ^ U32(1 << 31)
+    lo = u0 + _shl16(u1)
+    c = _lt_u32(lo, u0).astype(U32)
+    hi = _shr16(u1) + c              # pair = true + 2^31 + 2^47, hi < 2^16
+    # hi * e as an exact pair (e = e1*2^16 + e0, e < 2^21 -> e1 < 2^5)
+    e0, e1 = e & 0xFFFF, e >> 16
+    t0 = hi * U32(e0)                              # < 2^32
+    t1 = hi * U32(e1)                              # < 2^21
+    lo2 = t0 + _shl16(t1)
+    c2 = _lt_u32(lo2, t0).astype(U32)
+    h2 = _shr16(t1) + c2                           # < 2^6
+    s = lo + lo2
+    h = h2 + _lt_u32(s, lo).astype(U32)            # residual high < 2^7
+    r = s + h * U32(e)                             # h*e < 2^28
+    r = r + _lt_u32(r, s).astype(U32) * U32(e)     # wrap ≡ +e (once; the
+    # second wrap would need r > 2^32 - 2^21 after adding < 2^21 — the
+    # compensated sum is < 2^21 + 2^21, far below another wrap)
+    # subtract the packing bias: off = (2^31 + 2^47) mod p
+    out = r - U32(off)
+    return out - _lt_u32(r, U32(off)).astype(U32) * U32(e)
+
+
+def _mm_combine(x_i8, w_i8, p: int, e: int, off: int):
+    """(M, L*K) i8 @ premult planes (L*K, 4*L2) -> (M, L2) u32 LAZY
+    residues (MXU matmul + special-prime plane combine)."""
     planes = jax.lax.dot_general(
         x_i8, w_i8, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     if "combine" in _ABLATE:
         l2 = planes.shape[-1] // 4
         return jax.lax.bitcast_convert_type(planes[..., :l2], U32)
-    return _combine4(planes, p, pni, kappa)
+    return _combine_special(planes, p, e, off)
 
 
 # ---------------------------------------------------------------------------
@@ -507,35 +601,35 @@ def _fwd_rows(x_i32, pr: int, tabs: FusedTables, w1f, dft2, twv, tws):
     Everything stays in VMEM: transpose -> stage-1 limb matmul -> Shoup
     twiddle -> stage-2 limb matmul."""
     p = tabs.primes[pr]
-    pni = tabs.p_neg_invs[pr]
-    kap = tabs.kappas[pr]
+    e = tabs.e_consts[pr]
+    off = tabs.off_mods[pr]
     n1 = tabs.n1
     m = x_i32.shape[0]
     xt = _swap12(x_i32, m, n1, N2)
-    y = _mm_combine(_limbs_abl(xt, tabs.dl), w1f[pr], p, pni, kap)
+    y = _mm_combine(_limbs_abl(xt, tabs.dl), w1f[pr], p, e, off)
     y = _swap12(y, m, N2, n1).reshape(m, n1, N2)        # [k1, i2]
     if "twiddle" not in _ABLATE:
         y = _shoup_mul(y, twv[pr], tws[pr], p)
     z8 = _limbs_abl(_center_abl(y.reshape(m * n1, N2), p), 4)
-    out = _mm_combine(z8, dft2[pr], p, pni, kap)        # (m*n1, n2) [k1,k2]
+    out = _mm_combine(z8, dft2[pr], p, e, off)          # (m*n1, n2) [k1,k2]
     return out.reshape(m, n1 * N2)
 
 
 def _inv_rows(x_u32, pr: int, tabs: FusedTables, idft2, v1i, twv, tws):
     """(M, N) u32 four-step spectrum -> (M, N) u32 coefficient residues."""
     p = tabs.primes[pr]
-    pni = tabs.p_neg_invs[pr]
-    kap = tabs.kappas[pr]
+    e = tabs.e_consts[pr]
+    off = tabs.off_mods[pr]
     n1 = tabs.n1
     m = x_u32.shape[0]
     z8 = _limbs_abl(_center_abl(x_u32.reshape(m * n1, N2), p), 4)
-    u = _mm_combine(z8, idft2[pr], p, pni, kap)         # (m*n1, n2) [k1,i2]
+    u = _mm_combine(z8, idft2[pr], p, e, off)           # (m*n1, n2) [k1,i2]
     u = u.reshape(m, n1, N2)
     if "twiddle" not in _ABLATE:
         u = _shoup_mul(u, twv[pr], tws[pr], p)
     ut = _swap12(u.reshape(m, n1 * N2), m, n1, N2)
     w = _mm_combine(_limbs_abl(_center_abl(ut, p), 4), v1i[pr],
-                    p, pni, kap)                        # (m*N2, n1) [i2,i1]
+                    p, e, off)                          # (m*N2, n1) [i2,i1]
     return _swap12(w, m, N2, n1).reshape(m, n1 * N2)
 
 
