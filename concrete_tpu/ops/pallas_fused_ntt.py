@@ -131,14 +131,16 @@ def _is_prime(n: int) -> bool:
 
 @functools.lru_cache(maxsize=None)
 def special_ntt_primes(n: int, min_total_bits: int) -> tuple:
-    """NTT primes of the special form p = 2^31 - d*2^14 + 1 (d <= 63), so
-    e = 2^32 mod p = d*2^15 - 2 < 2^21 and the plane-combine reduces a
-    u32 pair mod p in ~3 cheap multiplies (no Montgomery REDC).  All
-    support negacyclic transforms up to N = 8192 (2N | p-1)."""
-    assert 2 * n <= (1 << 14)
+    """NTT primes of the special form p = 2^31 - d*m + 1 with
+    m = max(2N, 2^14), so 2N | p-1 (negacyclic transforms exist) AND
+    e = 2^32 mod p = 2*d*m - 2 < 2^22, letting the plane-combine reduce
+    a u32 pair mod p in ~3 cheap multiplies (no Montgomery REDC)."""
+    m = max(2 * n, 1 << 14)
+    d_max = (1 << 21) // m            # keeps e = 2*d*m - 2 < 2^22
+    assert d_max >= 8, f"N={n} too large for the special prime family"
     out, total_bits = [], 0
-    for d in range(1, 64):
-        p = (1 << 31) - d * (1 << 14) + 1
+    for d in range(1, d_max + 1):
+        p = (1 << 31) - d * m + 1
         if _is_prime(p):
             out.append(p)
             total_bits += 31
@@ -309,7 +311,9 @@ def build_fused_tables(n: int, primes: tuple, dl: int) -> FusedTables:
             dst_v.append(v)
             dst_s.append(s)
         e = (1 << 32) % p
-        assert e < (1 << 21), (p, e)      # special form: cheap reduction
+        assert e < (1 << 22), (p, e)      # special form: cheap reduction
+        # (_combine_special needs e>>16 < 2^6 so hi*e splits into two
+        # exact u32 products)
         e_consts.append(e)
         off_mods.append(((1 << 31) + (1 << 47)) % p)
     return FusedTables(
