@@ -39,6 +39,23 @@ cross-stage-fused redesign:
   |d| <= 2^(base_log - 1), so the forward stage-1 lhs needs only
   ceil((base_log + 1) / 8) int8 limbs (3 for the 6-bit N=4096 parameters)
   instead of 4 — 25% off the stage-1 MACs.
+- **Table-as-LHS stage-1 and inverse-final matmuls** (round 4, second
+  session): stage 1 computes y = A1^T @ x_m per batch row (constant
+  transform matrix as the matmul LHS, limbs of the data stacked along
+  SUBLANES) instead of y = x^T @ A1 with lane-limbs.  Consequences:
+  stage 1 consumes the natural [i1-rows, i2-lanes] coefficient layout
+  directly and emits [k1-rows, i2-lanes] — the layout the twiddle and
+  stage 2 want — and the inverse's final stage emits natural coefficient
+  order, so the kernel contains ZERO transposes (the former _swap12
+  relayouts) and ZERO sub-128-lane arrays: every VPU op (limb split,
+  centering, plane combine, Shoup/twiddle, Garner) runs at full lane
+  width, and every plane-combine slice is a sublane-aligned ROW slice.
+  This replaces the round-4 "pack 4 rows into lanes" plan (NOTES.md):
+  same fix for the measured hot spot (the 4L->L sub-lane combine slices
+  + 25%-occupancy stage-1 ops were ~41% of the step) without the 4x
+  block-diagonal MAC blowup or any interstage repacking; the cost is
+  one small (4*n1, dl*n1)@(dl*n1, 128) matmul per batch row (m
+  unrolled) instead of one large batched matmul.
 
 Reference parity: device analog of the reference's FFT-domain bootstrap
 inner loop (concrete `lib/Runtime/wrappers.cpp:762` bootstrap via
@@ -217,18 +234,58 @@ def _premult_planes_limbs(mat: np.ndarray, p: int, in_limbs: int) -> np.ndarray:
     (x @ mat) (mod p) for ANY integer x representable in `in_limbs`
     balanced int8 limbs (x need not be reduced mod p).  Rows limb-MAJOR,
     output columns plane-MAJOR (matches _limbs/_combine_special lane
-    layouts).  K must satisfy K * 127 * 127 * 257 < 2^31 (the combine's
-    pair packing adds plane pairs exactly in i32).
+    layouts).  The combine's pair packing g_j = P_2j + 256*P_2j+1 must be
+    exact in i32: checked EXACTLY per output lane against the built table
+    (replaces the round-3 k_dim heuristic, which understated the bound
+    4x for the 4-limb stage-2 tables).
     """
     k_dim, l_dim = mat.shape
-    assert k_dim * 127 * 127 * 257 < (1 << 31), k_dim
     out = np.empty((in_limbs, k_dim, 4, l_dim), dtype=np.int8)
     m64 = np.asarray(mat, dtype=np.int64) % p
     for a in range(in_limbs):
         weight = pow(2, 8 * a, p)
         scaled = m64 * weight % p
         out[a] = np.moveaxis(_limb_i8(_center_i64(scaled, p), 4), -1, 1)
-    return np.ascontiguousarray(out.reshape(in_limbs * k_dim, 4 * l_dim))
+    w = np.ascontiguousarray(out.reshape(in_limbs * k_dim, 4 * l_dim))
+    _assert_pair_exact(np.abs(w.astype(np.int64)).sum(axis=0)
+                       .reshape(4, l_dim))
+    return w
+
+
+def _assert_pair_exact(s_planes: np.ndarray) -> None:
+    """s_planes (4, L) = per-output column sums of |table int8 limbs|.
+    With |data limb| <= 128, |P_t| <= 128 * S_t; the combine's plane-pair
+    packing P_2j + 256*P_2j+1 must stay within i32."""
+    bound = 128 * (s_planes[::2] + 256 * s_planes[1::2])
+    assert int(bound.max()) < (1 << 31), int(bound.max())
+
+
+def _premult_planes_lhs(mat: np.ndarray, p: int, in_limbs: int) -> np.ndarray:
+    """(K, L) mod-p matrix -> (4*L, in_limbs*K) int8 table-as-LHS planes:
+
+      W[t*L + o, a*K + k] = limb_t(center(mat[k, o] * 2^(8a) mod p))
+
+    so W @ rowlimbs(x) (x: (K, J) with limbs stacked along SUBLANES,
+    limb-major) yields plane-major ROWS: planes[t*L:(t+1)*L, :] with
+    sum_t P_t * 2^(8t) == mat^T @ x (mod p).  Used for the transforms
+    whose data-as-LHS form would produce sub-128-lane outputs (fwd
+    stage 1, inverse final stage): the output rows are the TRANSFORMED
+    index (k1 resp. i1), so the result lands directly in the layout the
+    next phase consumes — no transposes, and the plane combine slices
+    rows, not lanes.
+    """
+    k_dim, l_dim = mat.shape
+    out = np.empty((4, l_dim, in_limbs, k_dim), dtype=np.int8)
+    m64 = np.asarray(mat, dtype=np.int64) % p
+    for a in range(in_limbs):
+        weight = pow(2, 8 * a, p)
+        scaled = m64 * weight % p                       # (K, L)
+        limbs = _limb_i8(_center_i64(scaled, p), 4)     # (K, L, 4)
+        out[:, :, a, :] = np.moveaxis(limbs, (0, 1, 2), (2, 1, 0))
+    w = np.ascontiguousarray(out.reshape(4 * l_dim, in_limbs * k_dim))
+    _assert_pair_exact(np.abs(w.astype(np.int64)).sum(axis=1)
+                       .reshape(4, l_dim))
+    return w
 
 
 def _shoup_pair(vals: np.ndarray, p: int):
@@ -250,10 +307,10 @@ class FusedTables:
     off_mods: tuple            # (2^31 + 2^47) mod p (pair-packing bias)
     n1: int
     dl: int                    # digit int8 limbs (stage-1 lhs width)
-    w1f: jnp.ndarray           # (P, dl*n1, 4*n1) i8 fwd stage-1 [i1 -> k1]
+    w1f: jnp.ndarray           # (P, 4*n1, dl*n1) i8 fwd stage-1 LHS [i1->k1]
     dft2: jnp.ndarray          # (P, 4*n2, 4*n2) i8 fwd stage-2 [i2 -> k2]
     idft2: jnp.ndarray         # (P, 4*n2, 4*n2) i8 inv stage-1 [k2 -> i2]
-    v1i: jnp.ndarray           # (P, 4*n1, 4*n1) i8 inv stage-2 [k1 -> i1]
+    v1i: jnp.ndarray           # (P, 4*n1, 4*n1) i8 inv stage-2 LHS [k1->i1]
     twf_val: jnp.ndarray       # (P, n1, n2) u32 fwd twiddle [k1, i2]
     twf_sh: jnp.ndarray        # Shoup companion
     twi_val: jnp.ndarray       # (P, n1, n2) u32 inv twiddle [k1, i2]
@@ -302,10 +359,10 @@ def build_fused_tables(n: int, primes: tuple, dl: int) -> FusedTables:
         b1 = pows(w1i, np.multiply.outer(i1, i1)) \
             * pows(psi_i, i1 * N2)[None, :] % p
 
-        w1f.append(_premult_planes_limbs(a1, p, dl))
+        w1f.append(_premult_planes_lhs(a1, p, dl))
         dft2.append(_premult_planes_limbs(a2, p, 4))
         idft2.append(_premult_planes_limbs(b2, p, 4))
-        v1i.append(_premult_planes_limbs(b1, p, 4))
+        v1i.append(_premult_planes_lhs(b1, p, 4))
         for dst_v, dst_s, tw in ((twfv, twfs, twf), (twiv, twis, twi)):
             v, s = _shoup_pair(tw, p)
             dst_v.append(v)
@@ -517,23 +574,40 @@ def _limbs_i32(x, dl: int):
 
 
 def _combine_special(planes, p: int, e: int, off: int):
-    """Plane-major int32 planes (M, 4*L) -> LAZY u32 residues (M, L):
-    the returned u32 ≡ (x @ mat) (mod p) as an integer but is NOT
-    canonicalized — downstream Shoup multiplies and limb matmuls are
-    mod-p linear in the represented integer, so no consumer pays for a
-    canonicalization pass.
-
-    v = P0 + 2^8 P1 + 2^16 P2 + 2^24 P3, formed as an exact u32 pair with
-    a 2^31 + 2^47 bias (K*127*127*257 < 2^31 keeps the i32 plane pairs
-    exact), then reduced with the special-prime identity 2^32 ≡ e (mod p)
-    for e = 2^32 - 2p + ... < 2^21: three cheap u32 multiplies instead of
-    Montgomery REDC's seven (the round-4 hot-spot fix: the REDC-based
-    combine was 45% of the fused step).
-    """
+    """Plane-major int32 planes (M, 4*L) -> LAZY u32 residues (M, L)
+    (lane-sliced layout, for the data-as-LHS stage-2 matmuls whose L is
+    the full 128-lane width)."""
     l_dim = planes.shape[-1] // 4
     g0 = planes[:, :l_dim] + (planes[:, l_dim:2 * l_dim] << I32(8))
     g1 = planes[:, 2 * l_dim:3 * l_dim] \
         + (planes[:, 3 * l_dim:] << I32(8))
+    return _combine_pair(g0, g1, p, e, off)
+
+
+def _combine_rows3(planes3, p: int, e: int, off: int):
+    """Plane-major-along-ROWS int32 planes (m, 4*R, L) -> LAZY u32
+    residues (m, R, L) (for the table-as-LHS matmuls: plane slices are
+    sublane-aligned row ranges — no lane shuffles at any L)."""
+    r = planes3.shape[1] // 4
+    g0 = planes3[:, :r, :] + (planes3[:, r:2 * r, :] << I32(8))
+    g1 = planes3[:, 2 * r:3 * r, :] + (planes3[:, 3 * r:, :] << I32(8))
+    return _combine_pair(g0, g1, p, e, off)
+
+
+def _combine_pair(g0, g1, p: int, e: int, off: int):
+    """g0 = P0 + 2^8 P1, g1 = P2 + 2^8 P3 -> LAZY u32 ≡ v (mod p) for
+    v = P0 + 2^8 P1 + 2^16 P2 + 2^24 P3: the returned u32 represents v
+    but is NOT canonicalized — downstream Shoup multiplies and limb
+    matmuls are mod-p linear in the represented integer, so no consumer
+    pays for a canonicalization pass.
+
+    The pair (g0, g1) is formed as an exact u32 pair with a 2^31 + 2^47
+    bias (the builders assert the i32 plane-pair packing is exact), then
+    reduced with the special-prime identity 2^32 ≡ e (mod p) for
+    e < 2^22: three cheap u32 multiplies instead of Montgomery REDC's
+    seven (the round-4 hot-spot fix: the REDC-based combine was 45% of
+    the fused step).
+    """
     u0 = jax.lax.bitcast_convert_type(g0, U32) ^ U32(1 << 31)  # g0 + 2^31
     u1 = jax.lax.bitcast_convert_type(g1, U32) ^ U32(1 << 31)
     lo = u0 + _shl16(u1)
@@ -569,20 +643,55 @@ def _mm_combine(x_i8, w_i8, p: int, e: int, off: int):
     return _combine_special(planes, p, e, off)
 
 
+def _limbs_rows3(x3, dl: int):
+    """Balanced base-256 limb split of 3D i32 (m, R, L) -> (m, dl*R, L)
+    int8, limb-major along SUBLANES (axis 1): the rhs layout for the
+    table-as-LHS matmuls.  Sublane concatenation is free vreg stacking —
+    no relayout, unlike inserting an int8 minor dim."""
+    if dl == 1:
+        return x3.astype(jnp.int8)
+    outs = []
+    v = x3
+    for i in range(dl):
+        if i < dl - 1:
+            t = v & I32(0xFF)
+            carry = (t >= I32(128)).astype(I32)
+            outs.append((t - (carry << I32(8))).astype(jnp.int8))
+            v = (v >> I32(8)) + carry
+        else:
+            outs.append(v.astype(jnp.int8))
+    return jnp.concatenate(outs, axis=1)
+
+
+def _limbs_rows3_abl(x3, dl: int):
+    if "limbs" in _ABLATE:
+        x8 = x3.astype(jnp.int8)
+        return x8 if dl == 1 else jnp.concatenate([x8] * dl, axis=1)
+    return _limbs_rows3(x3, dl)
+
+
+def _mm_combine_lhs(w_i8, xl3, p: int, e: int, off: int):
+    """Table-as-LHS transform: W (4*R_out, dl*R_in) i8 @ each batch slab
+    of xl3 (m, dl*R_in, L) i8 -> (m, R_out, L) u32 LAZY residues.
+
+    The m matmuls are unrolled (m = r_blk*(k+1)*levels-ish, ~16-32):
+    each is a clean 2D MXU op with the constant table stationary; the
+    plane combine runs ONCE on the stacked (m, 4*R_out, L) output with
+    sublane-aligned row slices."""
+    planes = jnp.stack([
+        jax.lax.dot_general(
+            w_i8, xl3[mi], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        for mi in range(xl3.shape[0])])
+    if "combine" in _ABLATE:
+        r = planes.shape[1] // 4
+        return jax.lax.bitcast_convert_type(planes[:, :r, :], U32)
+    return _combine_rows3(planes, p, e, off)
+
+
 # ---------------------------------------------------------------------------
 # The fused step kernel
 # ---------------------------------------------------------------------------
-
-def _swap12(a, m, d1, d2):
-    """swapaxes(a.reshape(m, d1, d2), 1, 2) -> (m*d2, d1); under the
-    'transpose' ablation a scalar-broadcast stand-in replaces the
-    relayout (keeps upstream alive + downstream shapes; results wrong —
-    a flat relabel is itself an unsupported Mosaic shape cast)."""
-    if "transpose" in _ABLATE:
-        s = jnp.sum(a, dtype=a.dtype)
-        return jnp.zeros((m * d2, d1), a.dtype) + s
-    return jnp.swapaxes(a.reshape(m, d1, d2), 1, 2).reshape(m * d2, d1)
-
 
 def _limbs_abl(x, dl: int):
     """_limbs_i32 / _limbs4_i32, or a shape-correct cheap stand-in under
@@ -601,17 +710,18 @@ def _center_abl(x, p: int):
 
 
 def _fwd_rows(x_i32, pr: int, tabs: FusedTables, w1f, dft2, twv, tws):
-    """(M, N) i32 digit rows -> (M, N) u32 four-step spectrum, one prime.
-    Everything stays in VMEM: transpose -> stage-1 limb matmul -> Shoup
-    twiddle -> stage-2 limb matmul."""
+    """(M, N) i32 digit rows (natural coefficient order) -> (M, N) u32
+    four-step spectrum, one prime.  Transpose-free: stage 1 is the
+    table-as-LHS matmul y_m = A1^T @ x_m, consuming the natural
+    [i1-rows, i2-lanes] view directly and emitting [k1-rows, i2-lanes]
+    for the twiddle + stage 2."""
     p = tabs.primes[pr]
     e = tabs.e_consts[pr]
     off = tabs.off_mods[pr]
     n1 = tabs.n1
     m = x_i32.shape[0]
-    xt = _swap12(x_i32, m, n1, N2)
-    y = _mm_combine(_limbs_abl(xt, tabs.dl), w1f[pr], p, e, off)
-    y = _swap12(y, m, N2, n1).reshape(m, n1, N2)        # [k1, i2]
+    xl3 = _limbs_rows3_abl(x_i32.reshape(m, n1, N2), tabs.dl)
+    y = _mm_combine_lhs(w1f[pr], xl3, p, e, off)        # (m, n1, n2) [k1,i2]
     if "twiddle" not in _ABLATE:
         y = _shoup_mul(y, twv[pr], tws[pr], p)
     z8 = _limbs_abl(_center_abl(y.reshape(m * n1, N2), p), 4)
@@ -620,7 +730,10 @@ def _fwd_rows(x_i32, pr: int, tabs: FusedTables, w1f, dft2, twv, tws):
 
 
 def _inv_rows(x_u32, pr: int, tabs: FusedTables, idft2, v1i, twv, tws):
-    """(M, N) u32 four-step spectrum -> (M, N) u32 coefficient residues."""
+    """(M, N) u32 four-step spectrum -> (M, N) u32 coefficient residues
+    (natural order).  Transpose-free: the final stage is the table-as-LHS
+    matmul res_m = B1^T @ u_m, emitting [i1-rows, i2-lanes] = the natural
+    coefficient layout."""
     p = tabs.primes[pr]
     e = tabs.e_consts[pr]
     off = tabs.off_mods[pr]
@@ -631,10 +744,9 @@ def _inv_rows(x_u32, pr: int, tabs: FusedTables, idft2, v1i, twv, tws):
     u = u.reshape(m, n1, N2)
     if "twiddle" not in _ABLATE:
         u = _shoup_mul(u, twv[pr], tws[pr], p)
-    ut = _swap12(u.reshape(m, n1 * N2), m, n1, N2)
-    w = _mm_combine(_limbs_abl(_center_abl(ut, p), 4), v1i[pr],
-                    p, e, off)                          # (m*N2, n1) [i2,i1]
-    return _swap12(w, m, N2, n1).reshape(m, n1 * N2)
+    ul3 = _limbs_rows3_abl(_center_abl(u, p), 4)
+    w = _mm_combine_lhs(v1i[pr], ul3, p, e, off)        # (m, n1, n2) [i1,i2]
+    return w.reshape(m, n1 * N2)
 
 
 def _step_kernel(a_ref, acc0_lo_ref, acc0_hi_ref, sv_ref, ss_ref,
@@ -674,18 +786,21 @@ def _step_kernel(a_ref, acc0_lo_ref, acc0_hi_ref, sv_ref, ss_ref,
         digs = ps.rotate_diff_digits(acc_lo, acc_hi, a_rows, n=n,
                                      base_log=base_log, levels=levels)
 
+    digs_all = digs[0] if levels == 1 else jnp.concatenate(digs, axis=0)
     res = []
     for pr in range(n_p):
         p = primes[pr]
         if "fwd" in _ABLATE:
-            dhat = [jax.lax.bitcast_convert_type(d, U32)
-                    .reshape(r_blk, kp1, n) for d in digs]
+            dhat = jax.lax.bitcast_convert_type(digs_all, U32) \
+                .reshape(levels, r_blk, kp1, n)
         else:
-            dhat = [_fwd_rows(digs[lev], pr, tabs, w1f_ref, dft2_ref,
-                              twfv_ref, twfs_ref).reshape(r_blk, kp1, n)
-                    for lev in range(levels)]
+            # all gadget levels through one stacked forward transform:
+            # fewer, larger VPU/MXU ops per prime
+            dhat = _fwd_rows(digs_all, pr, tabs, w1f_ref, dft2_ref,
+                             twfv_ref, twfs_ref) \
+                .reshape(levels, r_blk, kp1, n)
         if "pointwise" in _ABLATE:
-            prods = [dhat[0][:, co % kp1, :] for co in range(kp1)]
+            prods = [dhat[0, :, co % kp1, :] for co in range(kp1)]
         else:
             prods = []
             for co in range(kp1):
@@ -694,7 +809,7 @@ def _step_kernel(a_ref, acc0_lo_ref, acc0_hi_ref, sv_ref, ss_ref,
                     for comp in range(kp1):
                         ci = lev * kp1 + comp
                         row = (pr * cin + ci) * kp1 + co
-                        t = _shoup_mul(dhat[lev][:, comp, :],
+                        t = _shoup_mul(dhat[lev, :, comp, :],
                                        sv_ref[0, row:row + 1, :],
                                        ss_ref[0, row:row + 1, :], p)
                         acc_f = t if acc_f is None \
