@@ -104,6 +104,75 @@ def cost_ks_macs(n_big: int, n_small, ks_l: int, ks_b: int):
     return float(n_big) * ks_l * a_limbs * 8 * (n_small + 1)
 
 
+#: sustained int8 MAC rate of the fused CRT-NTT kernel relative to the
+#: banded path's production dot (~153 Tmac/s) — calibrated on hardware
+#: (RESULTS.md round 4); used to compare the two kernels' MAC counts on
+#: a common effective-time scale.
+FUSED_NTT_MAC_EFFICIENCY = 0.5
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_ntt_plan(k: int, big_n: int, br_l: int, br_b: int, n_rep: int,
+                    precision: int):
+    """(n_primes, trunc_bits) the fused-NTT packer would choose for these
+    macro parameters (the cost model's mirror of
+    pallas_fused_ntt.choose_fused_primes; n_rep is a representative
+    n_small for the truncation-noise budget check)."""
+    from concrete_tpu.ops.pallas_fused_ntt import choose_fused_primes
+    params = pp.CryptoParams(
+        n_small=n_rep, glwe_dimension=k, polynomial_size=big_n,
+        pbs_level=br_l, pbs_base_log=br_b, ks_level=1, ks_base_log=2,
+        lwe_std=math.sqrt(pp.minimal_variance_lwe(n_rep, 128)),
+        glwe_std=math.sqrt(pp.minimal_variance_glwe(k, big_n, 128)),
+        security_level=0)
+    primes, t = choose_fused_primes(params, message_bits=precision)
+    return len(primes), t
+
+
+def cost_pbs_macs_fused_ntt(n, k: int, big_n: int, br_l: int, br_b: int,
+                            precision: int = None,
+                            p_error: float = 6.3e-5):
+    """Effective int8 MACs of one PBS blind rotate with the fused CRT-NTT
+    kernel (ops/pallas_fused_ntt.py), in banded-dot MAC units (divided by
+    FUSED_NTT_MAC_EFFICIENCY so the two cost models compare on time).
+
+    Per scan step and batch row, with n1 = N/128, dl digit limbs,
+    n_p CRT primes: the forward runs l*(k+1) polys through stage 1
+    (4n1 x dl*n1 x 128) + stage 2 (n1 x 512 x 512), the inverse runs
+    (k+1) polys through idft2 (n1 x 512 x 512) + the final stage
+    (4n1 x 4n1 x 128)."""
+    n = np.asarray(n, dtype=np.float64)
+    if big_n % 128 or big_n // 128 < 8:
+        return np.full_like(n, math.inf)
+    n1 = big_n // 128
+    dl = max(1, -(-(br_b + 1) // 8))
+    kp1 = k + 1
+    n_rep = int(np.max(n))
+    n_p, _ = _fused_ntt_plan(k, big_n, br_l, br_b, n_rep,
+                             precision if precision is not None else 8)
+    s1 = 4 * n1 * (dl * n1) * 128
+    s2 = n1 * 512 * 512
+    v1 = (4 * n1) * (4 * n1) * 128
+    per_step_row = n_p * (br_l * kp1 * (s1 + s2) + kp1 * (s2 + v1))
+    return n * (per_step_row / FUSED_NTT_MAC_EFFICIENCY)
+
+
+def fused_ntt_preferred(params: "pp.CryptoParams",
+                        message_bits: int = None) -> bool:
+    """True when the fused CRT-NTT blind rotate is modeled cheaper than
+    the banded path for these parameters — the SAME comparison the
+    optimizer's search uses, so compile-time parameter choice and
+    runtime kernel dispatch stay consistent (keys.py evaluation())."""
+    n = np.array([params.n_small], dtype=np.float64)
+    c_b = cost_pbs_macs(n, params.glwe_dimension, params.polynomial_size,
+                        params.pbs_level, params.pbs_base_log,
+                        precision=message_bits)
+    c_n = cost_pbs_macs_fused_ntt(
+        n, params.glwe_dimension, params.polynomial_size,
+        params.pbs_level, params.pbs_base_log, precision=message_bits)
+    return bool(c_n[0] < c_b[0])
+
+
 def optimize_v0(precision: int, norm2: int = 1, p_error: float = 6.3e-5,
                 security_level: int = 128) -> pp.CryptoParams:
     """Minimal-cost feasible CryptoParams for (precision, norm2, p_error)."""
