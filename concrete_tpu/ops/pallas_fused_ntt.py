@@ -318,9 +318,16 @@ class FusedTables:
 
 
 @functools.lru_cache(maxsize=None)
-def build_fused_tables(n: int, primes: tuple, dl: int) -> FusedTables:
+def build_fused_tables(n: int, primes: tuple, dl: int,
+                       group: int = 1) -> FusedTables:
     assert n % N2 == 0 and n // N2 >= 8, f"fused NTT needs N >= 1024, got {n}"
     n1 = n // N2
+
+    def _grouped(w):
+        # g-way block-diagonal expansion for _mm_combine_lhs: one MXU op
+        # per g batch slabs
+        return w if group == 1 else np.kron(
+            np.eye(group, dtype=np.int8), w)
     w1f, dft2, idft2, v1i = [], [], [], []
     twfv, twfs, twiv, twis = [], [], [], []
     e_consts, off_mods = [], []
@@ -359,10 +366,10 @@ def build_fused_tables(n: int, primes: tuple, dl: int) -> FusedTables:
         b1 = pows(w1i, np.multiply.outer(i1, i1)) \
             * pows(psi_i, i1 * N2)[None, :] % p
 
-        w1f.append(_premult_planes_lhs(a1, p, dl))
+        w1f.append(_grouped(_premult_planes_lhs(a1, p, dl)))
         dft2.append(_premult_planes_limbs(a2, p, 4))
         idft2.append(_premult_planes_limbs(b2, p, 4))
-        v1i.append(_premult_planes_lhs(b1, p, 4))
+        v1i.append(_grouped(_premult_planes_lhs(b1, p, 4)))
         for dst_v, dst_s, tw in ((twfv, twfs, twf), (twiv, twis, twi)):
             v, s = _shoup_pair(tw, p)
             dst_v.append(v)
@@ -671,22 +678,39 @@ def _limbs_rows3_abl(x3, dl: int):
 
 
 def _mm_combine_lhs(w_i8, xl3, p: int, e: int, off: int):
-    """Table-as-LHS transform: W (4*R_out, dl*R_in) i8 @ each batch slab
-    of xl3 (m, dl*R_in, L) i8 -> (m, R_out, L) u32 LAZY residues.
+    """Table-as-LHS transform: W @ each batch slab of
+    xl3 (m, dl*R_in, L) i8 -> (m, R_out, L) u32 LAZY residues.
 
-    The m matmuls are unrolled (m = r_blk*(k+1)*levels-ish, ~16-32):
-    each is a clean 2D MXU op with the constant table stationary; the
-    plane combine runs ONCE on the stacked (m, 4*R_out, L) output with
-    sublane-aligned row slices."""
-    planes = jnp.stack([
-        jax.lax.dot_general(
-            w_i8, xl3[mi], dimension_numbers=(((1,), (0,)), ((), ())),
+    W is (g*4*R_out, g*dl*R_in) — the base table, or its g-way
+    block-diagonal expansion (build_fused_tables group=g): one MXU op
+    then covers g batch slabs (their limb rows merge along sublanes for
+    free), trading g x the stage MACs (stage 1 + inverse-final are ~18%
+    of the step's MACs at g=1) for g x fewer small-matmul issues.  The
+    plane combine runs per group on the (g, 4*R_out, L) view with
+    sublane-aligned row slices, so live int32 planes stay one group
+    deep (~64-256 KB) instead of all m (~8 MB at r_blk=8)."""
+    m = xl3.shape[0]
+    dlk = xl3.shape[1]
+    g = max(1, w_i8.shape[1] // dlk)
+    if m % g:
+        # fall back to the top-left base block when g doesn't divide m
+        w_i8 = w_i8[:w_i8.shape[0] // g, :dlk]
+        g = 1
+    outs = []
+    for base in range(0, m, g):
+        rhs = xl3[base] if g == 1 else \
+            xl3[base:base + g].reshape(g * dlk, xl3.shape[2])
+        planes = jax.lax.dot_general(
+            w_i8, rhs,
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
-        for mi in range(xl3.shape[0])])
-    if "combine" in _ABLATE:
-        r = planes.shape[1] // 4
-        return jax.lax.bitcast_convert_type(planes[:, :r, :], U32)
-    return _combine_rows3(planes, p, e, off)
+        p3 = planes.reshape(g, planes.shape[0] // g, planes.shape[1])
+        if "combine" in _ABLATE:
+            r = p3.shape[1] // 4
+            outs.append(jax.lax.bitcast_convert_type(p3[:, :r, :], U32))
+        else:
+            outs.append(_combine_rows3(p3, p, e, off))
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
 # ---------------------------------------------------------------------------
@@ -870,7 +894,9 @@ def blind_rotate_fused(ct_small, bsk: FusedBSK, lut_poly,
     levels = params.pbs_level
     cin = levels * kp1
     n_small = bsk.n_small
-    tabs = build_fused_tables(n, bsk.primes, digit_limbs(bsk.base_log))
+    group = int(_os.environ.get("CONCRETE_TPU_FUSED_LHS_GROUP", "1"))
+    tabs = build_fused_tables(n, bsk.primes, digit_limbs(bsk.base_log),
+                              group=group)
     n_p = len(bsk.primes)
 
     switched = kn.modulus_switch(ct_small, params.log2_polynomial_size)
