@@ -894,7 +894,11 @@ def blind_rotate_fused(ct_small, bsk: FusedBSK, lut_poly,
     levels = params.pbs_level
     cin = levels * kp1
     n_small = bsk.n_small
-    group = int(_os.environ.get("CONCRETE_TPU_FUSED_LHS_GROUP", "1"))
+    group_env = _os.environ.get("CONCRETE_TPU_FUSED_LHS_GROUP")
+    # default: group enough slabs that each table-LHS dot has >= 128
+    # output rows (a full MXU tile); at N=4096 (4*n1=128) that's g=1
+    group = int(group_env) if group_env \
+        else max(1, N2 // (4 * (n // N2)))
     tabs = build_fused_tables(n, bsk.primes, digit_limbs(bsk.base_log),
                               group=group)
     n_p = len(bsk.primes)
