@@ -82,7 +82,6 @@ from jax.experimental.pallas import tpu as pltpu
 from concrete_tpu.core import ntt as ntt_host
 from concrete_tpu.ops.pallas_ntt import (
     N2,
-    _center_residues,
     _limbs4_i32,
     _lt_u32,
     _mul_pair,
@@ -544,8 +543,11 @@ def _garner_shifted(primes: tuple, res_vals, shift: int):
     return hi, t
 
 
-def _shoup_mul(a, b_val, b_sh, p: int):
-    """a (any u32) * b (plain, < p, with Shoup companion) mod p -> [0, p).
+def _shoup_mul(a, b_val, b_sh, p: int, lazy: bool = False):
+    """a (any u32) * b (plain, < p, with Shoup companion) mod p -> [0, p),
+    or [0, 2p) when lazy (the conditional subtraction dropped — for
+    consumers that are mod-p linear in the represented integer: limb
+    matmuls, centering, lazy adds).
 
     q = hi32(a * b_sh) with b_sh = floor(b * 2^32 / p) satisfies
     q in {Q, Q-1} for Q = floor(a*b/p), so r = a*b - q*p (mod 2^32) is the
@@ -554,12 +556,22 @@ def _shoup_mul(a, b_val, b_sh, p: int):
     """
     hi, _lo = _mul_pair(a, b_sh)
     r = a * b_val - hi * U32(p)
+    if lazy:
+        return r
     return r - U32(p) * (~_lt_u32(r, U32(p))).astype(U32)
 
 
 def _add_mod_p(a, b, p: int):
     s = a + b
     return s - U32(p) * (~_lt_u32(s, U32(p))).astype(U32)
+
+
+def _add_lazy(a, b, e: int):
+    """Lazy mod-p add of u32 residues (any magnitude): a u32 wraparound
+    loses 2^32 ≡ e (mod p), so compensate the carry with +e.  The
+    compensated sum cannot re-wrap (sum < 2^32 after wrap, e < 2^22)."""
+    s = a + b
+    return s + _lt_u32(s, b).astype(U32) * U32(e)
 
 
 def _limbs_i32(x, dl: int):
@@ -726,28 +738,44 @@ def _limbs_abl(x, dl: int):
     return _limbs_i32(x, dl) if dl != 4 else _limbs4_i32(x)
 
 
+def _center_lazy(x_u32, p: int):
+    """LAZY u32 residues (ANY u32 ≡ v mod p) -> small i32 ≡ v (mod p).
+
+    pallas_ntt._center_residues assumes canonical input < p: for
+    x >= 2^31 its i32 bitcast shifts the represented integer by
+    -2^32 ≡ -e (mod p) — the round-4 lazy-residue chains (Shoup multiply
+    and adds without conditional subtractions) can produce any u32, so
+    subtract p*k FIRST in u32 arithmetic (k in {0,1,2} via two unsigned
+    threshold compares; x - 2p < e since p > 2^31 - 2^21) and only then
+    bitcast: the result lies in (-p/2, p/2 + e] ⊂ i32 exactly."""
+    k1 = _lt_u32(U32(p // 2), x_u32).astype(U32)
+    k2 = _lt_u32(U32(p + p // 2), x_u32).astype(U32)
+    u = x_u32 - U32(p) * (k1 + k2)
+    return jax.lax.bitcast_convert_type(u, I32)
+
+
 def _center_abl(x, p: int):
     if "center" in _ABLATE:
         return jax.lax.bitcast_convert_type(x, I32) \
             if x.dtype == jnp.uint32 else x
-    return _center_residues(x, p)
+    return _center_lazy(x, p)
 
 
-def _fwd_rows(x_i32, pr: int, tabs: FusedTables, w1f, dft2, twv, tws):
-    """(M, N) i32 digit rows (natural coefficient order) -> (M, N) u32
-    four-step spectrum, one prime.  Transpose-free: stage 1 is the
-    table-as-LHS matmul y_m = A1^T @ x_m, consuming the natural
-    [i1-rows, i2-lanes] view directly and emitting [k1-rows, i2-lanes]
-    for the twiddle + stage 2."""
+def _fwd_rows(xl3, pr: int, tabs: FusedTables, w1f, dft2, twv, tws):
+    """Digit-limb rows xl3 (M, dl*n1, N2) i8 (natural coefficient order,
+    limbs along sublanes — hoisted out of the prime loop: they are
+    prime-independent) -> (M, N) u32 four-step spectrum, one prime.
+    Transpose-free: stage 1 is the table-as-LHS matmul y_m = A1^T @ x_m,
+    consuming the natural [i1-rows, i2-lanes] view directly and emitting
+    [k1-rows, i2-lanes] for the twiddle + stage 2."""
     p = tabs.primes[pr]
     e = tabs.e_consts[pr]
     off = tabs.off_mods[pr]
     n1 = tabs.n1
-    m = x_i32.shape[0]
-    xl3 = _limbs_rows3_abl(x_i32.reshape(m, n1, N2), tabs.dl)
+    m = xl3.shape[0]
     y = _mm_combine_lhs(w1f[pr], xl3, p, e, off)        # (m, n1, n2) [k1,i2]
     if "twiddle" not in _ABLATE:
-        y = _shoup_mul(y, twv[pr], tws[pr], p)
+        y = _shoup_mul(y, twv[pr], tws[pr], p, lazy=True)
     z8 = _limbs_abl(_center_abl(y.reshape(m * n1, N2), p), 4)
     out = _mm_combine(z8, dft2[pr], p, e, off)          # (m*n1, n2) [k1,k2]
     return out.reshape(m, n1 * N2)
@@ -767,7 +795,7 @@ def _inv_rows(x_u32, pr: int, tabs: FusedTables, idft2, v1i, twv, tws):
     u = _mm_combine(z8, idft2[pr], p, e, off)           # (m*n1, n2) [k1,i2]
     u = u.reshape(m, n1, N2)
     if "twiddle" not in _ABLATE:
-        u = _shoup_mul(u, twv[pr], tws[pr], p)
+        u = _shoup_mul(u, twv[pr], tws[pr], p, lazy=True)
     ul3 = _limbs_rows3_abl(_center_abl(u, p), 4)
     w = _mm_combine_lhs(v1i[pr], ul3, p, e, off)        # (m, n1, n2) [i1,i2]
     return w.reshape(m, n1 * N2)
@@ -790,8 +818,14 @@ def _step_kernel(a_ref, acc0_lo_ref, acc0_hi_ref, sv_ref, ss_ref,
     primes = tabs.primes
     n_p = len(primes)
     cin = levels * kp1
-    acc_lo = out_lo_ref[...].reshape(r_blk * kp1, n)
-    acc_hi = out_hi_ref[...].reshape(r_blk * kp1, n)
+    # COMPONENT-MAJOR layout throughout (round 4, session 2): accumulator
+    # blocks are (kp1, r_blk, n), so digit rows, pointwise inputs
+    # dhat[lev, comp], the co-major inverse stack, the Garner output and
+    # the accumulator update are ALL contiguous row ranges — the former
+    # (r_blk, kp1, n) layout paid a strided sublane gather per pointwise
+    # slice and per accumulator component write.
+    acc_lo = out_lo_ref[...].reshape(kp1 * r_blk, n)
+    acc_hi = out_hi_ref[...].reshape(kp1 * r_blk, n)
     # step-j rotation amounts: the a block carries the full per-row step
     # vector (blocks with a lane dim of 1 are not lowerable); select
     # column j by mask-reduce — negligible next to the transforms
@@ -801,8 +835,8 @@ def _step_kernel(a_ref, acc0_lo_ref, acc0_hi_ref, sv_ref, ss_ref,
     # dtype pinned: x64-mode jnp.sum would promote i32 -> i64 (unsupported
     # in Mosaic)
     a = jnp.sum(sel, axis=1, keepdims=True, dtype=jnp.int32)
-    a_rows = jnp.broadcast_to(a[:, None, :], (r_blk, kp1, 1)) \
-        .reshape(r_blk * kp1, 1)
+    a_rows = jnp.broadcast_to(a[None, :, :], (kp1, r_blk, 1)) \
+        .reshape(kp1 * r_blk, 1)
     if "rotate" in _ABLATE:
         digs = [jax.lax.bitcast_convert_type(
             acc_lo >> U32(10), I32)] * levels
@@ -810,21 +844,25 @@ def _step_kernel(a_ref, acc0_lo_ref, acc0_hi_ref, sv_ref, ss_ref,
         digs = ps.rotate_diff_digits(acc_lo, acc_hi, a_rows, n=n,
                                      base_log=base_log, levels=levels)
 
+    # rows (lev, comp, r); digit limbs are prime-independent — hoisted
     digs_all = digs[0] if levels == 1 else jnp.concatenate(digs, axis=0)
+    m_f = levels * kp1 * r_blk
+    xl3 = _limbs_rows3_abl(digs_all.reshape(m_f, tabs.n1, N2), tabs.dl)
     res = []
     for pr in range(n_p):
         p = primes[pr]
+        e = tabs.e_consts[pr]
         if "fwd" in _ABLATE:
             dhat = jax.lax.bitcast_convert_type(digs_all, U32) \
-                .reshape(levels, r_blk, kp1, n)
+                .reshape(levels, kp1, r_blk, n)
         else:
             # all gadget levels through one stacked forward transform:
             # fewer, larger VPU/MXU ops per prime
-            dhat = _fwd_rows(digs_all, pr, tabs, w1f_ref, dft2_ref,
+            dhat = _fwd_rows(xl3, pr, tabs, w1f_ref, dft2_ref,
                              twfv_ref, twfs_ref) \
-                .reshape(levels, r_blk, kp1, n)
+                .reshape(levels, kp1, r_blk, n)
         if "pointwise" in _ABLATE:
-            prods = [dhat[0, :, co % kp1, :] for co in range(kp1)]
+            prods = [dhat[0, co % kp1] for co in range(kp1)]
         else:
             prods = []
             for co in range(kp1):
@@ -833,11 +871,12 @@ def _step_kernel(a_ref, acc0_lo_ref, acc0_hi_ref, sv_ref, ss_ref,
                     for comp in range(kp1):
                         ci = lev * kp1 + comp
                         row = (pr * cin + ci) * kp1 + co
-                        t = _shoup_mul(dhat[lev, :, comp, :],
+                        t = _shoup_mul(dhat[lev, comp],
                                        sv_ref[0, row:row + 1, :],
-                                       ss_ref[0, row:row + 1, :], p)
+                                       ss_ref[0, row:row + 1, :], p,
+                                       lazy=True)
                         acc_f = t if acc_f is None \
-                            else _add_mod_p(acc_f, t, p)
+                            else _add_lazy(acc_f, t, e)
                 prods.append(acc_f)                      # (R, N) u32
         stacked = jnp.concatenate(prods, axis=0)         # (kp1*R, N) co-major
         if "inv" in _ABLATE:
@@ -855,12 +894,11 @@ def _step_kernel(a_ref, acc0_lo_ref, acc0_hi_ref, sv_ref, ss_ref,
         add_hi, add_lo = _garner_shifted(primes, res, trunc_bits)
     add_lo = add_lo.reshape(kp1, r_blk, n)
     add_hi = add_hi.reshape(kp1, r_blk, n)
-    for co in range(kp1):
-        cur_lo = out_lo_ref[:, co, :]
-        new_lo = cur_lo + add_lo[co]
-        carry = _lt_u32(new_lo, add_lo[co]).astype(U32)
-        out_lo_ref[:, co, :] = new_lo
-        out_hi_ref[:, co, :] = out_hi_ref[:, co, :] + add_hi[co] + carry
+    cur_lo = out_lo_ref[...]
+    new_lo = cur_lo + add_lo
+    carry = _lt_u32(new_lo, add_lo).astype(U32)
+    out_lo_ref[...] = new_lo
+    out_hi_ref[...] = out_hi_ref[...] + add_hi + carry
 
 
 def _choose_row_block(b_ct: int, n: int, kp1: int, cin: int, n_p: int,
@@ -908,18 +946,20 @@ def blind_rotate_fused(ct_small, bsk: FusedBSK, lut_poly,
     b_t = switched[:, -1]
     body0 = kn._lut_rows(lut_poly, b_ct, n)
     body0 = kn.monomial_mul_rolls(body0, (2 * n - b_t) % (2 * n))
-    acc0 = jnp.zeros((b_ct, kp1, n), dtype=jnp.uint64).at[:, k, :].set(
+    # component-major accumulator (kp1, B, n): every in-kernel row range
+    # (digits, pointwise, inverse stack, update) is contiguous
+    acc0 = jnp.zeros((kp1, b_ct, n), dtype=jnp.uint64).at[k].set(
         body0[:, 0, :])
-    lo0, hi0 = ps.split_u64(acc0.reshape(b_ct * kp1, n))
-    lo0 = lo0.reshape(b_ct, kp1, n)
-    hi0 = hi0.reshape(b_ct, kp1, n)
+    lo0, hi0 = ps.split_u64(acc0.reshape(kp1 * b_ct, n))
+    lo0 = lo0.reshape(kp1, b_ct, n)
+    hi0 = hi0.reshape(kp1, b_ct, n)
 
     r_blk = row_block or _choose_row_block(b_ct, n, kp1, cin, n_p)
     kernel = functools.partial(
         _step_kernel, tabs=tabs, n=n, base_log=bsk.base_log, levels=levels,
         kp1=kp1, r_blk=r_blk, trunc_bits=bsk.trunc_bits)
 
-    acc_spec = pl.BlockSpec((r_blk, kp1, n), lambda i, j: (i, _I0, _I0),
+    acc_spec = pl.BlockSpec((kp1, r_blk, n), lambda i, j: (_I0, i, _I0),
                             memory_space=pltpu.VMEM)
     spec_spec = pl.BlockSpec((1, n_p * cin * kp1, n),
                              lambda i, j: (j, _I0, _I0),
@@ -943,11 +983,12 @@ def blind_rotate_fused(ct_small, bsk: FusedBSK, lut_poly,
             _tab(tabs.twi_val.shape), _tab(tabs.twi_sh.shape),
         ],
         out_specs=(acc_spec, acc_spec),
-        out_shape=(jax.ShapeDtypeStruct((b_ct, kp1, n), jnp.uint32),
-                   jax.ShapeDtypeStruct((b_ct, kp1, n), jnp.uint32)),
+        out_shape=(jax.ShapeDtypeStruct((kp1, b_ct, n), jnp.uint32),
+                   jax.ShapeDtypeStruct((kp1, b_ct, n), jnp.uint32)),
         interpret=interpret,
     )(a_t, lo0, hi0, bsk.spec_val, bsk.spec_sh,
       tabs.w1f, tabs.dft2, tabs.idft2, tabs.v1i,
       tabs.twf_val, tabs.twf_sh, tabs.twi_val, tabs.twi_sh)
-    return ps.merge_u64(lo.reshape(b_ct * kp1, n),
-                        hi.reshape(b_ct * kp1, n)).reshape(b_ct, kp1, n)
+    acc = ps.merge_u64(lo.reshape(kp1 * b_ct, n),
+                       hi.reshape(kp1 * b_ct, n)).reshape(kp1, b_ct, n)
+    return jnp.moveaxis(acc, 0, 1)                       # (B, kp1, N)
