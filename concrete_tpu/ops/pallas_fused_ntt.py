@@ -365,10 +365,16 @@ def build_fused_tables(n: int, primes: tuple, dl: int,
         b1 = pows(w1i, np.multiply.outer(i1, i1)) \
             * pows(psi_i, i1 * N2)[None, :] % p
 
+        # the inverse-final table folds the Garner constant M_i^{-1} mod p
+        # (M_i = prod(primes)/p): the kernel's inverse emits
+        # c'_i = z * M_i^{-1} mod p directly, and _garner_prefolded skips
+        # the per-element Shoup multiply that used to compute it
+        m_i = math.prod(primes) // p
+        minv = pow(m_i % p, -1, p)
         w1f.append(_grouped(_premult_planes_lhs(a1, p, dl)))
         dft2.append(_premult_planes_limbs(a2, p, 4))
         idft2.append(_premult_planes_limbs(b2, p, 4))
-        v1i.append(_grouped(_premult_planes_lhs(b1, p, 4)))
+        v1i.append(_grouped(_premult_planes_lhs(b1 * minv % p, p, 4)))
         for dst_v, dst_s, tw in ((twfv, twfs, twf), (twiv, twis, twi)):
             v, s = _shoup_pair(tw, p)
             dst_v.append(v)
@@ -526,6 +532,54 @@ def _garner_shifted(primes: tuple, res_vals, shift: int):
     k = k >> U32(28)
     lo = jnp.zeros_like(res_vals[0])
     hi = jnp.zeros_like(res_vals[0])
+    for i in range(len(primes)):
+        mh_c, ml_c = m64[i]
+        mh, ml = _mul_pair(cs[i], U32(ml_c))
+        mh = mh + cs[i] * U32(mh_c)
+        nlo = lo + ml
+        hi = hi + mh + _lt_u32(nlo, ml).astype(U32)
+        lo = nlo
+    kp_hi, kp_lo = _mul_pair(k, U32(p64[1]))
+    kp_hi = kp_hi + k * U32(p64[0])
+    t = lo - kp_lo
+    hi = hi - kp_hi - _lt_u32(lo, t).astype(U32)
+    lo = t
+    t = lo - U32(h64[1])
+    hi = hi - U32(h64[0]) - _lt_u32(lo, t).astype(U32)
+    return hi, t
+
+
+def _garner_prefolded(primes: tuple, c_vals, shift: int):
+    """_garner_shifted for inverse outputs that already carry the
+    M_i^{-1} factor (folded into the v1i tables by build_fused_tables):
+    c_vals[i] is a LAZY u32 ≡ z * M_i^{-1} (mod p_i).
+
+    Lazy c_i are admissible throughout: M_i = P / p_i exactly, so
+    sum_i c_i M_i = P * sum_i (c_i / p_i) for ANY integer representatives
+    c_i, and w = z + H = P * frac(sum c_i / p_i) regardless of which
+    representative each c_i is — extra multiples of p_i shift the sum by
+    integers, which floor(k) absorbs.  The 6-op k-estimate stays exact:
+    c_i < 2^32 keeps its truncation error < 3 * 2^-6 + 2^-24, and the
+    |z| <= P/4 guard keeps frac(sum) at least 1/4 from every integer.
+    Per element: one conditional subtraction + one add per prime replaces
+    the former Shoup multiply + two canonicalizations (~19 ops saved per
+    prime per element; the Garner chain was the largest single VPU block
+    in the round-4 ablations).
+    """
+    inv, hinv_mod, m64, p64, h64 = _garner_shift_tables(primes, shift)
+    cs = []
+    for i, p in enumerate(primes):
+        # one condsub brings c' under ~p + 2^22, so + (H M_i^{-1} mod p)
+        # cannot wrap u32 (c_i stays the TRUE integer, merely lazy)
+        t = c_vals[i]
+        t = t - U32(p) * (~_lt_u32(t, U32(p))).astype(U32)
+        cs.append(t + U32(hinv_mod[i]))
+    k = cs[0] >> U32(3)
+    for c in cs[1:]:
+        k = k + (c >> U32(3))
+    k = k >> U32(28)
+    lo = jnp.zeros_like(c_vals[0])
+    hi = jnp.zeros_like(c_vals[0])
     for i in range(len(primes)):
         mh_c, ml_c = m64[i]
         mh, ml = _mul_pair(cs[i], U32(ml_c))
@@ -889,9 +943,9 @@ def _step_kernel(a_ref, acc0_lo_ref, acc0_hi_ref, sv_ref, ss_ref,
         add_hi, add_lo = res[0], res[-1]
     else:
         # explicit-CRT reconstruction with the truncation shift folded
-        # into the constants (round-4: replaces the mixed-radix digit
-        # chain + compare cascade + shift block, ~45% of the step)
-        add_hi, add_lo = _garner_shifted(primes, res, trunc_bits)
+        # into the constants and the M_i^{-1} factor folded into the v1i
+        # tables (res[i] ≡ z * M_i^{-1} mod p_i, lazy)
+        add_hi, add_lo = _garner_prefolded(primes, res, trunc_bits)
     add_lo = add_lo.reshape(kp1, r_blk, n)
     add_hi = add_hi.reshape(kp1, r_blk, n)
     cur_lo = out_lo_ref[...]

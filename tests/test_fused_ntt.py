@@ -101,6 +101,43 @@ def test_truncation_noise_budget_6bit():
     assert added < 0.05 * intrinsic
 
 
+def test_garner_prefolded_exact_lazy_and_boundary():
+    """_garner_prefolded == (z << t) mod 2^64 for c'_i = z*M_i^{-1} mod p_i
+    given as LAZY representatives (canonical, +p_i, and near-2^32 where
+    admissible), incl. |z| -> P/4 edge values."""
+    import jax
+    from concrete_tpu.core import ntt_tpu as nt2
+
+    primes = tuple(nt2.ntt_primes_near_pow2(4096, 128)[:3])
+    p_prod = int(np.prod([int(p) for p in primes], dtype=object))
+    rng = np.random.default_rng(7)
+    z = rng.integers(-(1 << 62), 1 << 62, (8, 256)).astype(object)
+    edge = [(p_prod >> 2) - 1, -(p_prod >> 2), (p_prod >> 2) - 999,
+            -((p_prod >> 2) - 3), 1, -1, 0]
+    z[0, :len(edge)] = edge
+    cs = []
+    lazy_bump = rng.integers(0, 2, (3, 8, 256))
+    for i, p in enumerate(primes):
+        m_i = p_prod // p
+        minv = pow(m_i % p, -1, p)
+        c = (np.vectorize(int)(z) * minv) % p
+        # lazy representative: + p where it still fits u32
+        c = c + lazy_bump[i] * p * (c + p < (1 << 32))
+        cs.append(jnp.asarray(c.astype(np.int64).astype(np.uint32)))
+    for shift in (0, 9, 40):
+        hi, lo = jax.jit(
+            lambda r, s=shift: fn._garner_prefolded(primes, r, s))(cs)
+        want = np.vectorize(
+            lambda v, s=shift: (int(v) << s) % (1 << 64),
+            otypes=[object])(z)
+        np.testing.assert_array_equal(
+            np.asarray(lo), (want % (1 << 32)).astype(np.int64)
+            .astype(np.uint32))
+        np.testing.assert_array_equal(
+            np.asarray(hi), (want >> 32).astype(np.int64)
+            .astype(np.uint32))
+
+
 def test_garner_shifted_exact_incl_boundary():
     """_garner_shifted == (z << t) mod 2^64 for random AND adversarial
     |z| -> P/4 values (the exact-k estimate's worst case; accepted
