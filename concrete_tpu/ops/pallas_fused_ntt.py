@@ -1039,6 +1039,13 @@ def blind_rotate_fused(ct_small, bsk: FusedBSK, lut_poly,
         out_specs=(acc_spec, acc_spec),
         out_shape=(jax.ShapeDtypeStruct((kp1, b_ct, n), jnp.uint32),
                    jax.ShapeDtypeStruct((kp1, b_ct, n), jnp.uint32)),
+        compiler_params=pltpu.CompilerParams(
+            # default scoped-VMEM limit is 16 MB; v5e has 128 MB of VMEM.
+            # r_blk=16 needs ~17.3 MB — allow headroom so larger row
+            # blocks (fewer grid cells, better fixed-cost amortization)
+            # are selectable (CONCRETE_TPU_FUSED_VMEM_MB to override).
+            vmem_limit_bytes=int(_os.environ.get(
+                "CONCRETE_TPU_FUSED_VMEM_MB", "24")) << 20),
         interpret=interpret,
     )(a_t, lo0, hi0, bsk.spec_val, bsk.spec_sh,
       tabs.w1f, tabs.dft2, tabs.idft2, tabs.v1i,
