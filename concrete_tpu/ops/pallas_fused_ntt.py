@@ -314,6 +314,17 @@ class FusedTables:
     twf_sh: jnp.ndarray        # Shoup companion
     twi_val: jnp.ndarray       # (P, n1, n2) u32 inv twiddle [k1, i2]
     twi_sh: jnp.ndarray
+    # pair-twiddle companions (round 4, session 2): tw*2^16 mod p Shoup
+    # pairs + the bias-correction constant tw*((2^31+2^47) mod p) mod p,
+    # letting the twiddle consume the plane pair (g0, g1) directly —
+    # the combine+twiddle pair costs 2 lazy Shoup muls + 1 lazy add +
+    # 1 lazy sub instead of a full pair reduction followed by a Shoup mul
+    twf16_val: jnp.ndarray     # (P, n1, n2) u32
+    twf16_sh: jnp.ndarray
+    twf_bias: jnp.ndarray      # (P, n1, n2) u32 tw*off mod p
+    twi16_val: jnp.ndarray
+    twi16_sh: jnp.ndarray
+    twi_bias: jnp.ndarray
 
 
 @functools.lru_cache(maxsize=None)
@@ -329,6 +340,8 @@ def build_fused_tables(n: int, primes: tuple, dl: int,
             np.eye(group, dtype=np.int8), w)
     w1f, dft2, idft2, v1i = [], [], [], []
     twfv, twfs, twiv, twis = [], [], [], []
+    twf16v, twf16s, twfb = [], [], []
+    twi16v, twi16s, twib = [], [], []
     e_consts, off_mods = [], []
     for p in primes:
         g = ntt_host._primitive_root(p)
@@ -375,16 +388,22 @@ def build_fused_tables(n: int, primes: tuple, dl: int,
         dft2.append(_premult_planes_limbs(a2, p, 4))
         idft2.append(_premult_planes_limbs(b2, p, 4))
         v1i.append(_grouped(_premult_planes_lhs(b1 * minv % p, p, 4)))
-        for dst_v, dst_s, tw in ((twfv, twfs, twf), (twiv, twis, twi)):
-            v, s = _shoup_pair(tw, p)
-            dst_v.append(v)
-            dst_s.append(s)
         e = (1 << 32) % p
         assert e < (1 << 22), (p, e)      # special form: cheap reduction
         # (_combine_special needs e>>16 < 2^6 so hi*e splits into two
         # exact u32 products)
         e_consts.append(e)
-        off_mods.append(((1 << 31) + (1 << 47)) % p)
+        off = ((1 << 31) + (1 << 47)) % p
+        off_mods.append(off)
+        for dst, tw in (((twfv, twfs, twf16v, twf16s, twfb), twf),
+                        ((twiv, twis, twi16v, twi16s, twib), twi)):
+            v, s = _shoup_pair(tw, p)
+            v16, s16 = _shoup_pair(tw * pow(2, 16, p) % p, p)
+            dst[0].append(v)
+            dst[1].append(s)
+            dst[2].append(v16)
+            dst[3].append(s16)
+            dst[4].append((tw * off % p).astype(np.uint32))
     return FusedTables(
         primes=tuple(primes), e_consts=tuple(e_consts),
         off_mods=tuple(off_mods), n1=n1, dl=dl,
@@ -393,7 +412,13 @@ def build_fused_tables(n: int, primes: tuple, dl: int,
         twf_val=jnp.asarray(np.stack(twfv)),
         twf_sh=jnp.asarray(np.stack(twfs)),
         twi_val=jnp.asarray(np.stack(twiv)),
-        twi_sh=jnp.asarray(np.stack(twis)))
+        twi_sh=jnp.asarray(np.stack(twis)),
+        twf16_val=jnp.asarray(np.stack(twf16v)),
+        twf16_sh=jnp.asarray(np.stack(twf16s)),
+        twf_bias=jnp.asarray(np.stack(twfb)),
+        twi16_val=jnp.asarray(np.stack(twi16v)),
+        twi16_sh=jnp.asarray(np.stack(twi16s)),
+        twi_bias=jnp.asarray(np.stack(twib)))
 
 
 # ---------------------------------------------------------------------------
@@ -716,6 +741,38 @@ def _mm_combine(x_i8, w_i8, p: int, e: int, off: int):
     return _combine_special(planes, p, e, off)
 
 
+def _mm_pair(x_i8, w_i8):
+    """(M, L*K) i8 @ premult planes (L*K, 4*L2) -> the i32 plane pair
+    (g0, g1) of shape (M, L2) each, for consumers that absorb the pair
+    directly (_pair_twiddle)."""
+    planes = jax.lax.dot_general(
+        x_i8, w_i8, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    l2 = planes.shape[-1] // 4
+    g0 = planes[:, :l2] + (planes[:, l2:2 * l2] << I32(8))
+    g1 = planes[:, 2 * l2:3 * l2] + (planes[:, 3 * l2:] << I32(8))
+    return g0, g1
+
+
+def _pair_twiddle(g0, g1, twv, tws, tw16v, tw16s, bias, p: int, e: int):
+    """tw * (g0 + 2^16*g1) mod p -> LAZY u32, consuming the plane pair
+    directly: with u_j = bitcast(g_j) ^ 2^31 = g_j + 2^31 exactly,
+
+      tw*v = tw*u0 + (tw*2^16)*u1 - tw*(2^31 + 2^47)  (mod p)
+
+    i.e. two lazy Shoup multiplies + a lazy add + a lazy subtract of the
+    precomputed bias column — cheaper than a full pair reduction
+    (_combine_pair, ~40 VPU ops) followed by a Shoup twiddle."""
+    u0 = jax.lax.bitcast_convert_type(g0, U32) ^ U32(1 << 31)
+    u1 = jax.lax.bitcast_convert_type(g1, U32) ^ U32(1 << 31)
+    s = _add_lazy(_shoup_mul(u0, twv, tws, p, lazy=True),
+                  _shoup_mul(u1, tw16v, tw16s, p, lazy=True), e)
+    r = s - bias
+    # a u32 wrap in the subtract loses 2^32 ≡ e; r after a wrap is
+    # >= 2^32 - bias > 2^31 > e, so the compensation cannot re-wrap
+    return r - U32(e) * _lt_u32(s, bias).astype(U32)
+
+
 def _limbs_rows3(x3, dl: int):
     """Balanced base-256 limb split of 3D i32 (m, R, L) -> (m, dl*R, L)
     int8, limb-major along SUBLANES (axis 1): the rhs layout for the
@@ -779,6 +836,30 @@ def _mm_combine_lhs(w_i8, xl3, p: int, e: int, off: int):
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
+def _mm_pair_lhs(w_i8, xl3):
+    """_mm_combine_lhs emitting the i32 plane pair (g0, g1), each
+    (m, R_out, L), instead of reducing — for _pair_twiddle consumers."""
+    m = xl3.shape[0]
+    dlk = xl3.shape[1]
+    g = max(1, w_i8.shape[1] // dlk)
+    if m % g:
+        w_i8 = w_i8[:w_i8.shape[0] // g, :dlk]
+        g = 1
+    g0s, g1s = [], []
+    for base in range(0, m, g):
+        rhs = xl3[base] if g == 1 else \
+            xl3[base:base + g].reshape(g * dlk, xl3.shape[2])
+        planes = jax.lax.dot_general(
+            w_i8, rhs, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        p3 = planes.reshape(g, planes.shape[0] // g, planes.shape[1])
+        r = p3.shape[1] // 4
+        g0s.append(p3[:, :r, :] + (p3[:, r:2 * r, :] << I32(8)))
+        g1s.append(p3[:, 2 * r:3 * r, :] + (p3[:, 3 * r:, :] << I32(8)))
+    cat = (lambda xs: jnp.concatenate(xs, axis=0) if len(xs) > 1 else xs[0])
+    return cat(g0s), cat(g1s)
+
+
 # ---------------------------------------------------------------------------
 # The fused step kernel
 # ---------------------------------------------------------------------------
@@ -815,30 +896,36 @@ def _center_abl(x, p: int):
     return _center_lazy(x, p)
 
 
-def _fwd_rows(xl3, pr: int, tabs: FusedTables, w1f, dft2, twv, tws):
+def _fwd_rows(xl3, pr: int, tabs: FusedTables, w1f, dft2, twv, tws,
+              tw16v, tw16s, twb):
     """Digit-limb rows xl3 (M, dl*n1, N2) i8 (natural coefficient order,
     limbs along sublanes — hoisted out of the prime loop: they are
     prime-independent) -> (M, N) u32 four-step spectrum, one prime.
     Transpose-free: stage 1 is the table-as-LHS matmul y_m = A1^T @ x_m,
     consuming the natural [i1-rows, i2-lanes] view directly and emitting
-    [k1-rows, i2-lanes] for the twiddle + stage 2."""
+    [k1-rows, i2-lanes] for the pair-twiddle + stage 2."""
     p = tabs.primes[pr]
     e = tabs.e_consts[pr]
     off = tabs.off_mods[pr]
     n1 = tabs.n1
     m = xl3.shape[0]
-    y = _mm_combine_lhs(w1f[pr], xl3, p, e, off)        # (m, n1, n2) [k1,i2]
-    if "twiddle" not in _ABLATE:
-        y = _shoup_mul(y, twv[pr], tws[pr], p, lazy=True)
+    if "twiddle" in _ABLATE or "combine" in _ABLATE:
+        y = _mm_combine_lhs(w1f[pr], xl3, p, e, off)    # (m, n1, n2) [k1,i2]
+    else:
+        g0, g1 = _mm_pair_lhs(w1f[pr], xl3)
+        y = _pair_twiddle(g0, g1, twv[pr], tws[pr], tw16v[pr], tw16s[pr],
+                          twb[pr], p, e)
     z8 = _limbs_abl(_center_abl(y.reshape(m * n1, N2), p), 4)
     out = _mm_combine(z8, dft2[pr], p, e, off)          # (m*n1, n2) [k1,k2]
     return out.reshape(m, n1 * N2)
 
 
-def _inv_rows(x_u32, pr: int, tabs: FusedTables, idft2, v1i, twv, tws):
+def _inv_rows(x_u32, pr: int, tabs: FusedTables, idft2, v1i, twv, tws,
+              tw16v, tw16s, twb):
     """(M, N) u32 four-step spectrum -> (M, N) u32 coefficient residues
-    (natural order).  Transpose-free: the final stage is the table-as-LHS
-    matmul res_m = B1^T @ u_m, emitting [i1-rows, i2-lanes] = the natural
+    (natural order; the v1i tables fold M_i^{-1}, see build_fused_tables).
+    Transpose-free: the final stage is the table-as-LHS matmul
+    res_m = B1^T @ u_m, emitting [i1-rows, i2-lanes] = the natural
     coefficient layout."""
     p = tabs.primes[pr]
     e = tabs.e_consts[pr]
@@ -846,10 +933,14 @@ def _inv_rows(x_u32, pr: int, tabs: FusedTables, idft2, v1i, twv, tws):
     n1 = tabs.n1
     m = x_u32.shape[0]
     z8 = _limbs_abl(_center_abl(x_u32.reshape(m * n1, N2), p), 4)
-    u = _mm_combine(z8, idft2[pr], p, e, off)           # (m*n1, n2) [k1,i2]
-    u = u.reshape(m, n1, N2)
-    if "twiddle" not in _ABLATE:
-        u = _shoup_mul(u, twv[pr], tws[pr], p, lazy=True)
+    if "twiddle" in _ABLATE or "combine" in _ABLATE:
+        u = _mm_combine(z8, idft2[pr], p, e, off)       # (m*n1, n2) [k1,i2]
+        u = u.reshape(m, n1, N2)
+    else:
+        g0, g1 = _mm_pair(z8, idft2[pr])
+        u = _pair_twiddle(g0.reshape(m, n1, N2), g1.reshape(m, n1, N2),
+                          twv[pr], tws[pr], tw16v[pr], tw16s[pr],
+                          twb[pr], p, e)
     ul3 = _limbs_rows3_abl(_center_abl(u, p), 4)
     w = _mm_combine_lhs(v1i[pr], ul3, p, e, off)        # (m, n1, n2) [i1,i2]
     return w.reshape(m, n1 * N2)
@@ -858,6 +949,8 @@ def _inv_rows(x_u32, pr: int, tabs: FusedTables, idft2, v1i, twv, tws):
 def _step_kernel(a_ref, acc0_lo_ref, acc0_hi_ref, sv_ref, ss_ref,
                  w1f_ref, dft2_ref, idft2_ref, v1i_ref,
                  twfv_ref, twfs_ref, twiv_ref, twis_ref,
+                 twf16v_ref, twf16s_ref, twfb_ref,
+                 twi16v_ref, twi16s_ref, twib_ref,
                  out_lo_ref, out_hi_ref,
                  *, tabs: FusedTables, n: int, base_log: int, levels: int,
                  kp1: int, r_blk: int, trunc_bits: int):
@@ -913,7 +1006,8 @@ def _step_kernel(a_ref, acc0_lo_ref, acc0_hi_ref, sv_ref, ss_ref,
             # all gadget levels through one stacked forward transform:
             # fewer, larger VPU/MXU ops per prime
             dhat = _fwd_rows(xl3, pr, tabs, w1f_ref, dft2_ref,
-                             twfv_ref, twfs_ref) \
+                             twfv_ref, twfs_ref, twf16v_ref, twf16s_ref,
+                             twfb_ref) \
                 .reshape(levels, kp1, r_blk, n)
         if "pointwise" in _ABLATE:
             prods = [dhat[0, co % kp1] for co in range(kp1)]
@@ -937,7 +1031,8 @@ def _step_kernel(a_ref, acc0_lo_ref, acc0_hi_ref, sv_ref, ss_ref,
             res.append(stacked)
         else:
             res.append(_inv_rows(stacked, pr, tabs, idft2_ref, v1i_ref,
-                                 twiv_ref, twis_ref))
+                                 twiv_ref, twis_ref, twi16v_ref,
+                                 twi16s_ref, twib_ref))
 
     if "garner" in _ABLATE:
         add_hi, add_lo = res[0], res[-1]
@@ -1035,6 +1130,10 @@ def blind_rotate_fused(ct_small, bsk: FusedBSK, lut_poly,
             _tab(tabs.idft2.shape), _tab(tabs.v1i.shape),
             _tab(tabs.twf_val.shape), _tab(tabs.twf_sh.shape),
             _tab(tabs.twi_val.shape), _tab(tabs.twi_sh.shape),
+            _tab(tabs.twf16_val.shape), _tab(tabs.twf16_sh.shape),
+            _tab(tabs.twf_bias.shape),
+            _tab(tabs.twi16_val.shape), _tab(tabs.twi16_sh.shape),
+            _tab(tabs.twi_bias.shape),
         ],
         out_specs=(acc_spec, acc_spec),
         out_shape=(jax.ShapeDtypeStruct((kp1, b_ct, n), jnp.uint32),
@@ -1049,7 +1148,9 @@ def blind_rotate_fused(ct_small, bsk: FusedBSK, lut_poly,
         interpret=interpret,
     )(a_t, lo0, hi0, bsk.spec_val, bsk.spec_sh,
       tabs.w1f, tabs.dft2, tabs.idft2, tabs.v1i,
-      tabs.twf_val, tabs.twf_sh, tabs.twi_val, tabs.twi_sh)
+      tabs.twf_val, tabs.twf_sh, tabs.twi_val, tabs.twi_sh,
+      tabs.twf16_val, tabs.twf16_sh, tabs.twf_bias,
+      tabs.twi16_val, tabs.twi16_sh, tabs.twi_bias)
     acc = ps.merge_u64(lo.reshape(kp1 * b_ct, n),
                        hi.reshape(kp1 * b_ct, n)).reshape(kp1, b_ct, n)
     return jnp.moveaxis(acc, 0, 1)                       # (B, kp1, N)
