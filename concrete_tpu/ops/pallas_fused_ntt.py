@@ -384,10 +384,13 @@ def build_fused_tables(n: int, primes: tuple, dl: int,
         # the per-element Shoup multiply that used to compute it
         m_i = math.prod(primes) // p
         minv = pow(m_i % p, -1, p)
+        # in_limbs=5: the data side feeds LAZY u32 residues as 4 balanced
+        # bitcast limbs + a 2^32-carry row (weight pow(2,32,p) = e) —
+        # no centering pass anywhere (_limbs5_lazy)
         w1f.append(_grouped(_premult_planes_lhs(a1, p, dl)))
-        dft2.append(_premult_planes_limbs(a2, p, 4))
-        idft2.append(_premult_planes_limbs(b2, p, 4))
-        v1i.append(_grouped(_premult_planes_lhs(b1 * minv % p, p, 4)))
+        dft2.append(_premult_planes_limbs(a2, p, 5))
+        idft2.append(_premult_planes_limbs(b2, p, 5))
+        v1i.append(_grouped(_premult_planes_lhs(b1 * minv % p, p, 5)))
         e = (1 << 32) % p
         assert e < (1 << 22), (p, e)      # special form: cheap reduction
         # (_combine_special needs e>>16 < 2^6 so hi*e splits into two
@@ -653,6 +656,40 @@ def _add_lazy(a, b, e: int):
     return s + _lt_u32(s, b).astype(U32) * U32(e)
 
 
+def _limbs5_parts(x_u32):
+    """LAZY u32 residue (any u32 ≡ v mod p) -> 5 int8 limb arrays WITHOUT
+    a centering pass: x = bitcast_i32(x) + 2^32*s with s = x >> 31, split
+    as 4 balanced base-256 limbs THREADING the final carry into the fifth
+    limb (a full-range i32's top balanced digit can reach +128, which
+    int8 cannot hold — it rolls into the 2^32-weight row instead, giving
+    a fifth limb in {-1..2}).  The fifth row's table weight is
+    2^32 mod p (= the builders' pow(2, 8a, p) at a=4).  Saves the
+    ~11-op lazy centering per element for +25% table rows on the
+    affected matmuls (MXU has ~8x headroom)."""
+    xi = jax.lax.bitcast_convert_type(x_u32, I32)
+    s = (x_u32 >> U32(31)).astype(I32)
+    outs = []
+    v = xi
+    for _ in range(4):
+        t = v & I32(0xFF)
+        carry = (t >= I32(128)).astype(I32)
+        outs.append((t - (carry << I32(8))).astype(jnp.int8))
+        v = (v >> I32(8)) + carry
+    outs.append((v + s).astype(jnp.int8))   # in {-1, 0, 1, 2}
+    return outs
+
+
+def _limbs5_lazy(x_u32):
+    """(M, K) lazy u32 -> (M, 5*K) int8, limb-major along lanes."""
+    return jnp.concatenate(_limbs5_parts(x_u32), axis=-1)
+
+
+def _limbs_rows5_lazy(x3_u32):
+    """(m, R, L) lazy u32 -> (m, 5*R, L) int8, limb-major along sublanes
+    (the table-as-LHS rhs layout)."""
+    return jnp.concatenate(_limbs5_parts(x3_u32), axis=1)
+
+
 def _limbs_i32(x, dl: int):
     """Balanced base-256 limb split of 2D i32 -> (M, dl*K) int8, limb-major
     along lanes (generalizes pallas_ntt._limbs4_i32 to dl limbs)."""
@@ -873,27 +910,24 @@ def _limbs_abl(x, dl: int):
     return _limbs_i32(x, dl) if dl != 4 else _limbs4_i32(x)
 
 
-def _center_lazy(x_u32, p: int):
-    """LAZY u32 residues (ANY u32 ≡ v mod p) -> small i32 ≡ v (mod p).
-
-    pallas_ntt._center_residues assumes canonical input < p: for
+def _limbs5_abl(x_u32):
+    """_limbs5_lazy, or a shape-correct cheap stand-in under the 'limbs'
+    ablation (results wrong).  NOTE on the retired centering pass: lazy
+    u32 residues must NOT go through pallas_ntt._center_residues — for
     x >= 2^31 its i32 bitcast shifts the represented integer by
-    -2^32 ≡ -e (mod p) — the round-4 lazy-residue chains (Shoup multiply
-    and adds without conditional subtractions) can produce any u32, so
-    subtract p*k FIRST in u32 arithmetic (k in {0,1,2} via two unsigned
-    threshold compares; x - 2p < e since p > 2^31 - 2^21) and only then
-    bitcast: the result lies in (-p/2, p/2 + e] ⊂ i32 exactly."""
-    k1 = _lt_u32(U32(p // 2), x_u32).astype(U32)
-    k2 = _lt_u32(U32(p + p // 2), x_u32).astype(U32)
-    u = x_u32 - U32(p) * (k1 + k2)
-    return jax.lax.bitcast_convert_type(u, I32)
+    -2^32 ≡ -e (mod p); the 2^32-carry limb row handles any u32 exactly
+    instead (and costs ~9 fewer VPU ops per element)."""
+    if "limbs" in _ABLATE:
+        x8 = x_u32.astype(jnp.int8)
+        return jnp.concatenate([x8] * 5, axis=-1)
+    return _limbs5_lazy(x_u32)
 
 
-def _center_abl(x, p: int):
-    if "center" in _ABLATE:
-        return jax.lax.bitcast_convert_type(x, I32) \
-            if x.dtype == jnp.uint32 else x
-    return _center_lazy(x, p)
+def _limbs_rows5_abl(x3_u32):
+    if "limbs" in _ABLATE:
+        x8 = x3_u32.astype(jnp.int8)
+        return jnp.concatenate([x8] * 5, axis=1)
+    return _limbs_rows5_lazy(x3_u32)
 
 
 def _fwd_rows(xl3, pr: int, tabs: FusedTables, w1f, dft2, twv, tws,
@@ -915,7 +949,7 @@ def _fwd_rows(xl3, pr: int, tabs: FusedTables, w1f, dft2, twv, tws,
         g0, g1 = _mm_pair_lhs(w1f[pr], xl3)
         y = _pair_twiddle(g0, g1, twv[pr], tws[pr], tw16v[pr], tw16s[pr],
                           twb[pr], p, e)
-    z8 = _limbs_abl(_center_abl(y.reshape(m * n1, N2), p), 4)
+    z8 = _limbs5_abl(y.reshape(m * n1, N2))
     out = _mm_combine(z8, dft2[pr], p, e, off)          # (m*n1, n2) [k1,k2]
     return out.reshape(m, n1 * N2)
 
@@ -932,7 +966,7 @@ def _inv_rows(x_u32, pr: int, tabs: FusedTables, idft2, v1i, twv, tws,
     off = tabs.off_mods[pr]
     n1 = tabs.n1
     m = x_u32.shape[0]
-    z8 = _limbs_abl(_center_abl(x_u32.reshape(m * n1, N2), p), 4)
+    z8 = _limbs5_abl(x_u32.reshape(m * n1, N2))
     if "twiddle" in _ABLATE or "combine" in _ABLATE:
         u = _mm_combine(z8, idft2[pr], p, e, off)       # (m*n1, n2) [k1,i2]
         u = u.reshape(m, n1, N2)
@@ -941,7 +975,7 @@ def _inv_rows(x_u32, pr: int, tabs: FusedTables, idft2, v1i, twv, tws,
         u = _pair_twiddle(g0.reshape(m, n1, N2), g1.reshape(m, n1, N2),
                           twv[pr], tws[pr], tw16v[pr], tw16s[pr],
                           twb[pr], p, e)
-    ul3 = _limbs_rows3_abl(_center_abl(u, p), 4)
+    ul3 = _limbs_rows5_abl(u)
     w = _mm_combine_lhs(v1i[pr], ul3, p, e, off)        # (m, n1, n2) [i1,i2]
     return w.reshape(m, n1 * N2)
 
