@@ -126,13 +126,6 @@ class Keys:
         from concrete_tpu.compilation.evaluation_keys import EvaluationKeys
         return EvaluationKeys.from_keys(self)
 
-    #: single-kernel fused CRT-NTT blind rotate (ops/pallas_fused_ntt.py)
-    #: switchover: the O(N sqrt N) path wins over banded's ~N^2 MACs from
-    #: N >= 2048 once the whole scan is one Pallas kernel (round-4
-    #: hardware numbers in RESULTS.md).  CONCRETE_TPU_FUSED_NTT=0 forces
-    #: banded; =1 forces fused at any supported N (>= 1024).
-    FUSED_NTT_MIN_POLY_SIZE = 2048
-
     def evaluation_for(self, message_bits=None, norm2: int = 1):
         """Packed evaluation keys (LimbKSK + BSK).
 
@@ -141,9 +134,14 @@ class Keys:
         banded path, choose_fused_primes for the fused-NTT path, both
         scaled by the circuit's norm2 amplification); else none.
 
-        N >= FUSED_NTT_MIN_POLY_SIZE defaults to the fused single-kernel
-        CRT-NTT blind rotate; smaller N runs the banded limb-plane path.
-        Both give oracle-exact PBS results.  (The retired per-stage
+        The blind-rotate kernel is chosen by the SAME hardware-calibrated
+        cost comparison the parameter optimizer uses
+        (optimizer.v0.fused_ntt_preferred): the fused single-kernel
+        CRT-NTT (ops/pallas_fused_ntt.py) when its modeled effective MACs
+        beat the banded limb-plane path — in practice N >= 2048, where
+        banded's ~N^2 MACs explode — else banded.  Both give oracle-exact
+        PBS results.  CONCRETE_TPU_FUSED_NTT=0 forces banded; =1 forces
+        fused at any supported N (>= 1024).  (The retired per-stage
         XLA/Pallas CRT-NTT variants lost to these everywhere and the XLA
         one crashed the TPU worker — VERDICT r3 #10; core/ntt_tpu.py
         remains only as the limb-sharded multi-chip math.)
@@ -151,10 +149,12 @@ class Keys:
         import os
         self._require_server()
         forced_fused = os.environ.get("CONCRETE_TPU_FUSED_NTT")
-        if (forced_fused == "1"
-                or (forced_fused != "0"
-                    and self.params.polynomial_size
-                    >= self.FUSED_NTT_MIN_POLY_SIZE)):
+        if forced_fused is None:
+            from concrete_tpu.optimizer.v0 import fused_ntt_preferred
+            use_fused = fused_ntt_preferred(self.params, message_bits)
+        else:
+            use_fused = forced_fused == "1"
+        if use_fused:
             from concrete_tpu.ops import pallas_fused_ntt as fnt
             if self._packed_ksk is None:
                 self._packed_ksk = kn.pack_ksk(self._server.ksk, self.params)

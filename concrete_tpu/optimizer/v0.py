@@ -105,10 +105,18 @@ def cost_ks_macs(n_big: int, n_small, ks_l: int, ks_b: int):
 
 
 #: sustained int8 MAC rate of the fused CRT-NTT kernel relative to the
-#: banded path's production dot (~153 Tmac/s) — calibrated on hardware
-#: (RESULTS.md round 4); used to compare the two kernels' MAC counts on
-#: a common effective-time scale.
-FUSED_NTT_MAC_EFFICIENCY = 0.5
+#: banded path's production dot (~153 Tmac/s) — hardware-calibrated so
+#: the two cost models reproduce the measured end-to-end ratio at the
+#: 6-bit N=4096 bench (fused 283 PBS/s vs banded 123, RESULTS.md r4):
+#: the fused kernel is VPU-elementwise-bound, so its MACs "cost" ~5x a
+#: banded-dot MAC on the effective-time scale.
+FUSED_NTT_MAC_EFFICIENCY = 0.2
+
+#: largest polynomial size the fused-NTT cost model offers the search:
+#: N=1024..8192 are covered by interpret-mode bit-exactness tests and
+#: N=2048/4096 by hardware runs; N=16384 tables (n1=128) are untested —
+#: raise after validation.
+FUSED_NTT_MAX_POLY_SIZE = 8192
 
 
 @functools.lru_cache(maxsize=None)
@@ -142,7 +150,7 @@ def cost_pbs_macs_fused_ntt(n, k: int, big_n: int, br_l: int, br_b: int,
     (k+1) polys through idft2 (n1 x 512 x 512) + the final stage
     (4n1 x 4n1 x 128)."""
     n = np.asarray(n, dtype=np.float64)
-    if big_n % 128 or big_n // 128 < 8:
+    if big_n % 128 or big_n // 128 < 8 or big_n > FUSED_NTT_MAX_POLY_SIZE:
         return np.full_like(n, math.inf)
     n1 = big_n // 128
     dl = max(1, -(-(br_b + 1) // 8))
@@ -357,10 +365,19 @@ def optimize_v0_multi(patterns: tuple, p_error: float = 6.3e-5,
                                 < safe_variance_bound(int(fp), p_error))
                 if not base_ok.any():
                     continue
-                c_br = cost_pbs_macs(
-                    ns, k, big_n, br_l, br_b,
-                    precision=max(p for p, _, _ in all_patterns),
-                    p_error=p_error)
+                # dispatch-aware cost: the runtime picks the cheaper of the
+                # banded and fused-NTT blind rotates for the chosen
+                # parameters (keys.py uses the SAME comparison via
+                # fused_ntt_preferred), so the search minimizes the min
+                c_br = np.minimum(
+                    cost_pbs_macs(
+                        ns, k, big_n, br_l, br_b,
+                        precision=max(p for p, _, _ in all_patterns),
+                        p_error=p_error),
+                    cost_pbs_macs_fused_ntt(
+                        ns, k, big_n, br_l, br_b,
+                        precision=max(p for p, _, _ in all_patterns),
+                        p_error=p_error))
                 if c_br[base_ok].min() >= best_cost:
                     continue
                 if wop_patterns:

@@ -45,6 +45,27 @@ def _random_inputs(rng, params, b_ct):
     return bsk, ct, lut
 
 
+@pytest.mark.parametrize("poly_size", [2048, 8192])
+def test_blind_rotate_fused_bit_exact_other_sizes(rng, poly_size):
+    """The optimizer now offers the fused path every size in
+    [1024, FUSED_NTT_MAX_POLY_SIZE] — cover the sizes the 6-bit test
+    doesn't (N=2048 via MULTI partitions, N=8192 via 7-bit mono)."""
+    params = CryptoParams(
+        n_small=2, glwe_dimension=1, polynomial_size=poly_size,
+        pbs_level=1, pbs_base_log=18, ks_level=2, ks_base_log=8,
+        lwe_std=2.0 ** -25, glwe_std=2.0 ** -45, security_level=0)
+    b_ct = 2
+    bsk, ct, lut = _random_inputs(rng, params, b_ct)
+    primes, t = fn.choose_fused_primes(params, message_bits=6)
+    fbsk = fn.pack_bsk_fused(bsk, params, primes=primes, trunc_bits=t)
+    got = np.asarray(fn.blind_rotate_fused(
+        jnp.asarray(ct), fbsk, jnp.asarray(lut), params, interpret=True))
+    bsk_oracle = fn.truncate_bsk_u64(bsk, t)
+    for b in range(b_ct):
+        want = ref.blind_rotate(ct[b], bsk_oracle, lut, params)
+        assert np.array_equal(got[b], want), f"row {b} differs (N={poly_size})"
+
+
 @pytest.mark.parametrize("n_primes,expect_trunc", [(3, False), (2, True)])
 def test_blind_rotate_fused_bit_exact(rng, n_primes, expect_trunc):
     params = P_TEST

@@ -35,11 +35,19 @@ DEFAULT_P_ERROR = 6.3e-5
 
 
 def _cost_macs(params, precision: int, p_error: float) -> int:
-    from concrete_tpu.optimizer.v0 import cost_ks_macs, cost_pbs_macs
-    pbs = cost_pbs_macs(params.n_small, params.glwe_dimension,
-                        params.polynomial_size, params.pbs_level,
-                        params.pbs_base_log, precision=precision,
-                        p_error=p_error)
+    # dispatch-aware: effective MACs of whichever blind-rotate kernel the
+    # runtime would pick (same min the optimizer's search uses)
+    import numpy as np
+
+    from concrete_tpu.optimizer.v0 import (cost_ks_macs, cost_pbs_macs,
+                                           cost_pbs_macs_fused_ntt)
+    args = (params.glwe_dimension, params.polynomial_size,
+            params.pbs_level, params.pbs_base_log)
+    n = np.array([params.n_small], dtype=np.float64)
+    pbs = min(float(cost_pbs_macs(n, *args, precision=precision,
+                                  p_error=p_error)[0]),
+              float(cost_pbs_macs_fused_ntt(n, *args, precision=precision,
+                                            p_error=p_error)[0]))
     ks = cost_ks_macs(params.n_big, params.n_small, params.ks_level,
                       params.ks_base_log)
     return int(pbs + ks)
