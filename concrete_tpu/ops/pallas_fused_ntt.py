@@ -407,21 +407,31 @@ def build_fused_tables(n: int, primes: tuple, dl: int,
             dst[2].append(v16)
             dst[3].append(s16)
             dst[4].append((tw * off % p).astype(np.uint32))
-    return FusedTables(
-        primes=tuple(primes), e_consts=tuple(e_consts),
-        off_mods=tuple(off_mods), n1=n1, dl=dl,
-        w1f=jnp.asarray(np.stack(w1f)), dft2=jnp.asarray(np.stack(dft2)),
-        idft2=jnp.asarray(np.stack(idft2)), v1i=jnp.asarray(np.stack(v1i)),
-        twf_val=jnp.asarray(np.stack(twfv)),
-        twf_sh=jnp.asarray(np.stack(twfs)),
-        twi_val=jnp.asarray(np.stack(twiv)),
-        twi_sh=jnp.asarray(np.stack(twis)),
-        twf16_val=jnp.asarray(np.stack(twf16v)),
-        twf16_sh=jnp.asarray(np.stack(twf16s)),
-        twf_bias=jnp.asarray(np.stack(twfb)),
-        twi16_val=jnp.asarray(np.stack(twi16v)),
-        twi16_sh=jnp.asarray(np.stack(twi16s)),
-        twi_bias=jnp.asarray(np.stack(twib)))
+    # The first call commonly happens INSIDE a jit trace (pbs_batch ->
+    # blind_rotate_fused).  jnp.asarray there would return trace-bound
+    # tracers; caching those crashes every later trace with
+    # UnexpectedTracerError (round-4 red: test_norm2_cut_end_to_end, the
+    # MULTI bench row).  ensure_compile_time_eval makes these concrete
+    # device arrays regardless of the tracing context, so the lru_cache
+    # entry is safe to close over from any number of jits.
+    with jax.ensure_compile_time_eval():
+        return FusedTables(
+            primes=tuple(primes), e_consts=tuple(e_consts),
+            off_mods=tuple(off_mods), n1=n1, dl=dl,
+            w1f=jnp.asarray(np.stack(w1f)),
+            dft2=jnp.asarray(np.stack(dft2)),
+            idft2=jnp.asarray(np.stack(idft2)),
+            v1i=jnp.asarray(np.stack(v1i)),
+            twf_val=jnp.asarray(np.stack(twfv)),
+            twf_sh=jnp.asarray(np.stack(twfs)),
+            twi_val=jnp.asarray(np.stack(twiv)),
+            twi_sh=jnp.asarray(np.stack(twis)),
+            twf16_val=jnp.asarray(np.stack(twf16v)),
+            twf16_sh=jnp.asarray(np.stack(twf16s)),
+            twf_bias=jnp.asarray(np.stack(twfb)),
+            twi16_val=jnp.asarray(np.stack(twi16v)),
+            twi16_sh=jnp.asarray(np.stack(twi16s)),
+            twi_bias=jnp.asarray(np.stack(twib)))
 
 
 # ---------------------------------------------------------------------------

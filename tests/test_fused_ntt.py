@@ -86,6 +86,35 @@ def test_blind_rotate_fused_bit_exact(rng, n_primes, expect_trunc):
         assert np.array_equal(got[b], want), f"row {b} differs (t={t})"
 
 
+def test_fused_tables_safe_across_separate_jits(rng):
+    """Regression (round 4 red): build_fused_tables' lru_cache first fires
+    INSIDE a jit trace; the cached arrays must be concrete, or every later
+    trace with the same (n, primes, dl, group) key dies with
+    UnexpectedTracerError (exactly how test_norm2_cut_end_to_end and the
+    MULTI bench row crashed)."""
+    fn.build_fused_tables.cache_clear()
+    params = P_TEST
+    b_ct = 2
+    bsk, ct, lut = _random_inputs(rng, params, b_ct)
+    primes, t = fn.choose_fused_primes(params, message_bits=3)
+    fbsk = fn.pack_bsk_fused(bsk, params, primes=primes, trunc_bits=t)
+
+    import jax
+
+    def run(c):
+        return fn.blind_rotate_fused(c, fbsk, jnp.asarray(lut), params,
+                                     interpret=True)
+
+    # two SEPARATE jit objects = two traces sharing one table-cache entry
+    got1 = np.asarray(jax.jit(run)(jnp.asarray(ct)))
+    got2 = np.asarray(jax.jit(run)(jnp.asarray(ct)))
+    bsk_oracle = fn.truncate_bsk_u64(bsk, t)
+    want = np.stack([ref.blind_rotate(ct[b], bsk_oracle, lut, params)
+                     for b in range(b_ct)])
+    assert np.array_equal(got1, want)
+    assert np.array_equal(got2, want)
+
+
 def test_pbs_batch_dispatches_fused(rng):
     """Full PBS through the FusedBSK path decrypts to the right LUT values."""
     params = P_TEST
