@@ -13,21 +13,67 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
 
-#: wall-clock budget for the whole bench (the driver killed round 3's run
-#: at rc=124 and lost the tail rows + poisoned the machine-readable
-#: summary).  Tail rows are skipped when their estimated cost no longer
-#: fits, and the headline row is re-emitted LAST either way.
-BUDGET_S = float(os.environ.get("CONCRETE_TPU_BENCH_BUDGET_S", "840"))
+#: wall-clock budget for the whole bench.  The driver killed rounds 3 AND 4
+#: at rc=124 with the old 840 s value, so the real driver timeout is below
+#: that; 540 leaves margin.  Tail rows are skipped when their *measured*
+#: cost (persisted from previous runs, see _row_costs) no longer fits, and
+#: the headline row is re-emitted after every tail row so the final JSON
+#: line is the headline even if the process is killed mid-row.
+BUDGET_S = float(os.environ.get("CONCRETE_TPU_BENCH_BUDGET_S", "540"))
 _T0 = time.time()
+
+#: the headline result; re-emitted after every tail row and on SIGTERM so
+#: the driver's machine-readable summary (= last complete JSON line) can
+#: never show a tail metric (rounds 3+4 regression)
+_HEADLINE: dict = {}
+
+_CACHE_DIR = os.path.expanduser("~/.cache/concrete_tpu_bench")
 
 
 def _remaining() -> float:
     return BUDGET_S - (time.time() - _T0)
+
+
+def _emit_headline() -> None:
+    if _HEADLINE:
+        print(json.dumps(_HEADLINE), flush=True)
+
+
+def _on_sigterm(signum, frame):  # noqa: ARG001
+    print("# SIGTERM: flushing headline", file=sys.stderr)
+    _emit_headline()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
+
+
+def _row_costs_path() -> str:
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    return os.path.join(_CACHE_DIR, "row_costs.json")
+
+
+def _load_row_costs() -> dict:
+    try:
+        with open(_row_costs_path()) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_row_cost(name: str, seconds: float) -> None:
+    costs = _load_row_costs()
+    costs[name] = round(seconds, 1)
+    try:
+        with open(_row_costs_path(), "w") as f:
+            json.dump(costs, f)
+    except OSError:
+        pass
 
 
 def bench_quickstart() -> None:
@@ -302,12 +348,13 @@ def main() -> None:
         print(f"# correctness: {batch - errs}/{batch} correct", file=sys.stderr)
         assert errs <= max(2, batch * 1e-3), f"too many errors: {errs}"
 
-    print(json.dumps({
+    _HEADLINE.update({
         "metric": "pbs_throughput_per_chip",
         "value": round(pbs_per_sec, 1),
         "unit": "PBS/s",
         "vs_baseline": round(pbs_per_sec / 1250.0, 3),
-    }), flush=True)
+    })
+    _emit_headline()
 
     if args.params == "4bit-tpuopt":
         # effective int8 MXU utilization of the headline path: model MACs
@@ -332,33 +379,31 @@ def main() -> None:
         # tail rows: single-PBS latency + the feature-exercising configs —
         # the headline row stays first; each tail row is best-effort AND
         # budget-gated so a slow/failed row can't blow the driver budget
-        # (round-3 rc=124) or lose the headline
+        # (rounds 3+4 rc=124) or lose the headline.
         # priority order: a budget squeeze drops the LAST rows first, and
-        # the latency row (stable since r3) is the cheapest to lose
-        for name, fn, est_s in [
-                ("pbs_n4096_fused_ntt", bench_n4096_row, 250),
+        # the latency row (stable since r3) is the cheapest to lose.
+        # budget gating uses MEASURED costs persisted from previous runs
+        # (fallbacks are only for a cold cache); headline re-emitted after
+        # every row so the final JSON line is always the headline.
+        costs = _load_row_costs()
+        for name, fn, fallback_s in [
+                ("pbs_n4096_fused_ntt", bench_n4096_row, 150),
                 ("ntt_polymuls", bench_ntt_polymuls_row, 5),
-                ("multi_mixed_precision", bench_multi_row, 100),
-                ("wop_tlu_12bit", bench_wop_row, 180),
-                ("pbs_latency_b1", bench_latency_row, 90)]:
-            if _remaining() < est_s + 30:
+                ("multi_mixed_precision", bench_multi_row, 150),
+                ("wop_tlu_12bit", bench_wop_row, 200),
+                ("pbs_latency_b1", bench_latency_row, 40)]:
+            est_s = 1.25 * costs.get(name, fallback_s)
+            if _remaining() < est_s + 20:
                 print(f"# tail row {name} skipped: {_remaining():.0f}s "
-                      f"left < {est_s}s estimate", file=sys.stderr)
+                      f"left < {est_s:.0f}s estimate", file=sys.stderr)
                 continue
+            t_row = time.time()
             try:
                 fn()
             except Exception as e:   # noqa: BLE001
                 print(f"# tail row {name} failed: {e!r}", file=sys.stderr)
-
-    # re-emit the headline LAST: the driver's machine-readable summary
-    # takes the final JSON line (round 3's summary showed the worst tail
-    # row instead of the headline)
-    print(json.dumps({
-        "metric": "pbs_throughput_per_chip",
-        "value": round(pbs_per_sec, 1),
-        "unit": "PBS/s",
-        "vs_baseline": round(pbs_per_sec / 1250.0, 3),
-    }), flush=True)
+            _save_row_cost(name, time.time() - t_row)
+            _emit_headline()
 
 
 def bench_latency_row() -> None:
@@ -600,4 +645,5 @@ def bench_multi_row(batch: int = 2048) -> None:
 
 
 if __name__ == "__main__":
+    signal.signal(signal.SIGTERM, _on_sigterm)
     main()
