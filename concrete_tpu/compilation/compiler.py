@@ -145,8 +145,8 @@ class Compiler:
             # exact product, not the union bound) misses the budget.
             # Large circuits with loose budgets get strictly cheaper
             # parameters (tests/test_global_p_error.py).  The MULTI
-            # planner still gets the union-bound request (its
-            # per-partition achieved errors are not yet surfaced).
+            # planner runs the same search over the plan's achieved
+            # global error (multi.achieved_global_p_error).
             allowed = 1.0 - (1.0 - config.global_p_error) ** (1.0 / n_pbs)
             p_error = min(p_error or allowed, allowed)
 
@@ -168,13 +168,47 @@ class Compiler:
                     assign_norm2_partitions
                 assign_norm2_partitions(graph,
                                         composable=config.composable)
-            from concrete_tpu.compilation.multi import plan_partitions
+            from concrete_tpu.compilation.multi import (
+                achieved_global_p_error, plan_partitions)
             multi_p_error = p_error
+            # plan_partitions persists its merged grouping into node
+            # properties; a calibration re-plan must start from the
+            # original cut, so snapshot it
+            part_snapshot = None
             if config.global_p_error is not None:
-                multi_p_error = config.global_p_error / n_pbs  # union bound
+                part_snapshot = {
+                    node: node.properties.get("partition")
+                    for node in graph.graph.nodes
+                    if node.output.is_encrypted}
             plan = plan_partitions(graph, p_error=multi_p_error,
                                    security_level=config.security_level,
                                    restriction=config.range_restriction)
+            if config.global_p_error is not None and plan is not None:
+                # the same exact-product calibration mono gets below:
+                # shrink the per-PBS request until the plan's achieved
+                # global error meets the budget (floor: the union bound,
+                # always sufficient)
+                target = config.global_p_error
+                for _ in range(9):
+                    ach_g = achieved_global_p_error(plan, graph)
+                    if ach_g <= target or plan is None:
+                        break
+                    multi_p_error = max(
+                        multi_p_error * max(target / ach_g, 1e-3),
+                        target / n_pbs)
+                    for node, pid in part_snapshot.items():
+                        if pid is None:
+                            node.properties.pop("partition", None)
+                        else:
+                            node.properties["partition"] = pid
+                    plan = plan_partitions(
+                        graph, p_error=multi_p_error,
+                        security_level=config.security_level,
+                        restriction=config.range_restriction)
+                    if multi_p_error <= target / n_pbs:
+                        break
+                # plan may have flipped to None (mono now modeled
+                # cheaper): the mono branch below calibrates itself
 
         wop_gadgets = config.forced_wop_parameters
         if plan is not None:

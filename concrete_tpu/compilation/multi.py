@@ -72,6 +72,14 @@ class PartitionPlan:
     wop_gadgets: dict  # width -> (cbs_l, cbs_b, pfks_l, pfks_b) or absent
     fks: dict  # (src_width, dst_width) -> (level, base_log)
     norm2: dict  # width -> max norm2 (BSK truncation budgeting)
+    #: width -> tuple of native (p, in_sq, lut_sq) atomic patterns the
+    #: partition was solved against — lets the caller recompute ACHIEVED
+    #: per-PBS p_error after the fact (global-p_error calibration)
+    patterns: dict = dataclasses.field(default_factory=dict)
+    #: (src, dst) -> worst achieved p_error across the crossing's decision
+    #: constraints under the final parameters (computed in the exact
+    #: feasibility check)
+    crossing_p_error: dict = dataclasses.field(default_factory=dict)
 
     @property
     def widths(self):
@@ -250,6 +258,8 @@ def _solve_plan(patterns: dict, crossings: list, p_error: float,
                               wp.pfks_level, wp.pfks_base_log)
 
     # exact feasibility check of every crossing with the final parameters
+    from concrete_tpu.optimizer.v0 import p_error_of_variance
+    crossing_pe: dict[tuple, float] = {}
     for c in crossings:
         if c.src_wop_nb and c.src in wop_gadgets:
             cbs_l, cbs_b, pfks_l, pfks_b = wop_gadgets[c.src]
@@ -261,6 +271,7 @@ def _solve_plan(patterns: dict, crossings: list, p_error: float,
         lvl, base = fks[(c.src, c.dst)]
         v_fks = pp.variance_keyswitch(params[c.src].n_big, base, lvl,
                                       params[c.dst].glwe_std ** 2)
+        key = (c.src, c.dst)
         for p, n2 in c.constraints:
             total = ((v_src + v_fks) * float(n2) ** 2
                      + v_ks_d + v_ms_d)
@@ -270,9 +281,13 @@ def _solve_plan(patterns: dict, crossings: list, p_error: float,
                     f"{c.src}->{c.dst} violates the {p}-bit decision margin "
                     f"(noise {total:.3e} >= "
                     f"{safe_variance_bound(p, p_error):.3e})")
+            crossing_pe[key] = max(crossing_pe.get(key, 0.0),
+                                   p_error_of_variance(p, total))
     return PartitionPlan(
         params=params, wop_gadgets=wop_gadgets, fks=fks,
-        norm2={w: pt.max_norm2 for w, pt in patterns.items()})
+        norm2={w: pt.max_norm2 for w, pt in patterns.items()},
+        patterns={w: tuple(pt.native) for w, pt in patterns.items()},
+        crossing_p_error=crossing_pe)
 
 
 # ---------------------------------------------------------------------------
@@ -374,6 +389,37 @@ def _gid_of(members, widths: dict) -> int:
     """Merged-group id: the widest member's pid (part_width stays the
     group's message width; ties break on the larger pid)."""
     return max(members, key=lambda pid: (widths[pid], pid))
+
+
+def achieved_global_p_error(plan: PartitionPlan, graph: Graph) -> float:
+    """Exact-product achieved global failure rate of a solved plan.
+
+    Per PBS instruction: the worst achieved per-PBS p_error of its input
+    partition's native atomic patterns under that partition's parameters
+    (optimizer.v0.achieved_p_error), or the crossing's achieved error when
+    the instruction's output lands in another partition — compounded
+    exactly over instruction counts (1 - prod(1-ach_i)^w_i).  The multi
+    analog of the mono calibration at compiler.py (reference
+    V0Parameters.cpp:70-119 reads the same quantity off
+    DagSolution.global_p_error).  Call AFTER plan_partitions persisted the
+    merged grouping (instruction pids are then plan group ids).
+    """
+    import math
+
+    from concrete_tpu.optimizer.v0 import achieved_p_error
+    log_ok = 0.0
+    for pid_in, pid_out, _p_eff, weight, _nb in _tlu_instructions(graph):
+        pr = plan.params.get(pid_in)
+        pats = plan.patterns.get(pid_in)
+        if pr is None or not pats:
+            continue
+        ach = achieved_p_error(pr, pats)
+        if pid_out != pid_in:
+            ach = max(ach, plan.crossing_p_error.get((pid_in, pid_out), 0.0))
+        if ach >= 1.0:
+            return 1.0
+        log_ok += weight * math.log1p(-ach)
+    return -math.expm1(log_ok)
 
 
 def plan_partitions(graph: Graph, p_error: float = 6.3e-5,

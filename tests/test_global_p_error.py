@@ -52,6 +52,64 @@ def test_tight_global_p_error_still_meets_budget():
     assert 1.0 - (1.0 - ach) ** n <= target * 1.0001, (ach,)
 
 
+def _multi_circuit(cfg, count=64):
+    """Tensor 2-bit + 4-bit TLU circuit (2*count PBS) under MULTI."""
+    table_small = fhe.LookupTable([3, 1, 2, 0])
+    table_big = fhe.LookupTable([(i * 7) % 16 for i in range(16)])
+
+    @fhe.compiler({"x": "encrypted", "y": "encrypted"})
+    def f(x, y):
+        return table_small[x] + table_big[y]
+
+    rng = np.random.default_rng(11)
+    xs = rng.integers(0, 4, count)
+    ys = rng.integers(0, 16, count)
+    xs[:2] = [0, 3]
+    ys[:2] = [0, 15]
+    return f.compile([(xs, ys)], cfg)
+
+
+def _achieved_global(circuit) -> float:
+    """Exact-product achieved global error of a compiled MULTI circuit,
+    recomputed from its specs + graph (the same quantity the compiler's
+    multi calibration loop bounds, multi.achieved_global_p_error)."""
+    import math
+
+    from concrete_tpu.compilation.multi import (_tlu_instructions,
+                                                partition_pattern_split)
+    specs = circuit.client_specs
+    patterns, _ = partition_pattern_split(circuit.graph)
+    log_ok = 0.0
+    for pid_in, _pid_out, _p, weight, _nb in _tlu_instructions(circuit.graph):
+        pr = specs.partitions[pid_in]
+        ach = achieved_p_error(pr, tuple(patterns[pid_in].native))
+        log_ok += weight * math.log1p(-min(ach, 1.0 - 1e-12))
+    return -math.expm1(log_ok)
+
+
+def test_multi_calibrated_global_p_error_cheaper_than_union_bound():
+    """VERDICT r4 #5: the MULTI planner gets the same exact-product
+    calibration mono has — strictly cheaper parameters than the
+    union-bound request at the same global failure budget."""
+    count, target = 64, 0.8
+    n_pbs = 2 * count
+    multi = fhe.ParameterSelectionStrategy.MULTI
+    c_cal = _multi_circuit(fhe.Configuration(
+        parameter_selection_strategy=multi, global_p_error=target),
+        count=count)
+    c_ub = _multi_circuit(fhe.Configuration(
+        parameter_selection_strategy=multi, p_error=target / n_pbs),
+        count=count)
+    assert c_cal.client_specs.is_multi and c_ub.client_specs.is_multi
+    # budget met under the exact-product criterion
+    assert _achieved_global(c_cal) <= target * 1.0001
+    # ...at strictly cheaper total PBS cost than the union-bound request
+    def total_cost(c):
+        return sum(_pbs_cost(p) for p in c.client_specs.partitions.values())
+    assert total_cost(c_cal) < total_cost(c_ub), (
+        c_cal.client_specs.partitions, c_ub.client_specs.partitions)
+
+
 def test_p_error_of_variance_inverts_safe_bound():
     from concrete_tpu.optimizer.v0 import safe_variance_bound
     for p in (2, 5, 8):
