@@ -82,7 +82,6 @@ from jax.experimental.pallas import tpu as pltpu
 from concrete_tpu.core import ntt as ntt_host
 from concrete_tpu.ops.pallas_ntt import (
     N2,
-    _limbs4_i32,
     _lt_u32,
     _mul_pair,
     _on_tpu,
@@ -300,6 +299,16 @@ class FusedTables:
 
     All tables together are ~0.6 MB per prime and stay VMEM-resident for
     the entire scan (constant block indices).
+
+    Limb encodings (round 5): the kernel's in-kernel limb splits are
+    BIASED two's-complement byte extractions (l_a = byte_a ^ 0x80, value
+    byte_a - 128; top digit limb plain arithmetic shift) — 2-3 VPU ops per
+    limb instead of the balanced-carry chain's ~6, and a lazy u32 splits
+    into exactly 4 rows (the former 2^32-carry fifth row is gone).  The
+    constant +128 bias contributes C * colsum(mat) per output (C =
+    128 * sum_a 2^(8a) over the biased limb rows), which the builder folds
+    into the pair-twiddle bias tables (stage-1 fwd, inverse stage-1) and
+    into per-lane/per-row combine offset vectors (dft2_off, v1i_off).
     """
     primes: tuple
     e_consts: tuple            # 2^32 mod p (special form: < 2^21)
@@ -308,6 +317,9 @@ class FusedTables:
     dl: int                    # digit int8 limbs (stage-1 lhs width)
     w1f: jnp.ndarray           # (P, 4*n1, dl*n1) i8 fwd stage-1 LHS [i1->k1]
     dft2: jnp.ndarray          # (P, 4*n2, 4*n2) i8 fwd stage-2 [i2 -> k2]
+    dft2_off: jnp.ndarray      # (P, 1, n2) u32 combine offset incl. bias corr
+    v1i_off: jnp.ndarray       # (P, n1, n2) u32 combine offset (per i1 row,
+    #                            lane-broadcast: lane-dim-1 blocks don't lower)
     idft2: jnp.ndarray         # (P, 4*n2, 4*n2) i8 inv stage-1 [k2 -> i2]
     v1i: jnp.ndarray           # (P, 4*n1, 4*n1) i8 inv stage-2 LHS [k1->i1]
     twf_val: jnp.ndarray       # (P, n1, n2) u32 fwd twiddle [k1, i2]
@@ -339,6 +351,7 @@ def build_fused_tables(n: int, primes: tuple, dl: int,
         return w if group == 1 else np.kron(
             np.eye(group, dtype=np.int8), w)
     w1f, dft2, idft2, v1i = [], [], [], []
+    dft2_off, v1i_off = [], []
     twfv, twfs, twiv, twis = [], [], [], []
     twf16v, twf16s, twfb = [], [], []
     twi16v, twi16s, twib = [], [], []
@@ -384,13 +397,15 @@ def build_fused_tables(n: int, primes: tuple, dl: int,
         # the per-element Shoup multiply that used to compute it
         m_i = math.prod(primes) // p
         minv = pow(m_i % p, -1, p)
-        # in_limbs=5: the data side feeds LAZY u32 residues as 4 balanced
-        # bitcast limbs + a 2^32-carry row (weight pow(2,32,p) = e) —
-        # no centering pass anywhere (_limbs5_lazy)
+        b1m = b1 * minv % p
+        # in_limbs=4: the data side feeds LAZY u32 residues as 4 BIASED
+        # bytes (l_a = byte_a - 128 via the ^0x80 trick, _limbs4_biased) —
+        # no carry chain, no centering, no fifth row.  The +128 bias adds
+        # C4 * colsum(mat) per output, corrected below.
         w1f.append(_grouped(_premult_planes_lhs(a1, p, dl)))
-        dft2.append(_premult_planes_limbs(a2, p, 5))
-        idft2.append(_premult_planes_limbs(b2, p, 5))
-        v1i.append(_grouped(_premult_planes_lhs(b1 * minv % p, p, 5)))
+        dft2.append(_premult_planes_limbs(a2, p, 4))
+        idft2.append(_premult_planes_limbs(b2, p, 4))
+        v1i.append(_grouped(_premult_planes_lhs(b1m, p, 4)))
         e = (1 << 32) % p
         assert e < (1 << 22), (p, e)      # special form: cheap reduction
         # (_combine_special needs e>>16 < 2^6 so hi*e splits into two
@@ -398,15 +413,30 @@ def build_fused_tables(n: int, primes: tuple, dl: int,
         e_consts.append(e)
         off = ((1 << 31) + (1 << 47)) % p
         off_mods.append(off)
-        for dst, tw in (((twfv, twfs, twf16v, twf16s, twfb), twf),
-                        ((twiv, twis, twi16v, twi16s, twib), twi)):
+        # biased-limb corrections: desired = computed + C * colsum(mat)
+        # (mod p); C4 for 4-byte-biased u32 splits, C_dl for digit splits
+        # (dl-1 biased bytes + one plain top limb)
+        c4 = 128 * sum(1 << (8 * a) for a in range(4)) % p
+        c_dl = 128 * sum(1 << (8 * a) for a in range(dl - 1)) % p
+        corr1 = c_dl * (np.sum(a1, axis=0) % p) % p      # (n1,) per k1
+        corr2i = c4 * (np.sum(b2, axis=0) % p) % p       # (N2,) per i2
+        dft2_off.append(((off - c4 * (np.sum(a2, axis=0) % p)) % p)
+                        .astype(np.uint32)[None, :])     # (1, N2) per k2
+        # per-i1-row offset, broadcast along lanes host-side: a lane-dim-1
+        # VMEM block is not lowerable in Mosaic (NOTES.md)
+        v1i_off.append(np.ascontiguousarray(np.broadcast_to(
+            ((off - c4 * (np.sum(b1m, axis=0) % p)) % p)
+            .astype(np.uint32)[:, None], (n1, N2))))     # (n1, N2) per i1
+        for dst, tw, corr in (
+                ((twfv, twfs, twf16v, twf16s, twfb), twf, corr1[:, None]),
+                ((twiv, twis, twi16v, twi16s, twib), twi, corr2i[None, :])):
             v, s = _shoup_pair(tw, p)
             v16, s16 = _shoup_pair(tw * pow(2, 16, p) % p, p)
             dst[0].append(v)
             dst[1].append(s)
             dst[2].append(v16)
             dst[3].append(s16)
-            dst[4].append((tw * off % p).astype(np.uint32))
+            dst[4].append((tw * ((off - corr) % p) % p).astype(np.uint32))
     # The first call commonly happens INSIDE a jit trace (pbs_batch ->
     # blind_rotate_fused).  jnp.asarray there would return trace-bound
     # tracers; caching those crashes every later trace with
@@ -420,6 +450,8 @@ def build_fused_tables(n: int, primes: tuple, dl: int,
             off_mods=tuple(off_mods), n1=n1, dl=dl,
             w1f=jnp.asarray(np.stack(w1f)),
             dft2=jnp.asarray(np.stack(dft2)),
+            dft2_off=jnp.asarray(np.stack(dft2_off)),
+            v1i_off=jnp.asarray(np.stack(v1i_off)),
             idft2=jnp.asarray(np.stack(idft2)),
             v1i=jnp.asarray(np.stack(v1i)),
             twf_val=jnp.asarray(np.stack(twfv)),
@@ -666,53 +698,53 @@ def _add_lazy(a, b, e: int):
     return s + _lt_u32(s, b).astype(U32) * U32(e)
 
 
-def _limbs5_parts(x_u32):
-    """LAZY u32 residue (any u32 ≡ v mod p) -> 5 int8 limb arrays WITHOUT
-    a centering pass: x = bitcast_i32(x) + 2^32*s with s = x >> 31, split
-    as 4 balanced base-256 limbs THREADING the final carry into the fifth
-    limb (a full-range i32's top balanced digit can reach +128, which
-    int8 cannot hold — it rolls into the 2^32-weight row instead, giving
-    a fifth limb in {-1..2}).  The fifth row's table weight is
-    2^32 mod p (= the builders' pow(2, 8a, p) at a=4).  Saves the
-    ~11-op lazy centering per element for +25% table rows on the
-    affected matmuls (MXU has ~8x headroom)."""
+def _limbs4_parts_biased(x_u32):
+    """LAZY u32 residue (any u32 ≡ v mod p) -> 4 int8 biased-byte limbs:
+    l_a = byte_a ^ 0x80 read as two's complement (value byte_a - 128), so
+    x = sum_a (l_a + 128) * 2^(8a) EXACTLY for every u32 — no carry
+    chain, no sign row, no centering.  The constant +128 bias contributes
+    C4 * colsum(mat) per matmul output, which the table builder folds
+    into the pair-twiddle bias tables / combine offset vectors.  2-3 VPU
+    ops per limb vs ~6 for the balanced-carry split, and one fewer limb
+    row than the former 5-row lazy split (-20% stage-2/v1i MACs)."""
     xi = jax.lax.bitcast_convert_type(x_u32, I32)
-    s = (x_u32 >> U32(31)).astype(I32)
     outs = []
-    v = xi
-    for _ in range(4):
-        t = v & I32(0xFF)
-        carry = (t >= I32(128)).astype(I32)
-        outs.append((t - (carry << I32(8))).astype(jnp.int8))
-        v = (v >> I32(8)) + carry
-    outs.append((v + s).astype(jnp.int8))   # in {-1, 0, 1, 2}
+    for a in range(4):
+        b = (xi >> I32(8 * a)) & I32(0xFF) if a else xi & I32(0xFF)
+        outs.append((b ^ I32(0x80)).astype(jnp.int8))
     return outs
 
 
-def _limbs5_lazy(x_u32):
-    """(M, K) lazy u32 -> (M, 5*K) int8, limb-major along lanes."""
-    return jnp.concatenate(_limbs5_parts(x_u32), axis=-1)
+def _limbs4_biased(x_u32):
+    """(M, K) lazy u32 -> (M, 4*K) int8, limb-major along lanes."""
+    return jnp.concatenate(_limbs4_parts_biased(x_u32), axis=-1)
 
 
-def _limbs_rows5_lazy(x3_u32):
-    """(m, R, L) lazy u32 -> (m, 5*R, L) int8, limb-major along sublanes
+def _limbs_rows4_biased(x3_u32):
+    """(m, R, L) lazy u32 -> (m, 4*R, L) int8, limb-major along sublanes
     (the table-as-LHS rhs layout)."""
-    return jnp.concatenate(_limbs5_parts(x3_u32), axis=1)
+    return jnp.concatenate(_limbs4_parts_biased(x3_u32), axis=1)
+
+
+def _limb_parts_digits_biased(x_i32, dl: int):
+    """Signed digit i32 (|d| <= 2^(8*dl-7), the digit_limbs guarantee) ->
+    dl int8 limbs: dl-1 biased bytes + a plain arithmetic-shift top limb
+    (|top| <= 64 always fits int8).  x = sum_{a<dl-1} (l_a + 128)*2^(8a)
+    + l_top * 2^(8(dl-1)); the bias contributes C_dl * colsum(mat),
+    corrected by the builder."""
+    outs = []
+    for a in range(dl - 1):
+        b = (x_i32 >> I32(8 * a)) & I32(0xFF) if a else x_i32 & I32(0xFF)
+        outs.append((b ^ I32(0x80)).astype(jnp.int8))
+    outs.append((x_i32 >> I32(8 * (dl - 1))).astype(jnp.int8)
+                if dl > 1 else x_i32.astype(jnp.int8))
+    return outs
 
 
 def _limbs_i32(x, dl: int):
-    """Balanced base-256 limb split of 2D i32 -> (M, dl*K) int8, limb-major
-    along lanes (generalizes pallas_ntt._limbs4_i32 to dl limbs)."""
-    outs = []
-    v = x
-    for i in range(dl):
-        if i < dl - 1:
-            t = v & I32(0xFF)
-            carry = (t >= I32(128)).astype(I32)
-            outs.append((t - (carry << I32(8))).astype(jnp.int8))
-            v = (v >> I32(8)) + carry
-        else:
-            outs.append(v.astype(jnp.int8))
+    """Biased limb split of 2D i32 digits -> (M, dl*K) int8, limb-major
+    along lanes."""
+    outs = _limb_parts_digits_biased(x, dl)
     if dl == 1:
         return outs[0]
     return jnp.concatenate(outs, axis=-1)
@@ -771,9 +803,11 @@ def _combine_pair(g0, g1, p: int, e: int, off: int):
     r = r + _lt_u32(r, s).astype(U32) * U32(e)     # wrap ≡ +e (once; the
     # second wrap would need r > 2^32 - 2^21 after adding < 2^21 — the
     # compensated sum is < 2^21 + 2^21, far below another wrap)
-    # subtract the packing bias: off = (2^31 + 2^47) mod p
-    out = r - U32(off)
-    return out - _lt_u32(r, U32(off)).astype(U32) * U32(e)
+    # subtract the packing bias: off = (2^31 + 2^47) mod p, possibly a
+    # per-lane/per-row u32 vector folding in the biased-limb correction
+    off_v = off if isinstance(off, jnp.ndarray) else U32(off)
+    out = r - off_v
+    return out - _lt_u32(r, off_v).astype(U32) * U32(e)
 
 
 def _mm_combine(x_i8, w_i8, p: int, e: int, off: int):
@@ -821,23 +855,13 @@ def _pair_twiddle(g0, g1, twv, tws, tw16v, tw16s, bias, p: int, e: int):
 
 
 def _limbs_rows3(x3, dl: int):
-    """Balanced base-256 limb split of 3D i32 (m, R, L) -> (m, dl*R, L)
-    int8, limb-major along SUBLANES (axis 1): the rhs layout for the
+    """Biased limb split of 3D i32 digits (m, R, L) -> (m, dl*R, L) int8,
+    limb-major along SUBLANES (axis 1): the rhs layout for the
     table-as-LHS matmuls.  Sublane concatenation is free vreg stacking —
     no relayout, unlike inserting an int8 minor dim."""
     if dl == 1:
         return x3.astype(jnp.int8)
-    outs = []
-    v = x3
-    for i in range(dl):
-        if i < dl - 1:
-            t = v & I32(0xFF)
-            carry = (t >= I32(128)).astype(I32)
-            outs.append((t - (carry << I32(8))).astype(jnp.int8))
-            v = (v >> I32(8)) + carry
-        else:
-            outs.append(v.astype(jnp.int8))
-    return jnp.concatenate(outs, axis=1)
+    return jnp.concatenate(_limb_parts_digits_biased(x3, dl), axis=1)
 
 
 def _limbs_rows3_abl(x3, dl: int):
@@ -911,37 +935,28 @@ def _mm_pair_lhs(w_i8, xl3):
 # The fused step kernel
 # ---------------------------------------------------------------------------
 
-def _limbs_abl(x, dl: int):
-    """_limbs_i32 / _limbs4_i32, or a shape-correct cheap stand-in under
-    the 'limbs' ablation (results wrong)."""
-    if "limbs" in _ABLATE:
-        x8 = x.astype(jnp.int8)
-        return x8 if dl == 1 else jnp.concatenate([x8] * dl, axis=-1)
-    return _limbs_i32(x, dl) if dl != 4 else _limbs4_i32(x)
-
-
-def _limbs5_abl(x_u32):
-    """_limbs5_lazy, or a shape-correct cheap stand-in under the 'limbs'
+def _limbs4_abl(x_u32):
+    """_limbs4_biased, or a shape-correct cheap stand-in under the 'limbs'
     ablation (results wrong).  NOTE on the retired centering pass: lazy
     u32 residues must NOT go through pallas_ntt._center_residues — for
     x >= 2^31 its i32 bitcast shifts the represented integer by
-    -2^32 ≡ -e (mod p); the 2^32-carry limb row handles any u32 exactly
-    instead (and costs ~9 fewer VPU ops per element)."""
+    -2^32 ≡ -e (mod p); the biased byte split handles any u32 exactly
+    instead."""
     if "limbs" in _ABLATE:
         x8 = x_u32.astype(jnp.int8)
-        return jnp.concatenate([x8] * 5, axis=-1)
-    return _limbs5_lazy(x_u32)
+        return jnp.concatenate([x8] * 4, axis=-1)
+    return _limbs4_biased(x_u32)
 
 
-def _limbs_rows5_abl(x3_u32):
+def _limbs_rows4_abl(x3_u32):
     if "limbs" in _ABLATE:
         x8 = x3_u32.astype(jnp.int8)
-        return jnp.concatenate([x8] * 5, axis=1)
-    return _limbs_rows5_lazy(x3_u32)
+        return jnp.concatenate([x8] * 4, axis=1)
+    return _limbs_rows4_biased(x3_u32)
 
 
-def _fwd_rows(xl3, pr: int, tabs: FusedTables, w1f, dft2, twv, tws,
-              tw16v, tw16s, twb):
+def _fwd_rows(xl3, pr: int, tabs: FusedTables, w1f, dft2, dft2_off,
+              twv, tws, tw16v, tw16s, twb):
     """Digit-limb rows xl3 (M, dl*n1, N2) i8 (natural coefficient order,
     limbs along sublanes — hoisted out of the prime loop: they are
     prime-independent) -> (M, N) u32 four-step spectrum, one prime.
@@ -959,13 +974,13 @@ def _fwd_rows(xl3, pr: int, tabs: FusedTables, w1f, dft2, twv, tws,
         g0, g1 = _mm_pair_lhs(w1f[pr], xl3)
         y = _pair_twiddle(g0, g1, twv[pr], tws[pr], tw16v[pr], tw16s[pr],
                           twb[pr], p, e)
-    z8 = _limbs5_abl(y.reshape(m * n1, N2))
-    out = _mm_combine(z8, dft2[pr], p, e, off)          # (m*n1, n2) [k1,k2]
+    z8 = _limbs4_abl(y.reshape(m * n1, N2))
+    out = _mm_combine(z8, dft2[pr], p, e, dft2_off[pr])  # (m*n1,n2) [k1,k2]
     return out.reshape(m, n1 * N2)
 
 
-def _inv_rows(x_u32, pr: int, tabs: FusedTables, idft2, v1i, twv, tws,
-              tw16v, tw16s, twb):
+def _inv_rows(x_u32, pr: int, tabs: FusedTables, idft2, v1i, v1i_off,
+              twv, tws, tw16v, tw16s, twb):
     """(M, N) u32 four-step spectrum -> (M, N) u32 coefficient residues
     (natural order; the v1i tables fold M_i^{-1}, see build_fused_tables).
     Transpose-free: the final stage is the table-as-LHS matmul
@@ -976,7 +991,7 @@ def _inv_rows(x_u32, pr: int, tabs: FusedTables, idft2, v1i, twv, tws,
     off = tabs.off_mods[pr]
     n1 = tabs.n1
     m = x_u32.shape[0]
-    z8 = _limbs5_abl(x_u32.reshape(m * n1, N2))
+    z8 = _limbs4_abl(x_u32.reshape(m * n1, N2))
     if "twiddle" in _ABLATE or "combine" in _ABLATE:
         u = _mm_combine(z8, idft2[pr], p, e, off)       # (m*n1, n2) [k1,i2]
         u = u.reshape(m, n1, N2)
@@ -985,13 +1000,14 @@ def _inv_rows(x_u32, pr: int, tabs: FusedTables, idft2, v1i, twv, tws,
         u = _pair_twiddle(g0.reshape(m, n1, N2), g1.reshape(m, n1, N2),
                           twv[pr], tws[pr], tw16v[pr], tw16s[pr],
                           twb[pr], p, e)
-    ul3 = _limbs_rows5_abl(u)
-    w = _mm_combine_lhs(v1i[pr], ul3, p, e, off)        # (m, n1, n2) [i1,i2]
+    ul3 = _limbs_rows4_abl(u)
+    w = _mm_combine_lhs(v1i[pr], ul3, p, e, v1i_off[pr])  # (m,n1,n2) [i1,i2]
     return w.reshape(m, n1 * N2)
 
 
 def _step_kernel(a_ref, acc0_lo_ref, acc0_hi_ref, sv_ref, ss_ref,
-                 w1f_ref, dft2_ref, idft2_ref, v1i_ref,
+                 w1f_ref, dft2_ref, dft2_off_ref, idft2_ref, v1i_ref,
+                 v1i_off_ref,
                  twfv_ref, twfs_ref, twiv_ref, twis_ref,
                  twf16v_ref, twf16s_ref, twfb_ref,
                  twi16v_ref, twi16s_ref, twib_ref,
@@ -1050,8 +1066,8 @@ def _step_kernel(a_ref, acc0_lo_ref, acc0_hi_ref, sv_ref, ss_ref,
             # all gadget levels through one stacked forward transform:
             # fewer, larger VPU/MXU ops per prime
             dhat = _fwd_rows(xl3, pr, tabs, w1f_ref, dft2_ref,
-                             twfv_ref, twfs_ref, twf16v_ref, twf16s_ref,
-                             twfb_ref) \
+                             dft2_off_ref, twfv_ref, twfs_ref,
+                             twf16v_ref, twf16s_ref, twfb_ref) \
                 .reshape(levels, kp1, r_blk, n)
         if "pointwise" in _ABLATE:
             prods = [dhat[0, co % kp1] for co in range(kp1)]
@@ -1075,8 +1091,8 @@ def _step_kernel(a_ref, acc0_lo_ref, acc0_hi_ref, sv_ref, ss_ref,
             res.append(stacked)
         else:
             res.append(_inv_rows(stacked, pr, tabs, idft2_ref, v1i_ref,
-                                 twiv_ref, twis_ref, twi16v_ref,
-                                 twi16s_ref, twib_ref))
+                                 v1i_off_ref, twiv_ref, twis_ref,
+                                 twi16v_ref, twi16s_ref, twib_ref))
 
     if "garner" in _ABLATE:
         add_hi, add_lo = res[0], res[-1]
@@ -1171,7 +1187,9 @@ def blind_rotate_fused(ct_small, bsk: FusedBSK, lut_poly,
             acc_spec, acc_spec,
             spec_spec, spec_spec,
             _tab(tabs.w1f.shape), _tab(tabs.dft2.shape),
+            _tab(tabs.dft2_off.shape),
             _tab(tabs.idft2.shape), _tab(tabs.v1i.shape),
+            _tab(tabs.v1i_off.shape),
             _tab(tabs.twf_val.shape), _tab(tabs.twf_sh.shape),
             _tab(tabs.twi_val.shape), _tab(tabs.twi_sh.shape),
             _tab(tabs.twf16_val.shape), _tab(tabs.twf16_sh.shape),
@@ -1191,7 +1209,8 @@ def blind_rotate_fused(ct_small, bsk: FusedBSK, lut_poly,
                 "CONCRETE_TPU_FUSED_VMEM_MB", "24")) << 20),
         interpret=interpret,
     )(a_t, lo0, hi0, bsk.spec_val, bsk.spec_sh,
-      tabs.w1f, tabs.dft2, tabs.idft2, tabs.v1i,
+      tabs.w1f, tabs.dft2, tabs.dft2_off, tabs.idft2, tabs.v1i,
+      tabs.v1i_off,
       tabs.twf_val, tabs.twf_sh, tabs.twi_val, tabs.twi_sh,
       tabs.twf16_val, tabs.twf16_sh, tabs.twf_bias,
       tabs.twi16_val, tabs.twi16_sh, tabs.twi_bias)
