@@ -31,6 +31,8 @@
 #include "json.h"
 #include "npz.h"
 #include "specs.h"
+#include "run_primitives.h"
+#include "wop.h"
 
 namespace ctpu {
 
@@ -54,10 +56,6 @@ struct Tensor {
 };
 
 namespace rt {
-
-[[noreturn]] inline void fail(const std::string &msg) {
-  throw std::runtime_error("run: " + msg);
-}
 
 // -- numpy-style broadcasting over data shapes -------------------------------
 
@@ -109,173 +107,6 @@ inline void broadcast_for_each(const std::vector<int64_t> &sa,
       idx[i] = 0;
     }
   }
-}
-
-// ---------------------------------------------------------------------------
-// TFHE math mod 2^64 — mirrors core/refimpl.py exactly (same rounding,
-// same layouts), which cites the reference implementations.
-// ---------------------------------------------------------------------------
-
-inline uint64_t encode_torus(int64_t m, int width) {
-  return static_cast<uint64_t>(m) << (64 - width - 1);
-}
-
-// Balanced signed gadget decomposition (refimpl.decompose): digit j+1 of
-// round_half_up(v / 2^(64-l*B)) in (-2^(B-1), 2^(B-1)], kept as wrapped
-// u64 (products/sums mod 2^64 are exact).
-inline void decompose_u64(uint64_t v, int base_log, int levels,
-                          uint64_t *digits) {
-  uint64_t prev = ((v >> (64 - 1)) + 1) >> 1;  // j = 0: shift 63
-  for (int j = 1; j <= levels; j++) {
-    int shift = 64 - j * base_log - 1;
-    uint64_t wj = ((v >> shift) + 1) >> 1;
-    digits[j - 1] = wj - (prev << base_log);
-    prev = wj;
-  }
-}
-
-// LWE keyswitch big -> small with the raw KSK (n_big, l, n_small+1)
-// (refimpl.keyswitch): out = trivial(b) - sum_{i,j} Decomp_j(a_i)*KSK[i][j].
-inline std::vector<uint64_t> keyswitch(const uint64_t *ct, size_t n_big,
-                                       const uint64_t *ksk, size_t n_small,
-                                       int base_log, int levels) {
-  std::vector<uint64_t> acc(n_small + 1, 0);
-  std::vector<uint64_t> digits(levels);
-  for (size_t i = 0; i < n_big; i++) {
-    decompose_u64(ct[i], base_log, levels, digits.data());
-    for (int j = 0; j < levels; j++) {
-      uint64_t d = digits[j];
-      if (!d) continue;
-      const uint64_t *row = ksk + (i * levels + j) * (n_small + 1);
-      for (size_t m = 0; m <= n_small; m++) acc[m] += d * row[m];
-    }
-  }
-  std::vector<uint64_t> out(n_small + 1, 0);
-  out[n_small] = ct[n_big];
-  for (size_t m = 0; m <= n_small; m++) out[m] -= acc[m];
-  return out;
-}
-
-// Torus u64 -> Z_2N with the reference's rounding (refimpl.modulus_switch).
-inline uint64_t modulus_switch(uint64_t v, int log2_n) {
-  v >>= (64 - log2_n - 2);
-  v += v & 1u;
-  v >>= 1;
-  return v & ((uint64_t(2) << log2_n) - 1);
-}
-
-// out[j] (+)= X^r * poly mod (X^N + 1), r in [0, 2N) (refimpl.monomial_mul).
-inline void monomial_mul(const uint64_t *poly, size_t n, uint64_t r,
-                         uint64_t *out) {
-  r %= 2 * n;
-  for (size_t j = 0; j < n; j++) {
-    uint64_t src = (j + 2 * n - r) % (2 * n);
-    bool neg = src >= n;
-    uint64_t v = poly[src % n];
-    out[j] = neg ? static_cast<uint64_t>(-static_cast<int64_t>(v)) : v;
-  }
-}
-
-// acc[t] += a (*) b over Z_2^64[X]/(X^N+1), schoolbook
-// (refimpl.negacyclic_polymul).
-inline void negacyclic_polymul_add(const uint64_t *a, const uint64_t *b,
-                                   size_t n, uint64_t *acc) {
-  for (size_t i = 0; i < n; i++) {
-    uint64_t ai = a[i];
-    if (!ai) continue;
-    size_t j = 0;
-    for (; j + i < n; j++) acc[i + j] += ai * b[j];
-    for (; j < n; j++) acc[i + j - n] -= ai * b[j];
-  }
-}
-
-// GLWE external product acc += GGSW (.) glwe (refimpl.external_product),
-// with the GGSW laid out (l, k+1, k+1, N) as keygen.h writes the BSK rows.
-inline void external_product_add(const uint64_t *ggsw,
-                                 const std::vector<uint64_t> &glwe, size_t k,
-                                 size_t n, int base_log, int levels,
-                                 std::vector<uint64_t> &acc,
-                                 std::vector<uint64_t> &scratch) {
-  // scratch: (k+1)*levels digit polynomials
-  scratch.assign((k + 1) * levels * n, 0);
-  std::vector<uint64_t> digs(levels);
-  for (size_t r = 0; r <= k; r++)
-    for (size_t t = 0; t < n; t++) {
-      decompose_u64(glwe[r * n + t], base_log, levels, digs.data());
-      for (int j = 0; j < levels; j++)
-        scratch[(r * levels + j) * n + t] = digs[j];
-    }
-  for (size_t r = 0; r <= k; r++)
-    for (int j = 0; j < levels; j++) {
-      const uint64_t *d = scratch.data() + (r * levels + j) * n;
-      const uint64_t *row = ggsw + (static_cast<size_t>(j) * (k + 1) + r) *
-                                       (k + 1) * n;
-      for (size_t c = 0; c <= k; c++)
-        negacyclic_polymul_add(d, row + c * n, n, acc.data() + c * n);
-    }
-}
-
-// Blind rotation (refimpl.blind_rotate): acc = X^{-b~} LUT;
-// acc <- CMUX(bsk_i, acc, X^{a~_i} acc) per small-key bit.
-inline std::vector<uint64_t> blind_rotate(
-    const std::vector<uint64_t> &ct_small, const uint64_t *bsk, size_t k,
-    size_t n, int log2_n, int pbs_base_log, int pbs_level,
-    const std::vector<uint64_t> &lut_poly) {
-  size_t n_small = ct_small.size() - 1;
-  std::vector<uint64_t> acc((k + 1) * n, 0);
-  uint64_t b_t = modulus_switch(ct_small[n_small], log2_n);
-  monomial_mul(lut_poly.data(), n, 2 * n - b_t, acc.data() + k * n);
-  std::vector<uint64_t> diff((k + 1) * n), scratch;
-  size_t ggsw_words = static_cast<size_t>(pbs_level) * (k + 1) * (k + 1) * n;
-  for (size_t i = 0; i < n_small; i++) {
-    uint64_t a_t = modulus_switch(ct_small[i], log2_n);
-    if (!a_t) continue;   // rotation by X^0: CMUX(acc, acc) is a no-op
-    // diff = X^{a~_i} acc - acc
-    for (size_t c = 0; c <= k; c++)
-      monomial_mul(acc.data() + c * n, n, a_t, diff.data() + c * n);
-    for (size_t t = 0; t < (k + 1) * n; t++) diff[t] -= acc[t];
-    external_product_add(bsk + i * ggsw_words, diff, k, n, pbs_base_log,
-                         pbs_level, acc, scratch);
-  }
-  return acc;
-}
-
-// LWE under the flattened GLWE key from coefficient 0 (refimpl.sample_extract).
-inline std::vector<uint64_t> sample_extract0(const std::vector<uint64_t> &glwe,
-                                             size_t k, size_t n) {
-  std::vector<uint64_t> out(k * n + 1);
-  for (size_t r = 0; r < k; r++) {
-    const uint64_t *a = glwe.data() + r * n;
-    out[r * n] = a[0];
-    for (size_t t = 1; t < n; t++)
-      out[r * n + t] =
-          static_cast<uint64_t>(-static_cast<int64_t>(a[n - t]));
-  }
-  out[k * n] = glwe[k * n];
-  return out;
-}
-
-// LUT expansion (refimpl.encode_expand_lut): mega-case repeat, centered by
-// X^{-mega/2}; signed LUTs half-rotated; entries scaled at out_bits.
-inline std::vector<uint64_t> encode_expand_lut(
-    const std::vector<uint64_t> &lut, size_t poly_size, int message_bits,
-    bool is_signed, int out_bits) {
-  size_t p_size = size_t(1) << message_bits;
-  if (lut.size() != p_size) fail("lut size mismatch");
-  size_t mega = poly_size / p_size;
-  if (mega == 0 || mega % 2 != 0)
-    fail("polynomial size must give even mega-cases (TLU too wide for N)");
-  std::vector<uint64_t> rot(lut);
-  if (is_signed)
-    std::rotate(rot.begin(), rot.begin() + p_size / 2, rot.end());
-  std::vector<uint64_t> naive(poly_size);
-  for (size_t e = 0; e < p_size; e++) {
-    uint64_t v = rot[e] << (64 - out_bits - 1);
-    for (size_t m = 0; m < mega; m++) naive[e * mega + m] = v;
-  }
-  std::vector<uint64_t> out(poly_size);
-  monomial_mul(naive.data(), poly_size, 2 * poly_size - mega / 2, out.data());
-  return out;
 }
 
 // ---------------------------------------------------------------------------
@@ -436,6 +267,19 @@ class NativeExecutor {
       rt::fail("keys: ksk shape does not match the circuit parameters");
     bsk_ = bsk.as_u64();
     ksk_ = ksk.as_u64();
+    if (specs_.has_wop) {
+      std::string pfname = "pfpksk_" + std::to_string(specs_.pfks_level) +
+                           "_" + std::to_string(specs_.pfks_base_log);
+      auto it = keys.find(pfname);
+      if (it != keys.end()) {
+        size_t want = (k_ + 1) * (n_big_ + 1) *
+                      static_cast<size_t>(specs_.pfks_level) * (k_ + 1) * n_;
+        if (it->second.size() != want)
+          rt::fail("keys: pfpksk shape does not match the circuit "
+                   "parameters");
+        pfpksk_ = it->second.as_u64();
+      }
+    }
   }
 
   // Evaluate the circuit.  `inputs` maps input position -> Tensor.
@@ -477,8 +321,47 @@ class NativeExecutor {
   std::map<std::string, NpyArray> arrays_;
   const uint64_t *bsk_ = nullptr;
   const uint64_t *ksk_ = nullptr;
+  const uint64_t *pfpksk_ = nullptr;
   size_t n_ = 0, k_ = 0, n_small_ = 0, n_big_ = 0;
   int log2_n_ = 0;
+  // shared per-element GGSW stacks across the sibling output residues of
+  // one fhe.crt_tlu (executor.py crt_ggsw_cache), keyed by pred indices
+  std::map<std::vector<int>, std::vector<std::vector<wop::Ggsw>>>
+      crt_ggsw_cache_;
+
+  wop::CryptoShape wop_shape() const {
+    wop::CryptoShape s;
+    s.n_small = n_small_;
+    s.k = k_;
+    s.n = n_;
+    s.n_big = n_big_;
+    s.log2_n = log2_n_;
+    s.pbs_base_log = specs_.pbs_base_log;
+    s.pbs_level = specs_.pbs_level;
+    s.ks_base_log = specs_.ks_base_log;
+    s.ks_level = specs_.ks_level;
+    return s;
+  }
+
+  wop::WopGadgets wop_gadgets() const {
+    wop::WopGadgets g;
+    g.cbs_level = specs_.cbs_level;
+    g.cbs_base_log = specs_.cbs_base_log;
+    g.pfks_level = specs_.pfks_level;
+    g.pfks_base_log = specs_.pfks_base_log;
+    return g;
+  }
+
+  void require_wop(const char *what) const {
+    if (!specs_.has_wop)
+      rt::fail(std::string(what) +
+               " needs WoP-PBS but the circuit was compiled without WoP "
+               "gadget parameters");
+    if (!pfpksk_)
+      rt::fail(std::string(what) +
+               " needs WoP-PBS but the keyset has no PFPKSK (regenerate "
+               "keys with this circuit's specs)");
+  }
 
   int width_of(const rt::GraphNode &node) const {
     return node.encoding_width ? node.encoding_width : specs_.message_bits;
@@ -674,6 +557,7 @@ class NativeExecutor {
     if (op == "matmul" || op == "dot") return matmul(node, *args[0], *args[1]);
     if (op == "tlu" || op == "univariate")
       return tlu(node, *args[0]);
+    if (op == "crt_tlu") return crt_tlu(node, args);
     if (op == "encrypted_constant") {
       rt::I64Array c = rt::decode_i64_array(node.kwargs["value"], arrays_);
       Tensor t;
@@ -929,8 +813,7 @@ class NativeExecutor {
       lsbs = static_cast<int>(pred.kwargs["lsbs_to_remove"].as_int());
     int p_eff = std::max(p_in - lsbs, 1);
     if (p_eff > max_native_bits())
-      rt::fail("TLU wider than the native path (" + std::to_string(p_eff) +
-               " bits); WoP-PBS circuits need the Python/TPU server");
+      return tlu_wop(node, ct, p_eff, p_out, in_signed, lsbs);
 
     // raw_table at p_eff with shift=lsbs (executor.py:146-171)
     rt::I64Array table = rt::decode_i64_array(node.kwargs["table"], arrays_);
@@ -972,6 +855,153 @@ class NativeExecutor {
           rt::blind_rotate(small, bsk_, k_, n_, log2_n_,
                            specs_.pbs_base_log, specs_.pbs_level, lut_poly);
       std::vector<uint64_t> res = rt::sample_extract0(acc, k_, n_);
+      memcpy(out.ct.data() + i * out.ct_len, res.data(), res.size() * 8);
+    }
+    return out;
+  }
+
+  // Wide (>native) TLU via WoP-PBS (executor.py _materialize_wop_table +
+  // run_wop -> core/wop.py wop_pbs): signed inputs extract p_eff+1 bits
+  // (the encoding's bit pattern, sign wrap at the top, unreachable middle
+  // band clamped into the domain); lsbs > 0 is fused rounding (only the
+  // top bits are extracted — extraction floors for free).
+  Tensor tlu_wop(const rt::GraphNode &node, const Tensor &ct, int p_eff,
+                 int p_out, bool in_signed, int lsbs) {
+    require_wop("wide TLU");
+    rt::I64Array table = rt::decode_i64_array(node.kwargs["table"], arrays_);
+    if (table.shape.size() > 1)
+      rt::fail("per-element TLU tables are not supported natively");
+    int64_t tl = static_cast<int64_t>(table.data.size());
+    int nb = p_eff + (in_signed ? 1 : 0);
+    int delta_log = 63 - p_eff;
+    std::vector<int64_t> entries(size_t(1) << nb);
+    for (size_t e = 0; e < entries.size(); e++) {
+      int64_t v = static_cast<int64_t>(e);
+      if (in_signed) {
+        if (v >= (int64_t(1) << p_eff)) v -= int64_t(1) << nb;
+        int64_t half = int64_t(1) << (p_eff - 1);
+        v = std::max(-half, std::min(v, half - 1));
+      }
+      v <<= lsbs;
+      int64_t ti = v % tl;
+      if (ti < 0) ti += tl;
+      entries[e] = table.data[ti];
+    }
+    wop::CryptoShape s = wop_shape();
+    wop::WopGadgets g = wop_gadgets();
+    Tensor out;
+    out.encrypted = true;
+    out.shape = ct.shape;
+    out.ct_len = n_big_ + 1;
+    out.ct.resize(ct.elements() * out.ct_len);
+    int64_t total = ct.elements();
+#pragma omp parallel for schedule(dynamic)
+    for (long long i = 0; i < static_cast<long long>(total); i++) {
+      std::vector<uint64_t> one(ct.ct.begin() + i * ct.ct_len,
+                                ct.ct.begin() + (i + 1) * ct.ct_len);
+      std::vector<uint64_t> res = wop::wop_pbs(
+          one, entries, nb, delta_log, p_out, s, g, ksk_, bsk_, pfpksk_);
+      memcpy(out.ct.data() + i * out.ct_len, res.data(), res.size() * 8);
+    }
+    return out;
+  }
+
+  // CRT TLU (executor.py crt_tlu branch -> core/wop.py wop_pbs_crt): one
+  // output residue per node; per-residue bit extraction + circuit
+  // bootstrap shared with the sibling residues through crt_ggsw_cache_.
+  Tensor crt_tlu(const rt::GraphNode &node,
+                 const std::vector<const Tensor *> &args) {
+    require_wop("crt_tlu");
+    rt::I64Array table = rt::decode_i64_array(node.kwargs["table"], arrays_);
+    std::vector<int64_t> moduli;
+    if (!rt::decode_int_tuple(node.kwargs["moduli"], moduli))
+      rt::fail("crt_tlu without moduli");
+    int out_index = static_cast<int>(node.kwargs["out_index"].as_int());
+    int p_out = width_of(node);
+    size_t nblk = moduli.size();
+    if (args.size() != nblk) rt::fail("crt_tlu pred count mismatch");
+
+    // per-block index bits: min(ceil(log2 m_j), assigned residue width)
+    std::vector<int> block_bits(nblk), block_widths(nblk);
+    int total_bits = 0;
+    for (size_t j = 0; j < nblk; j++) {
+      int nb = 0;
+      while ((int64_t(1) << nb) < moduli[j]) nb++;
+      block_widths[j] = width_of(graph_.nodes[node.preds[j]]);
+      block_bits[j] = std::min(nb, block_widths[j]);
+      total_bits += block_bits[j];
+    }
+
+    // bit-indexed table for THIS output residue (core/wop.py
+    // crt_lut_tables: block 0's bits least significant; unreachable
+    // residue combinations zero-filled)
+    int64_t total_m = 1;
+    for (int64_t m : moduli) total_m *= m;
+    std::vector<int64_t> entries(size_t(1) << total_bits, 0);
+    int64_t n_x = std::min<int64_t>(
+        total_m, static_cast<int64_t>(table.data.size()));
+    for (int64_t x = 0; x < n_x; x++) {
+      int64_t idx = 0;
+      int offset = 0;
+      bool reachable = true;
+      for (size_t j = 0; j < nblk; j++) {
+        int64_t r = x % moduli[j];
+        if (r >= (int64_t(1) << block_bits[j])) { reachable = false; break; }
+        idx |= r << offset;
+        offset += block_bits[j];
+      }
+      if (!reachable) continue;
+      int64_t v = table.data[x] % moduli[out_index];
+      if (v < 0) v += moduli[out_index];
+      entries[idx] = v;
+    }
+
+    wop::CryptoShape s = wop_shape();
+    wop::WopGadgets g = wop_gadgets();
+    int64_t total = args[0]->elements();
+    std::vector<int> cache_key(node.preds.begin(), node.preds.end());
+    auto cached = crt_ggsw_cache_.find(cache_key);
+    if (cached == crt_ggsw_cache_.end()) {
+      std::vector<std::vector<wop::Ggsw>> per_elem(total);
+#pragma omp parallel for schedule(dynamic)
+      for (long long i = 0; i < static_cast<long long>(total); i++) {
+        // block n-1 extracted first = most significant index bits; each
+        // residue's LSB sits at 63 - (its assigned encoding width)
+        std::vector<std::vector<uint64_t>> bit_stack;
+        for (size_t jj = nblk; jj-- > 0;) {
+          const Tensor &rj = *args[jj];
+          std::vector<uint64_t> one(rj.ct.begin() + i * rj.ct_len,
+                                    rj.ct.begin() + (i + 1) * rj.ct_len);
+          auto bits = wop::extract_bits(one, block_bits[jj],
+                                        63 - block_widths[jj], s, ksk_,
+                                        bsk_);
+          for (auto &b : bits) bit_stack.push_back(std::move(b));
+        }
+        std::vector<wop::Ggsw> ggsws(bit_stack.size());
+        for (size_t b = 0; b < bit_stack.size(); b++)
+          ggsws[b] = wop::circuit_bootstrap(bit_stack[b], s, g, ksk_, bsk_,
+                                            pfpksk_);
+        per_elem[i] = std::move(ggsws);
+      }
+      cached = crt_ggsw_cache_
+                   .emplace(std::move(cache_key), std::move(per_elem))
+                   .first;
+    }
+
+    std::vector<uint64_t> lut_torus(entries.size());
+    uint64_t mask = (uint64_t(1) << (p_out + 1)) - 1;
+    for (size_t i = 0; i < entries.size(); i++)
+      lut_torus[i] = (static_cast<uint64_t>(entries[i]) & mask)
+                     << (64 - p_out - 1);
+    Tensor out;
+    out.encrypted = true;
+    out.shape = args[0]->shape;
+    out.ct_len = n_big_ + 1;
+    out.ct.resize(total * out.ct_len);
+#pragma omp parallel for schedule(dynamic)
+    for (long long i = 0; i < static_cast<long long>(total); i++) {
+      std::vector<uint64_t> res =
+          wop::vertical_packing(lut_torus, cached->second[i], s, g);
       memcpy(out.ct.data() + i * out.ct_len, res.data(), res.size() * 8);
     }
     return out;
