@@ -113,10 +113,10 @@ def cost_ks_macs(n_big: int, n_small, ks_l: int, ks_b: int):
 FUSED_NTT_MAC_EFFICIENCY = 0.2
 
 #: largest polynomial size the fused-NTT cost model offers the search:
-#: N=1024..8192 are covered by interpret-mode bit-exactness tests and
-#: N=2048/4096 by hardware runs; N=16384 tables (n1=128) are untested —
-#: raise after validation.
-FUSED_NTT_MAX_POLY_SIZE = 8192
+#: N=1024..16384 are covered by interpret-mode bit-exactness tests
+#: (tests/test_fused_ntt.py, incl. the n1=128 N=16384 tables) and
+#: N=2048/4096 by hardware runs.
+FUSED_NTT_MAX_POLY_SIZE = 16384
 
 
 @functools.lru_cache(maxsize=None)

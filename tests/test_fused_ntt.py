@@ -45,11 +45,12 @@ def _random_inputs(rng, params, b_ct):
     return bsk, ct, lut
 
 
-@pytest.mark.parametrize("poly_size", [2048, 8192])
+@pytest.mark.parametrize("poly_size", [2048, 8192, 16384])
 def test_blind_rotate_fused_bit_exact_other_sizes(rng, poly_size):
     """The optimizer now offers the fused path every size in
     [1024, FUSED_NTT_MAX_POLY_SIZE] — cover the sizes the 6-bit test
-    doesn't (N=2048 via MULTI partitions, N=8192 via 7-bit mono)."""
+    doesn't (N=2048 via MULTI partitions, N=8192 via 7-bit mono,
+    N=16384 = the largest size the optimizer's table covers)."""
     params = CryptoParams(
         n_small=2, glwe_dimension=1, polynomial_size=poly_size,
         pbs_level=1, pbs_base_log=18, ks_level=2, ks_base_log=8,
