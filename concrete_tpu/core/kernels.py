@@ -490,6 +490,74 @@ def _lut_rows(lut_poly, b_ct: int, n: int):
     return lut_poly.reshape(b_ct, 1, n)
 
 
+def _acc32_eligible(bsk: LimbBSK, params: CryptoParams, b_ct: int) -> bool:
+    """Hi-only accumulator mode: every kept BSK limb plane lands at a
+    product shift 8*(s + truncate_limbs) >= 32 AND the gadget digits read
+    only the accumulator's high word — then the u64 accumulator's low word
+    is IDENTICALLY ZERO through the whole scan (the LUT encoding
+    refimpl.encode_expand_lut shifts by 64 - out_bits - 1 >= 33 for every
+    out_bits <= 30, and each step adds multiples of 2^32), and the scan
+    can run on single u32 planes: half the roll/select work, a carry-free
+    recombine.  Bit-exact to the u64 oracle, not an approximation."""
+    from concrete_tpu.ops import pallas_step as ps
+    if _os.environ.get("CONCRETE_TPU_ACC32", "1") != "1":
+        return False
+    return (bsk.truncate_limbs * 8 >= 32
+            and ps.digits_lo_free(params.pbs_base_log, params.pbs_level)
+            and params.polynomial_size % 128 == 0)
+
+
+def _blind_rotate_pallas_hi(ct_small, bsk: LimbBSK, lut_poly,
+                            params: CryptoParams):
+    """Hi-only-accumulator blind rotate (see _acc32_eligible).  Only the
+    fusedrecombine dot path is implemented; callers gate on
+    _acc32_eligible AND the fusedrecombine rhs-size conditions."""
+    from concrete_tpu.ops import pallas_step as ps
+    from concrete_tpu.ops.pallas_dot_recombine import (
+        build_fused_rhs, dot_recombine_hi)
+    b_ct = ct_small.shape[0]
+    n = params.polynomial_size
+    k = params.glwe_dimension
+    l = params.pbs_level
+    kp1 = k + 1
+    switched = modulus_switch(ct_small, params.log2_polynomial_size)
+    a_t = switched[:, :-1]
+    b_t = switched[:, -1]
+    body0 = monomial_mul_rolls(
+        _lut_rows(lut_poly, b_ct, n), (2 * n - b_t) % (2 * n))
+    acc0 = jnp.zeros((b_ct, kp1, n), dtype=U64).at[:, k, :].set(
+        body0[:, 0, :])
+    # the encode guarantee: LUT torus values are multiples of 2^33; the
+    # explicit shift keeps the mode exact even for hand-built LUTs (any
+    # dropped low bits are below every noise term by > 30 bits)
+    hi0 = (acc0 >> U64(32)).astype(jnp.uint32).reshape(b_ct * kp1, n)
+
+    a_limbs_n = lb.num_digit_limbs(params.pbs_base_log)
+    keep = 8 - bsk.truncate_limbs
+    s_keep = min(keep, 8 + a_limbs_n - 1)
+
+    def step(hi, xs):
+        a_j, w_vv = xs
+        a_rows = jnp.repeat(a_j, kp1, total_repeat_length=b_ct * kp1)
+        d_planes = ps.rotate_decompose_limbs_hi(
+            hi, a_rows, base_log=params.pbs_base_log, levels=l,
+            a_limbs=a_limbs_n)
+        # segmented lhs: one (B, kp1*N) row segment per (digit limb,
+        # level) in rhs row order — dot_recombine_hi contracts the
+        # segments in place, skipping the XLA concat copy of the digit
+        # planes (~135 MB/step at the bench shape)
+        segs = [d_planes[lev * a_limbs_n + a].reshape(b_ct, kp1 * n)
+                for a in range(a_limbs_n) for lev in range(l)]
+        rhs = build_fused_rhs(w_vv, 128, s_keep, a_limbs=a_limbs_n)
+        hi2 = dot_recombine_hi(
+            segs, rhs, hi.reshape(b_ct, kp1 * n), keep=s_keep,
+            limb_offset=bsk.truncate_limbs)
+        return hi2.reshape(b_ct * kp1, n), None
+
+    hi, _ = lax.scan(step, hi0, (a_t.T, bsk.planes))
+    return (hi.astype(U64) << U64(32)).reshape(b_ct, kp1, n)
+
+
 def _blind_rotate_pallas(ct_small, bsk: LimbBSK, lut_poly,
                          params: CryptoParams):
     from concrete_tpu.ops import pallas_step as ps
@@ -498,6 +566,15 @@ def _blind_rotate_pallas(ct_small, bsk: LimbBSK, lut_poly,
     k = params.glwe_dimension
     l = params.pbs_level
     kp1 = k + 1
+    if _acc32_eligible(bsk, params, b_ct) and BANDED_MM_MODE == "auto":
+        a_limbs_n = lb.num_digit_limbs(params.pbs_base_log)
+        cin = l * kp1
+        keep = 8 - bsk.truncate_limbs
+        bytes_ = _fused_rhs_bytes(a_limbs_n, cin, kp1, keep, n)
+        k_dim = a_limbs_n * cin * n
+        if (bytes_ <= FUSEDRECOMBINE_RHS_MAX_BYTES
+                and k_dim * keep <= 8192 * 4):
+            return _blind_rotate_pallas_hi(ct_small, bsk, lut_poly, params)
     switched = modulus_switch(ct_small, params.log2_polynomial_size)
     a_t = switched[:, :-1]
     b_t = switched[:, -1]

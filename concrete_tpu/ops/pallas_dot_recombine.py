@@ -101,7 +101,8 @@ def build_fused_rhs(vv, block: int, keep: int, a_limbs: int = 1):
 
 
 def _kernel(lhs_ref, rhs_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref,
-            acc_ref, *, keep: int, limb_offset: int, n_ko: int):
+            acc_ref, *, keep: int, limb_offset: int, n_ko: int,
+            j_group: int):
     ko = pl.program_id(2)
 
     prod = jnp.dot(lhs_ref[...], rhs_ref[...],
@@ -117,37 +118,177 @@ def _kernel(lhs_ref, rhs_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref,
 
     @pl.when(ko == n_ko - 1)
     def _():
-        p = acc_ref[...]                         # (TB, keep*BLOCK) int32
-        lo = lo_ref[...]                         # (TB, BLOCK) u32
-        hi = hi_ref[...]
-        for s in range(keep):
-            ps = p[:, s * BLOCK:(s + 1) * BLOCK]
-            pu = lax.bitcast_convert_type(ps, jnp.uint32)
-            sign = lax.bitcast_convert_type(ps >> jnp.int32(31), jnp.uint32)
-            sh = 8 * (s + limb_offset)
-            if sh == 0:
-                lo_c, hi_c = pu, sign
-            elif sh < 32:
-                # left shifts as multiplies: Mosaic's vector shl-by-16
-                # lowering miscompiles in-kernel chains (round-3 bisection)
-                lo_c = pu * U32(1 << sh)
-                hi_c = (pu >> U32(32 - sh)) | (sign * U32(1 << sh))
-            elif sh == 32:
-                lo_c, hi_c = U32(0) * pu, pu
-            else:
-                lo_c, hi_c = U32(0) * pu, pu * U32(1 << (sh - 32))
-            new_lo = lo + lo_c
-            carry = (new_lo < lo_c).astype(U32)
-            lo = new_lo
-            hi = hi + hi_c + carry
-        out_lo_ref[...] = lo
-        out_hi_ref[...] = hi
+        p = acc_ref[...]                 # (TB, j_group*keep*BLOCK) int32
+        for jg in range(j_group):
+            cols = slice(jg * BLOCK, (jg + 1) * BLOCK)
+            lo = lo_ref[:, cols]         # (TB, BLOCK) u32
+            hi = hi_ref[:, cols]
+            for s in range(keep):
+                c0 = (jg * keep + s) * BLOCK
+                ps = p[:, c0:c0 + BLOCK]
+                pu = lax.bitcast_convert_type(ps, jnp.uint32)
+                sign = lax.bitcast_convert_type(ps >> jnp.int32(31),
+                                                jnp.uint32)
+                sh = 8 * (s + limb_offset)
+                if sh == 0:
+                    lo_c, hi_c = pu, sign
+                elif sh < 32:
+                    # left shifts as multiplies: Mosaic's vector shl-by-16
+                    # lowering miscompiles in-kernel chains (round-3
+                    # bisection)
+                    lo_c = pu * U32(1 << sh)
+                    hi_c = (pu >> U32(32 - sh)) | (sign * U32(1 << sh))
+                elif sh == 32:
+                    lo_c, hi_c = U32(0) * pu, pu
+                else:
+                    lo_c, hi_c = U32(0) * pu, pu * U32(1 << (sh - 32))
+                new_lo = lo + lo_c
+                carry = (new_lo < lo_c).astype(U32)
+                lo = new_lo
+                hi = hi + hi_c + carry
+            out_lo_ref[:, cols] = lo
+            out_hi_ref[:, cols] = hi
+
+
+def _kernel_hi(*refs, keep: int, limb_offset: int, n_ko: int,
+               j_group: int, n_lhs: int):
+    """_kernel for the hi-only accumulator mode (8*limb_offset >= 32):
+    every kept plane lands at a shift >= 32, so its contribution to the
+    u64 accumulator is (plane * 2^sh mod 2^64) = hi-word
+    pu * 2^(sh-32) mod 2^32 with a ZERO low word — no lo chain, no
+    carries, sign handled by the u32 wrap.  Exact (not approximate)
+    whenever the initial accumulator's low word is zero.
+
+    The lhs may arrive as n_lhs separate row-segment arrays (each
+    (TB, K/n_lhs), contracting against consecutive rhs row ranges) — the
+    caller then skips the XLA concatenation copy of the digit planes
+    (~135 MB/step at the N=1024 bench shape)."""
+    lhs_refs = refs[:n_lhs]
+    rhs_ref, hi_ref, out_hi_ref, acc_ref = refs[n_lhs:]
+    ko = pl.program_id(2)
+
+    seg = rhs_ref.shape[0] // n_lhs
+    prod = None
+    for i, lref in enumerate(lhs_refs):
+        part = jnp.dot(lref[...], rhs_ref[i * seg:(i + 1) * seg, :],
+                       preferred_element_type=jnp.int32)
+        prod = part if prod is None else prod + part
+
+    @pl.when(ko == 0)
+    def _():
+        acc_ref[...] = prod
+
+    @pl.when(ko != 0)
+    def _():
+        acc_ref[...] += prod
+
+    @pl.when(ko == n_ko - 1)
+    def _():
+        p = acc_ref[...]
+        for jg in range(j_group):
+            cols = slice(jg * BLOCK, (jg + 1) * BLOCK)
+            hi = hi_ref[:, cols]
+            for s in range(keep):
+                sh = 8 * (s + limb_offset)
+                assert sh >= 32
+                if sh >= 64:
+                    continue                     # contributes 0 mod 2^64
+                c0 = (jg * keep + s) * BLOCK
+                pu = lax.bitcast_convert_type(p[:, c0:c0 + BLOCK],
+                                              jnp.uint32)
+                hi = hi + pu * U32(1 << (sh - 32))
+            out_hi_ref[:, cols] = hi
+
+
+def dot_recombine_hi(lhs, rhs, acc_hi, *, keep: int, limb_offset: int,
+                     block_b: int = 512, block_k: int = 8192,
+                     j_group: int = None, parallel_dims: bool = False,
+                     interpret: bool = False):
+    """dot_recombine on a hi-only accumulator plane (see _kernel_hi).
+    Requires 8 * limb_offset >= 32.
+
+    lhs: a single (B, K) int8 array, or a LIST of (B, K/len) row-segment
+    arrays contracting against consecutive rhs row ranges (the caller
+    avoids concatenating the per-level digit planes).  Segmented lhs
+    requires the whole K dimension in one block (n_ko == 1 — true for
+    every shipped shape; the kc guard below enforces the same bound).
+    """
+    assert 8 * limb_offset >= 32, limb_offset
+    lhs_list = lhs if isinstance(lhs, (list, tuple)) else [lhs]
+    n_lhs = len(lhs_list)
+    b_ct = lhs_list[0].shape[0]
+    k_dim = sum(x.shape[1] for x in lhs_list)
+    n_cols = rhs.shape[1]
+    assert rhs.shape[0] == k_dim
+    assert n_cols % (keep * BLOCK) == 0
+    jo = n_cols // (keep * BLOCK)
+    assert acc_hi.shape == (b_ct, jo * BLOCK), (acc_hi.shape, jo)
+
+    tb = min(block_b, b_ct)
+    while b_ct % tb:
+        tb //= 2
+    kc = min(block_k, k_dim)
+    while k_dim % kc:
+        kc //= 2
+    while kc > 512 and kc * keep > 8192 * 4:
+        kc //= 2
+    n_ko = k_dim // kc
+    if n_lhs > 1:
+        assert n_ko == 1, (k_dim, kc, "segmented lhs needs full-K blocks")
+        kc_seg = k_dim // n_lhs
+        assert all(x.shape[1] == kc_seg for x in lhs_list)
+    if j_group is None:
+        j_group = 1
+        while (jo % (j_group * 2) == 0
+               and kc * (j_group * 2) * keep * BLOCK <= (8 << 20)):
+            j_group *= 2
+    while jo % j_group:
+        j_group //= 2
+    n_jo = jo // j_group
+
+    kernel = functools.partial(_kernel_hi, keep=keep,
+                               limb_offset=limb_offset, n_ko=n_ko,
+                               j_group=j_group, n_lhs=n_lhs)
+    grid = (n_jo, b_ct // tb, n_ko)
+    pair_spec = pl.BlockSpec(
+        (tb, j_group * BLOCK), lambda j, io, ko: (io, j),
+        memory_space=pltpu.VMEM)
+    vmem_est = (2 * (kc * j_group * keep * BLOCK + tb * kc)
+                + 4 * tb * j_group * keep * BLOCK
+                + 8 * tb * j_group * BLOCK)
+    lhs_specs = [
+        pl.BlockSpec((tb, x.shape[1] if n_lhs > 1 else kc),
+                     lambda j, io, ko: (io, ko),
+                     memory_space=pltpu.VMEM)
+        for x in lhs_list]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            *lhs_specs,
+            pl.BlockSpec((kc, j_group * keep * BLOCK),
+                         lambda j, io, ko: (ko, j),
+                         memory_space=pltpu.VMEM),
+            pair_spec,
+        ],
+        out_specs=pair_spec,
+        out_shape=jax.ShapeDtypeStruct((b_ct, jo * BLOCK), U32),
+        scratch_shapes=[pltpu.VMEM((tb, j_group * keep * BLOCK),
+                                   jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                ("parallel", "parallel", "arbitrary")
+                if parallel_dims and n_ko == 1
+                else ("arbitrary", "arbitrary", "arbitrary")),
+            vmem_limit_bytes=max(16 << 20, int(1.8 * vmem_est))),
+        interpret=interpret,
+    )(*lhs_list, rhs, acc_hi)
 
 
 def dot_recombine(lhs, rhs, acc_lo, acc_hi, *, keep: int,
                   limb_offset: int = 0, block_b: int = 256,
                   block_k: int = 8192, jo_outer: bool = True,
-                  parallel_dims: bool = False,
+                  parallel_dims: bool = False, j_group: int = None,
                   interpret: bool = False):
     """acc' = acc + recombine(lhs @ rhs) without materializing the planes.
 
@@ -159,6 +300,16 @@ def dot_recombine(lhs, rhs, acc_lo, acc_hi, *, keep: int,
     the only operand small enough to pin; with io outermost it re-streams
     per batch tile — 4 GB/step at the bench shape).  Defaults measured on
     hardware (tools/sweep_dot_recombine.py).
+
+    j_group: output-column tiles processed per grid cell.  The lhs block
+    streams from HBM once per (io, j) cell, so at j_group=1 the whole lhs
+    re-streams J times per step (2.1 GB/step at the N=1024 bench shape —
+    the round-4 VERDICT's 107-153-vs-400 Tmac/s gap is mostly this
+    stream); grouping g output tiles multiplies the per-cell arithmetic
+    intensity by g at the cost of a g-times-larger rhs slab + epilogue
+    accumulator in VMEM.  Default: largest divisor of J whose rhs slab
+    stays under ~8 MB (hardware-measured sweet spot,
+    tools/sweep_dot_recombine.py round 5).
     """
     b_ct, k_dim = lhs.shape
     n_cols = rhs.shape[1]
@@ -173,34 +324,47 @@ def dot_recombine(lhs, rhs, acc_lo, acc_hi, *, keep: int,
     kc = min(block_k, k_dim)
     while k_dim % kc:
         kc //= 2
-    # 16 MB scoped-VMEM envelope: (tb=256, kc=8192, keep=4) is measured to
-    # compile; the rhs slab (kc * keep * 128 i8, double-buffered) is the
-    # dominant term, so scale kc down when keep grows (untruncated/WoP
-    # keysets run keep up to 8)
+    # VMEM envelope: the rhs slab (kc * j_group * keep * 128 i8,
+    # double-buffered) is the dominant term, so scale kc down when keep
+    # grows (untruncated/WoP keysets run keep up to 8)
     while kc > 512 and kc * keep > 8192 * 4:
         kc //= 2
     n_ko = k_dim // kc
+    if j_group is None:
+        j_group = 1
+        while (jo % (j_group * 2) == 0
+               and kc * (j_group * 2) * keep * BLOCK <= (8 << 20)):
+            j_group *= 2
+    while jo % j_group:
+        j_group //= 2
+    n_jo = jo // j_group
 
     kernel = functools.partial(_kernel, keep=keep,
-                               limb_offset=limb_offset, n_ko=n_ko)
+                               limb_offset=limb_offset, n_ko=n_ko,
+                               j_group=j_group)
     if jo_outer:
-        grid = (jo, b_ct // tb, n_ko)
+        grid = (n_jo, b_ct // tb, n_ko)
         io_ix, jo_ix = (lambda j, io, ko: io), (lambda j, io, ko: j)
         ko_ix = lambda j, io, ko: ko
     else:
-        grid = (b_ct // tb, jo, n_ko)
+        grid = (b_ct // tb, n_jo, n_ko)
         io_ix, jo_ix = (lambda io, j, ko: io), (lambda io, j, ko: j)
         ko_ix = lambda io, j, ko: ko
     pair_spec = pl.BlockSpec(
-        (tb, BLOCK), lambda *g: (io_ix(*g), jo_ix(*g)),
+        (tb, j_group * BLOCK), lambda *g: (io_ix(*g), jo_ix(*g)),
         memory_space=pltpu.VMEM)
+    # scoped-VMEM bound: rhs + lhs double-buffered, accumulator scratch,
+    # 4 acc pair blocks in+out
+    vmem_est = (2 * (kc * j_group * keep * BLOCK + tb * kc)
+                + 4 * tb * j_group * keep * BLOCK
+                + 16 * tb * j_group * BLOCK)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tb, kc), lambda *g: (io_ix(*g), ko_ix(*g)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kc, keep * BLOCK),
+            pl.BlockSpec((kc, j_group * keep * BLOCK),
                          lambda *g: (ko_ix(*g), jo_ix(*g)),
                          memory_space=pltpu.VMEM),
             pair_spec,
@@ -209,7 +373,8 @@ def dot_recombine(lhs, rhs, acc_lo, acc_hi, *, keep: int,
         out_specs=(pair_spec, pair_spec),
         out_shape=(jax.ShapeDtypeStruct((b_ct, jo * BLOCK), U32),
                    jax.ShapeDtypeStruct((b_ct, jo * BLOCK), U32)),
-        scratch_shapes=[pltpu.VMEM((tb, keep * BLOCK), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((tb, j_group * keep * BLOCK),
+                                   jnp.int32)],
         # in the KO==1 regime every (j, io) cell is independent, so the
         # two outer grid dims can be declared parallel (Mosaic may
         # pipeline/overlap across cells); ko accumulates in scratch and
@@ -218,6 +383,8 @@ def dot_recombine(lhs, rhs, acc_lo, acc_hi, *, keep: int,
             dimension_semantics=(
                 ("parallel", "parallel", "arbitrary")
                 if parallel_dims and n_ko == 1
-                else ("arbitrary", "arbitrary", "arbitrary"))),
+                else ("arbitrary", "arbitrary", "arbitrary")),
+            vmem_limit_bytes=max(16 << 20, int(1.25 * vmem_est)),
+        ),
         interpret=interpret,
     )(lhs, rhs, acc_lo, acc_hi)

@@ -619,7 +619,8 @@ def _garner_shifted(primes: tuple, res_vals, shift: int):
     return hi, t
 
 
-def _garner_prefolded(primes: tuple, c_vals, shift: int):
+def _garner_prefolded(primes: tuple, c_vals, shift: int,
+                      skip_h: bool = False):
     """_garner_shifted for inverse outputs that already carry the
     M_i^{-1} factor (folded into the v1i tables by build_fused_tables):
     c_vals[i] is a LAZY u32 ≡ z * M_i^{-1} (mod p_i).
@@ -662,6 +663,15 @@ def _garner_prefolded(primes: tuple, c_vals, shift: int):
     t = lo - kp_lo
     hi = hi - kp_hi - _lt_u32(lo, t).astype(U32)
     lo = t
+    if skip_h:
+        # hi-only accumulator mode: emit top32(((z+H) << s) mod 2^64) -
+        # top32(H << s); only the BORROW of the low-word H subtraction is
+        # dropped — a deterministic, oracle-mirrored <= n_small * 2^32
+        # accumulator perturbation, >= 2^13 below every noise term.  (The
+        # H correction must happen per step: a constant accumulator
+        # offset does NOT commute with the negacyclic rotation — the
+        # wraparound sign flips would leak it into the digits.)
+        return hi - U32(h64[0])
     t = lo - U32(h64[1])
     hi = hi - U32(h64[0]) - _lt_u32(lo, t).astype(U32)
     return hi, t
@@ -1005,21 +1015,32 @@ def _inv_rows(x_u32, pr: int, tabs: FusedTables, idft2, v1i, v1i_off,
     return w.reshape(m, n1 * N2)
 
 
-def _step_kernel(a_ref, acc0_lo_ref, acc0_hi_ref, sv_ref, ss_ref,
-                 w1f_ref, dft2_ref, dft2_off_ref, idft2_ref, v1i_ref,
-                 v1i_off_ref,
-                 twfv_ref, twfs_ref, twiv_ref, twis_ref,
-                 twf16v_ref, twf16s_ref, twfb_ref,
-                 twi16v_ref, twi16s_ref, twib_ref,
-                 out_lo_ref, out_hi_ref,
-                 *, tabs: FusedTables, n: int, base_log: int, levels: int,
-                 kp1: int, r_blk: int, trunc_bits: int):
+def _step_kernel(a_ref, *refs,
+                 tabs: FusedTables, n: int, base_log: int, levels: int,
+                 kp1: int, r_blk: int, trunc_bits: int, acc32: bool):
     from concrete_tpu.ops import pallas_step as ps
+    if acc32:
+        (acc0_hi_ref, sv_ref, ss_ref,
+         w1f_ref, dft2_ref, dft2_off_ref, idft2_ref, v1i_ref,
+         v1i_off_ref,
+         twfv_ref, twfs_ref, twiv_ref, twis_ref,
+         twf16v_ref, twf16s_ref, twfb_ref,
+         twi16v_ref, twi16s_ref, twib_ref,
+         out_hi_ref) = refs
+    else:
+        (acc0_lo_ref, acc0_hi_ref, sv_ref, ss_ref,
+         w1f_ref, dft2_ref, dft2_off_ref, idft2_ref, v1i_ref,
+         v1i_off_ref,
+         twfv_ref, twfs_ref, twiv_ref, twis_ref,
+         twf16v_ref, twf16s_ref, twfb_ref,
+         twi16v_ref, twi16s_ref, twib_ref,
+         out_lo_ref, out_hi_ref) = refs
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
-        out_lo_ref[...] = acc0_lo_ref[...]
+        if not acc32:
+            out_lo_ref[...] = acc0_lo_ref[...]
         out_hi_ref[...] = acc0_hi_ref[...]
 
     primes = tabs.primes
@@ -1031,8 +1052,8 @@ def _step_kernel(a_ref, acc0_lo_ref, acc0_hi_ref, sv_ref, ss_ref,
     # the accumulator update are ALL contiguous row ranges — the former
     # (r_blk, kp1, n) layout paid a strided sublane gather per pointwise
     # slice and per accumulator component write.
-    acc_lo = out_lo_ref[...].reshape(kp1 * r_blk, n)
     acc_hi = out_hi_ref[...].reshape(kp1 * r_blk, n)
+    acc_lo = None if acc32 else out_lo_ref[...].reshape(kp1 * r_blk, n)
     # step-j rotation amounts: the a block carries the full per-row step
     # vector (blocks with a lane dim of 1 are not lowerable); select
     # column j by mask-reduce — negligible next to the transforms
@@ -1046,7 +1067,10 @@ def _step_kernel(a_ref, acc0_lo_ref, acc0_hi_ref, sv_ref, ss_ref,
         .reshape(kp1 * r_blk, 1)
     if "rotate" in _ABLATE:
         digs = [jax.lax.bitcast_convert_type(
-            acc_lo >> U32(10), I32)] * levels
+            acc_hi >> U32(10), I32)] * levels
+    elif acc32:
+        digs = ps.rotate_diff_digits_hi(acc_hi, a_rows, n=n,
+                                        base_log=base_log, levels=levels)
     else:
         digs = ps.rotate_diff_digits(acc_lo, acc_hi, a_rows, n=n,
                                      base_log=base_log, levels=levels)
@@ -1094,6 +1118,14 @@ def _step_kernel(a_ref, acc0_lo_ref, acc0_hi_ref, sv_ref, ss_ref,
                                  v1i_off_ref, twiv_ref, twis_ref,
                                  twi16v_ref, twi16s_ref, twib_ref))
 
+    if acc32:
+        if "garner" in _ABLATE:
+            add_hi = res[0]
+        else:
+            add_hi = _garner_prefolded(primes, res, trunc_bits,
+                                       skip_h=True)
+        out_hi_ref[...] = out_hi_ref[...] + add_hi.reshape(kp1, r_blk, n)
+        return
     if "garner" in _ABLATE:
         add_hi, add_lo = res[0], res[-1]
     else:
@@ -1122,18 +1154,83 @@ def _choose_row_block(b_ct: int, n: int, kp1: int, cin: int, n_p: int,
     return max(r, 1)
 
 
+def acc32_eligible(bsk: FusedBSK) -> bool:
+    """Hi-only accumulator mode for the fused scan: the gadget digits must
+    read only the accumulator's high u32 word (levels*base_log <= 31).
+    Unlike the banded path's exact hi-only mode, the fused Garner output
+    has nonzero low bits (trunc shift < 32), so the mode truncates each
+    step's update to its top word — a deterministic, oracle-mirrored
+    perturbation bounded by (n_small + 2) * 2^32 per coefficient
+    (relative std < 2^-20), >= 2^13 below the smallest message scale any
+    fused parameter set carries (see blind_rotate_acc32_oracle)."""
+    from concrete_tpu.ops import pallas_step as ps
+    return (_os.environ.get("CONCRETE_TPU_ACC32", "1") == "1"
+            and ps.digits_lo_free(bsk.base_log, bsk.levels))
+
+
+def blind_rotate_acc32_oracle(lwe_ct, bsk_u64, lut_poly,
+                              params: CryptoParams, primes: tuple,
+                              trunc_bits: int):
+    """Numpy oracle for the hi-only fused accumulator (single ciphertext).
+
+    Mirrors the kernel's truncated arithmetic exactly: the accumulator is
+    maintained as the top u32 word per coefficient; each step adds
+    top32(((z + H) << t) mod 2^64) - top32(H << t) for the exact external
+    product z of the balanced digits with the t-bit-truncated,
+    down-shifted BSK (H = (prod(primes)-1)/2 — the Garner half-offset;
+    only the low-word borrow of its subtraction is dropped).
+    """
+    from concrete_tpu.core import refimpl as ref
+    n = params.polynomial_size
+    k = params.glwe_dimension
+    l = params.pbs_level
+    bl = params.pbs_base_log
+    h_half = (math.prod(primes) - 1) // 2
+    htop = (((h_half << trunc_bits) % (1 << 64)) >> 32) % (1 << 32)
+    switched = ref.modulus_switch(np.asarray(lwe_ct, dtype=np.uint64),
+                                  params.log2_polynomial_size)
+    a_t, b_t = switched[:-1], int(switched[-1])
+    acc0 = ref.glwe_trivial(ref.monomial_mul(lut_poly, 2 * n - b_t), k)
+    hi = (acc0 >> np.uint64(32)).astype(np.uint32)
+    signed = truncate_bsk_u64(bsk_u64, trunc_bits).astype(np.int64)
+    signed >>= np.int64(trunc_bits)
+    b_sh = signed.astype(np.uint64)           # (n_small, l, k+1, k+1, N)
+    h64 = np.uint64(h_half % (1 << 64))
+    for i in range(params.n_small):
+        v = hi.astype(np.uint64) << np.uint64(32)        # (k+1, N)
+        rot = np.stack([ref.monomial_mul(v[c], int(a_t[i]))
+                        for c in range(k + 1)])
+        diff = rot - v
+        digs = ref.decompose(diff, bl, l)                # (k+1, N, l)
+        zmod = np.zeros((k + 1, n), dtype=np.uint64)
+        for lev in range(l):
+            for comp in range(k + 1):
+                d_u = digs[comp, :, lev].astype(np.uint64)
+                for co in range(k + 1):
+                    zmod[co] += ref.negacyclic_polymul(
+                        d_u, b_sh[i, lev, comp, co])
+        w = (zmod + h64) << np.uint64(trunc_bits)
+        hi = hi + (w >> np.uint64(32)).astype(np.uint32) \
+            - np.uint32(htop)
+    return hi.astype(np.uint64) << np.uint64(32)
+
+
 def blind_rotate_fused(ct_small, bsk: FusedBSK, lut_poly,
                        params: CryptoParams, row_block: int = None,
-                       interpret: bool = None):
+                       interpret: bool = None, acc32: bool = None):
     """Batched blind rotation, entire scan in ONE pallas_call.
 
     (B, n+1) u64 + (N,) LUT -> accumulator (B, k+1, N) u64, bit-identical
-    to refimpl.blind_rotate on truncate_bsk_u64(bsk, t).
+    to refimpl.blind_rotate on truncate_bsk_u64(bsk, t) — or, in the
+    hi-only accumulator mode (acc32, default when acc32_eligible), to
+    blind_rotate_acc32_oracle.
     """
     from concrete_tpu.core import kernels as kn
     from concrete_tpu.ops import pallas_step as ps
     if interpret is None:
         interpret = not _on_tpu()
+    if acc32 is None:
+        acc32 = acc32_eligible(bsk)
     b_ct = ct_small.shape[0]
     n = params.polynomial_size
     k = params.glwe_dimension
@@ -1162,11 +1259,10 @@ def blind_rotate_fused(ct_small, bsk: FusedBSK, lut_poly,
     lo0, hi0 = ps.split_u64(acc0.reshape(kp1 * b_ct, n))
     lo0 = lo0.reshape(kp1, b_ct, n)
     hi0 = hi0.reshape(kp1, b_ct, n)
-
     r_blk = row_block or _choose_row_block(b_ct, n, kp1, cin, n_p)
     kernel = functools.partial(
         _step_kernel, tabs=tabs, n=n, base_log=bsk.base_log, levels=levels,
-        kp1=kp1, r_blk=r_blk, trunc_bits=bsk.trunc_bits)
+        kp1=kp1, r_blk=r_blk, trunc_bits=bsk.trunc_bits, acc32=acc32)
 
     acc_spec = pl.BlockSpec((kp1, r_blk, n), lambda i, j: (_I0, i, _I0),
                             memory_space=pltpu.VMEM)
@@ -1178,13 +1274,19 @@ def blind_rotate_fused(ct_small, bsk: FusedBSK, lut_poly,
         return pl.BlockSpec(shape3, lambda i, j: (_I0, _I0, _I0),
                             memory_space=pltpu.VMEM)
 
-    lo, hi = pl.pallas_call(
+    acc_in_specs = [acc_spec] if acc32 else [acc_spec, acc_spec]
+    acc_inputs = [hi0] if acc32 else [lo0, hi0]
+    out_specs = acc_spec if acc32 else (acc_spec, acc_spec)
+    out_shape = jax.ShapeDtypeStruct((kp1, b_ct, n), jnp.uint32)
+    if not acc32:
+        out_shape = (out_shape, out_shape)
+    res = pl.pallas_call(
         kernel,
         grid=(b_ct // r_blk, n_small),
         in_specs=[
             pl.BlockSpec((r_blk, n_small), lambda i, j: (i, _I0),
                          memory_space=pltpu.VMEM),
-            acc_spec, acc_spec,
+            *acc_in_specs,
             spec_spec, spec_spec,
             _tab(tabs.w1f.shape), _tab(tabs.dft2.shape),
             _tab(tabs.dft2_off.shape),
@@ -1197,9 +1299,8 @@ def blind_rotate_fused(ct_small, bsk: FusedBSK, lut_poly,
             _tab(tabs.twi16_val.shape), _tab(tabs.twi16_sh.shape),
             _tab(tabs.twi_bias.shape),
         ],
-        out_specs=(acc_spec, acc_spec),
-        out_shape=(jax.ShapeDtypeStruct((kp1, b_ct, n), jnp.uint32),
-                   jax.ShapeDtypeStruct((kp1, b_ct, n), jnp.uint32)),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             # default scoped-VMEM limit is 16 MB; v5e has 128 MB of VMEM.
             # r_blk=16 needs ~17.3 MB — allow headroom so larger row
@@ -1208,12 +1309,16 @@ def blind_rotate_fused(ct_small, bsk: FusedBSK, lut_poly,
             vmem_limit_bytes=int(_os.environ.get(
                 "CONCRETE_TPU_FUSED_VMEM_MB", "24")) << 20),
         interpret=interpret,
-    )(a_t, lo0, hi0, bsk.spec_val, bsk.spec_sh,
+    )(a_t, *acc_inputs, bsk.spec_val, bsk.spec_sh,
       tabs.w1f, tabs.dft2, tabs.dft2_off, tabs.idft2, tabs.v1i,
       tabs.v1i_off,
       tabs.twf_val, tabs.twf_sh, tabs.twi_val, tabs.twi_sh,
       tabs.twf16_val, tabs.twf16_sh, tabs.twf_bias,
       tabs.twi16_val, tabs.twi16_sh, tabs.twi_bias)
-    acc = ps.merge_u64(lo.reshape(kp1 * b_ct, n),
-                       hi.reshape(kp1 * b_ct, n)).reshape(kp1, b_ct, n)
+    if acc32:
+        acc = (res.astype(jnp.uint64) << jnp.uint64(32))
+    else:
+        lo, hi = res
+        acc = ps.merge_u64(lo.reshape(kp1 * b_ct, n),
+                           hi.reshape(kp1 * b_ct, n)).reshape(kp1, b_ct, n)
     return jnp.moveaxis(acc, 0, 1)                       # (B, kp1, N)

@@ -80,6 +80,38 @@ def _digits_i32(hi, lo, base_log: int, levels: int):
     return out
 
 
+def digits_lo_free(base_log: int, levels: int) -> bool:
+    """True when the gadget digits depend only on the accumulator's HIGH
+    u32 word: every w_j (j <= levels) reads v >> (s-1) with
+    s - 1 = 63 - j*b >= 32 and its bit32 probe sits at >= 64, i.e.
+    levels * base_log <= 31.  This is the condition for the hi-only
+    accumulator mode (acc lo identically zero when the kept product
+    planes all land at shifts >= 32 — see dot_recombine_hi)."""
+    return levels * base_log <= 31
+
+
+def _digits_i32_hi(hi, base_log: int, levels: int):
+    """_digits_i32 for a lo-free decomposition (digits_lo_free must hold);
+    the lo plane is never materialized."""
+    assert digits_lo_free(base_log, levels), (base_log, levels)
+
+    def w(j):
+        if j == 0:
+            return hi >> U32(31)
+        s = 64 - j * base_log
+        t = hi >> U32(s - 33)
+        u = t + U32(1)
+        ov = (t == U32(0xFFFFFFFF)).astype(U32)
+        return (u >> U32(1)) | (ov << U32(31))
+
+    ws = [w(j) for j in range(levels + 1)]
+    out = []
+    for j in range(1, levels + 1):
+        d = ws[j] - (ws[j - 1] << U32(base_log))
+        out.append(jax.lax.bitcast_convert_type(d, jnp.int32))
+    return out
+
+
 def _digit_limbs_i8(d, num_limbs: int):
     """Balanced base-256 int8 limbs of small signed int32 digits (list)."""
     limbs = []
@@ -175,6 +207,30 @@ def rotate_decompose_limbs(acc_lo, acc_hi, a_rows, *, base_log: int,
     )(a_rows.reshape(rows, 1), acc_lo, acc_hi)
 
 
+def rotate_diff_digits_hi(hi, a, *, n: int, base_log: int, levels: int):
+    """rotate_diff_digits for the hi-only accumulator mode: the u64
+    accumulator is v = hi * 2^32 exactly (lo identically zero), so the
+    negacyclic negation is exact in one plane (-(h*2^32) =
+    ((2^32 - h) mod 2^32) * 2^32 — no borrow), the difference is a single
+    u32 subtract, and the decomposition reads hi only
+    (digits_lo_free(base_log, levels) must hold).  Half the roll/select
+    work of the pair version — the rolls were pure waste on a zero lo.
+    """
+    a_mod = a & jnp.int32(n - 1)
+    s_bit = (a >> jnp.int32(int(n).bit_length() - 1)) & 1
+    r_hi = hi
+    for b in range(int(n - 1).bit_length()):
+        take = ((a_mod >> b) & 1) != 0
+        shift = jnp.int32(1 << b)
+        rh = pltpu.roll(r_hi, shift, axis=1)
+        r_hi = jnp.where(take, rh, r_hi)
+    col = jax.lax.broadcasted_iota(jnp.int32, r_hi.shape, 1)
+    flip = (col < a_mod) ^ (s_bit != 0)
+    rot_hi = jnp.where(flip, U32(0) - r_hi, r_hi)
+    d_hi = rot_hi - hi
+    return _digits_i32_hi(d_hi, base_log, levels)
+
+
 def rotate_diff_digits(lo, hi, a, *, n: int, base_log: int, levels: int):
     """Negacyclic rotate-by-a, subtract, balanced gadget decompose — on
     VALUES (u32 pair planes), shared by the standalone kernel below and
@@ -204,6 +260,48 @@ def rotate_diff_digits(lo, hi, a, *, n: int, base_log: int, levels: int):
     bw = (rot_lo < lo).astype(U32)
     d_hi = rot_hi - hi - bw
     return _digits_i32(d_hi, d_lo, base_log, levels)
+
+
+def _rotate_kernel_hi(a_ref, hi_ref, *dl_refs,
+                      n: int, base_log: int, levels: int, a_limbs: int):
+    """_rotate_kernel for the hi-only accumulator mode."""
+    digits = rotate_diff_digits_hi(hi_ref[...], a_ref[...], n=n,
+                                   base_log=base_log, levels=levels)
+    for lev, dig in enumerate(digits):
+        for limb, byte in enumerate(_digit_limbs_i8(dig, a_limbs)):
+            dl_refs[lev * a_limbs + limb][...] = byte
+
+
+def rotate_decompose_limbs_hi(acc_hi, a_rows, *, base_log: int,
+                              levels: int, a_limbs: int,
+                              row_tile: int = None,
+                              interpret: bool = False):
+    """rotate_decompose_limbs on a hi-only accumulator plane."""
+    rows, n = acc_hi.shape
+    if row_tile is None:
+        row_tile = max(32, 1 << (int(12e6 / (32 * n)).bit_length() - 1))
+    tile = min(row_tile, rows)
+    while rows % tile:
+        tile //= 2
+    grid = (rows // tile,)
+    kernel = functools.partial(_rotate_kernel_hi, n=n, base_log=base_log,
+                               levels=levels, a_limbs=a_limbs)
+    n_out = levels * a_limbs
+    plane_spec = pl.BlockSpec((tile, n), lambda i: (i, _I0),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, 1), lambda i: (i, _I0),
+                         memory_space=pltpu.VMEM),
+            plane_spec,
+        ],
+        out_specs=tuple(plane_spec for _ in range(n_out)),
+        out_shape=tuple(jax.ShapeDtypeStruct((rows, n), jnp.int8)
+                        for _ in range(n_out)),
+        interpret=interpret,
+    )(a_rows.reshape(rows, 1), acc_hi)
 
 
 def _rotate_digits_kernel(a_ref, lo_ref, hi_ref, *d_refs,

@@ -60,7 +60,8 @@ def test_blind_rotate_fused_bit_exact_other_sizes(rng, poly_size):
     primes, t = fn.choose_fused_primes(params, message_bits=6)
     fbsk = fn.pack_bsk_fused(bsk, params, primes=primes, trunc_bits=t)
     got = np.asarray(fn.blind_rotate_fused(
-        jnp.asarray(ct), fbsk, jnp.asarray(lut), params, interpret=True))
+        jnp.asarray(ct), fbsk, jnp.asarray(lut), params, interpret=True,
+        acc32=False))
     bsk_oracle = fn.truncate_bsk_u64(bsk, t)
     for b in range(b_ct):
         want = ref.blind_rotate(ct[b], bsk_oracle, lut, params)
@@ -80,7 +81,8 @@ def test_blind_rotate_fused_bit_exact(rng, n_primes, expect_trunc):
     assert (t > 0) == expect_trunc
     fbsk = fn.pack_bsk_fused(bsk, params, primes=primes, trunc_bits=t)
     got = np.asarray(fn.blind_rotate_fused(
-        jnp.asarray(ct), fbsk, jnp.asarray(lut), params, interpret=True))
+        jnp.asarray(ct), fbsk, jnp.asarray(lut), params, interpret=True,
+        acc32=False))
     bsk_oracle = fn.truncate_bsk_u64(bsk, t)
     for b in range(b_ct):
         want = ref.blind_rotate(ct[b], bsk_oracle, lut, params)
@@ -104,7 +106,7 @@ def test_fused_tables_safe_across_separate_jits(rng):
 
     def run(c):
         return fn.blind_rotate_fused(c, fbsk, jnp.asarray(lut), params,
-                                     interpret=True)
+                                     interpret=True, acc32=False)
 
     # two SEPARATE jit objects = two traces sharing one table-cache entry
     got1 = np.asarray(jax.jit(run)(jnp.asarray(ct)))
@@ -114,6 +116,24 @@ def test_fused_tables_safe_across_separate_jits(rng):
                      for b in range(b_ct)])
     assert np.array_equal(got1, want)
     assert np.array_equal(got2, want)
+
+
+def test_blind_rotate_fused_acc32_bit_exact(rng):
+    """Hi-only accumulator mode vs its truncated-arithmetic numpy oracle
+    (blind_rotate_acc32_oracle): the kernel's per-step top-word updates,
+    the H prefold, and the lo-free digits must reproduce exactly."""
+    params = P_TEST
+    b_ct = 3
+    bsk, ct, lut = _random_inputs(rng, params, b_ct)
+    primes, t = fn.choose_fused_primes(params, message_bits=3)
+    fbsk = fn.pack_bsk_fused(bsk, params, primes=primes, trunc_bits=t)
+    assert fn.acc32_eligible(fbsk)
+    got = np.asarray(fn.blind_rotate_fused(
+        jnp.asarray(ct), fbsk, jnp.asarray(lut), params, interpret=True))
+    for b in range(b_ct):
+        want = fn.blind_rotate_acc32_oracle(ct[b], bsk, lut, params,
+                                            primes, t)
+        assert np.array_equal(got[b], want), f"row {b} differs"
 
 
 def test_pbs_batch_dispatches_fused(rng):

@@ -15,12 +15,14 @@ from concrete_tpu.ops import pallas_step as ps
 RNG = np.random.default_rng(11)
 
 
+@pytest.mark.parametrize("j_group", [1, 2, None])
 @pytest.mark.parametrize("limb_offset", [0, 4])
 @pytest.mark.parametrize("cin,cout,keep,n,b", [
     (8, 2, 4, 256, 16),
     (4, 2, 3, 128, 8),
 ])
-def test_dot_recombine_matches_shipped(cin, cout, keep, n, b, limb_offset):
+def test_dot_recombine_matches_shipped(cin, cout, keep, n, b, limb_offset,
+                                       j_group):
     block = min(128, n)
     vv = RNG.integers(-128, 128, (cin, cout, 8, 2 * n - 1)).astype(np.int8)
     lhs = RNG.integers(-128, 128, (b, cin * n)).astype(np.int8)
@@ -40,7 +42,7 @@ def test_dot_recombine_matches_shipped(cin, cout, keep, n, b, limb_offset):
         jnp.asarray(lhs), rhs,
         lo.reshape(b, cout * n), hi.reshape(b, cout * n),
         keep=keep, limb_offset=limb_offset, block_b=8, block_k=128,
-        interpret=True)
+        j_group=j_group, interpret=True)
 
     assert np.array_equal(np.asarray(lo_ref),
                           np.asarray(lo2).reshape(b * cout, n))
@@ -79,6 +81,34 @@ def test_dot_recombine_multi_limb_digits(a_limbs):
                           np.asarray(lo2).reshape(b * cout, n))
     assert np.array_equal(np.asarray(hi_ref),
                           np.asarray(hi2).reshape(b * cout, n))
+
+
+@pytest.mark.parametrize("segmented", [False, True])
+def test_dot_recombine_hi_matches_pair(segmented):
+    """Hi-only kernel == pair kernel with a zero low plane when every
+    kept plane lands at shift >= 32 (limb_offset 4), for both the single
+    and the segmented lhs forms."""
+    cin, cout, keep, n, b = 8, 2, 4, 256, 16
+    limb_offset = 4
+    block = min(128, n)
+    vv = RNG.integers(-128, 128, (cin, cout, 8, 2 * n - 1)).astype(np.int8)
+    lhs = RNG.integers(-128, 128, (b, cin * n)).astype(np.int8)
+    acc_hi = RNG.integers(0, 1 << 32, (b * cout, n)).astype(np.uint32)
+    lo = jnp.zeros((b, cout * n), dtype=jnp.uint32)
+    hi2d = jnp.asarray(acc_hi).reshape(b, cout * n)
+
+    rhs = pdr.build_fused_rhs(jnp.asarray(vv), block, keep)
+    _, hi_ref = pdr.dot_recombine(
+        jnp.asarray(lhs), rhs, lo, hi2d,
+        keep=keep, limb_offset=limb_offset, block_b=8, block_k=cin * n,
+        interpret=True)
+    lhs_in = ([jnp.asarray(lhs[:, i * 2 * n:(i + 1) * 2 * n])
+               for i in range(cin // 2)] if segmented
+              else jnp.asarray(lhs))
+    got = pdr.dot_recombine_hi(
+        lhs_in, rhs, hi2d, keep=keep, limb_offset=limb_offset,
+        block_b=8, block_k=cin * n, interpret=True)
+    assert np.array_equal(np.asarray(got), np.asarray(hi_ref))
 
 
 def test_build_fused_rhs_is_column_permutation():

@@ -108,6 +108,36 @@ def test_blind_rotate_pallas_truncated():
     assert np.array_equal(got, want)
 
 
+def test_blind_rotate_pallas_acc32_matches_xla():
+    """Hi-only accumulator mode (truncate_limbs*8 >= 32, lo-free digits):
+    bit-exact vs the XLA u64 path on the same truncated BSK — the low
+    accumulator word is identically zero, so dropping it changes nothing
+    (kernels._acc32_eligible)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from concrete_tpu.params import TEST_PARAMS_TINY_WIDE as P
+    from concrete_tpu.core import keygen as kg
+
+    rng = np.random.default_rng(13)
+    sk, server = kg.keygen(rng, P)
+    p = 3
+    lut = np.arange(8, dtype=np.uint64)
+    lut_poly = jnp.asarray(ref.encode_expand_lut(lut, P.polynomial_size, p))
+    msgs = np.arange(4)
+    ct = ref.lwe_encrypt(rng, sk.lwe_big, ref.encode(msgs, p), P.lwe_std / 256)
+    ct_small = jnp.asarray(ref.keyswitch(ct, server.ksk, P.ks_base_log,
+                                         P.ks_level))
+    bsk = K.pack_bsk(server.bsk, P, truncate_limbs=4)
+    assert K._acc32_eligible(bsk, P, 4)
+    want = np.asarray(K._blind_rotate_xla(ct_small, bsk, lut_poly, P))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(K._blind_rotate_pallas_hi(ct_small, bsk,
+                                                   lut_poly, P))
+        via_dispatch = np.asarray(K._blind_rotate_pallas(ct_small, bsk,
+                                                         lut_poly, P))
+    assert np.array_equal(got, want)
+    assert np.array_equal(via_dispatch, want)
+
+
 @pytest.mark.parametrize("cin,cout,s_limbs,a_limbs,n", [
     (2, 2, 6, 1, 256), (3, 3, 6, 3, 256), (2, 1, 3, 2, 128)])
 def test_banded_matmul_fused_matches_xla(cin, cout, s_limbs, a_limbs, n):

@@ -67,7 +67,8 @@ def bench(name, step_fn, carry, iters=3):
     return dt
 
 
-def full_step(block_b, block_k, jo_outer=True, parallel_dims=False):
+def full_step(block_b, block_k, jo_outer=True, parallel_dims=False,
+              j_group=1):
     def step(carry):
         lo, hi = carry
         d_planes = ps.rotate_decompose_limbs(lo, hi, a_rows,
@@ -81,20 +82,55 @@ def full_step(block_b, block_k, jo_outer=True, parallel_dims=False):
             lhs, rhs, lo.reshape(B, KP1 * N), hi.reshape(B, KP1 * N),
             keep=keep, limb_offset=trunc, block_b=block_b,
             block_k=block_k, jo_outer=jo_outer,
-            parallel_dims=parallel_dims)
+            parallel_dims=parallel_dims, j_group=j_group)
         return (lo2.reshape(B * KP1, N), hi2.reshape(B * KP1, N))
     return step
 
 
+def full_step_hi(block_b, block_k, j_group=1, parallel_dims=False,
+                 segmented=True):
+    """Hi-only accumulator step (kernels._blind_rotate_pallas_hi phases)."""
+    from concrete_tpu.ops.pallas_dot_recombine import dot_recombine_hi
+
+    def step(carry):
+        (hi,) = carry
+        d_planes = ps.rotate_decompose_limbs_hi(
+            hi, a_rows, base_log=P.pbs_base_log, levels=L, a_limbs=1)
+        if segmented:
+            lhs = [d_planes[lev].reshape(B, KP1 * N) for lev in range(L)]
+        else:
+            lhs = jnp.concatenate(
+                [d_planes[lev].reshape(B, KP1, N) for lev in range(L)],
+                axis=1).reshape(B, L * KP1 * N)
+        rhs = build_fused_rhs(w_vv, 128, keep)
+        hi2 = dot_recombine_hi(
+            lhs, rhs, hi.reshape(B, KP1 * N),
+            keep=keep, limb_offset=trunc, block_b=block_b,
+            block_k=block_k, j_group=j_group, parallel_dims=parallel_dims)
+        return (hi2.reshape(B * KP1, N),)
+    return step
+
+
 import os
+# spec = bb:bk:jo_outer:parallel[:j_group]
 CONFIGS = os.environ.get(
     "CONCRETE_TPU_SWEEP",
-    "256:8192:1:0,256:8192:1:1,128:8192:1:1,512:4096:1:1,128:16384:1:0")
+    "256:8192:1:0:1,256:8192:1:0:2,256:8192:1:0:4,512:8192:1:0:2,"
+    "256:8192:1:0:8,512:8192:1:0:4")
 for spec in CONFIGS.split(","):
-    bb, bk, joo, par = (int(v) for v in spec.split(":"))
+    hi_only = spec.startswith("hi:")
+    parts = [int(v) for v in spec.split(":")[1 if hi_only else 0:]]
+    bb, bk, joo, par = parts[:4]
+    jg = parts[4] if len(parts) > 4 else 1
     try:
-        bench(f"fusedrecombine bb={bb} bk={bk} jo={joo} par={par}",
-              full_step(bb, bk, bool(joo), bool(par)), (lo, hi))
+        if hi_only:
+            assert trunc * 8 >= 32, trunc
+            bench(f"fusedrecombine-HI bb={bb} bk={bk} jg={jg} par={par}",
+                  full_step_hi(bb, bk, jg, bool(par)), (hi,))
+        else:
+            bench(f"fusedrecombine bb={bb} bk={bk} jo={joo} par={par} "
+                  f"jg={jg}",
+                  full_step(bb, bk, bool(joo), bool(par), jg), (lo, hi))
     except Exception as e:  # vmem OOM etc: report and keep sweeping
         print(f"fusedrecombine {spec}: "
               f"{type(e).__name__}: {str(e)[:120]}", flush=True)
