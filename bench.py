@@ -359,8 +359,10 @@ def main() -> None:
     if args.params == "4bit-tpuopt":
         # effective int8 MXU utilization of the headline path: model MACs
         # per PBS (optimizer cost model incl. BSK truncation) x measured
-        # rate vs the ~400 Tmac/s measured MXU peak
-        # (tools/probe_dot_rate.py)
+        # rate vs v5e's 197 Tmac/s int8 peak (394 TOPS; the round-3
+        # "~400 Tmac/s" figure double-counted ops-per-MAC — the DCE-proof
+        # probe's 153 Tmac/s sustained and the Pallas dot's measured
+        # 184 Tmac/s are 78%/93% of the real peak)
         from concrete_tpu.optimizer.v0 import cost_pbs_macs
         macs = float(cost_pbs_macs(
             np.array([params.n_small], dtype=np.float64),
@@ -370,9 +372,9 @@ def main() -> None:
         print(f"# effective {eff / 1e12:.1f} Tmac/s "
               f"({macs / 1e9:.2f} G MACs/PBS)", file=sys.stderr)
         print(json.dumps({"metric": "tmac_utilization",
-                          "value": round(eff / 400e12, 3),
+                          "value": round(eff / 197e12, 3),
                           "unit": "frac_of_peak",
-                          "vs_baseline": round(eff / 400e12, 3)}),
+                          "vs_baseline": round(eff / 197e12, 3)}),
               flush=True)
 
     if not args.quick and args.params == "4bit-tpuopt":
