@@ -66,6 +66,34 @@ def decompose(v, base_log: int, levels: int):
     return jnp.stack(digits, axis=-1)
 
 
+def decompose_hi32(v, base_log: int, levels: int):
+    """decompose() reading only the top u32 word — exact whenever
+    levels * base_log <= 31 (then every w_j = round_half_up(v / 2^s)
+    uses v >> (s-1) with s-1 >= 32, plus a +1 rounding carry that a u32
+    computes correctly: the carry out of bit 31 of (v >> (s-1)) + 1 can
+    only occur when the low 32 bits of the shifted value are all ones,
+    which the u32 add reproduces).  Avoids XLA's x64 emulation (~5x the
+    u32 op count) on the keyswitch decompose hot path.
+    """
+    assert levels * base_log <= 31, (base_log, levels)
+    hi = (v.astype(U64) >> U64(32)).astype(jnp.uint32)
+    ws = []
+    for j in range(levels + 1):
+        if j == 0:
+            ws.append(hi >> jnp.uint32(31))
+            continue
+        s = _Q_LOG - j * base_log
+        t = hi >> jnp.uint32(s - 33)
+        u = t + jnp.uint32(1)
+        ov = (t == jnp.uint32(0xFFFFFFFF)).astype(jnp.uint32)
+        ws.append((u >> jnp.uint32(1)) | (ov << jnp.uint32(31)))
+    digits = []
+    for j in range(1, levels + 1):
+        d = ws[j] - (ws[j - 1] << jnp.uint32(base_log))
+        digits.append(jax.lax.bitcast_convert_type(d, jnp.int32))
+    return jnp.stack(digits, axis=-1)
+
+
 def modulus_switch(v, log2_poly_size: int):
     """u64 torus -> [0, 2N) with round-half-up (simulation.cpp:60-75)."""
     shift = U64(_Q_LOG - log2_poly_size - 2)
@@ -411,7 +439,10 @@ def keyswitch(ct, ksk: LimbKSK):
     n_out_p1 = ksk.planes.shape[2]
     b_ct = ct.shape[0]
     a, body = ct[:, :n_in], ct[:, n_in]
-    digits = decompose(a, ksk.base_log, ksk.levels)          # (B, n_in, l) i32
+    if ksk.levels * ksk.base_log <= 31:
+        digits = decompose_hi32(a, ksk.base_log, ksk.levels)  # (B,n_in,l)
+    else:
+        digits = decompose(a, ksk.base_log, ksk.levels)      # (B, n_in, l)
     a_limbs_n = lb.num_digit_limbs(ksk.base_log)
     d_limbs = lb.i32_digits_to_balanced_i8(digits, a_limbs_n)  # (B,n_in,l,A)
     d_limbs = d_limbs.reshape(b_ct, n_in * ksk.levels, a_limbs_n)

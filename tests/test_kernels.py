@@ -214,3 +214,22 @@ def test_latency_blind_rotate_truncated_bsk_correct(keys):
     out = np.asarray(K.sample_extract(acc, 0))
     dec = ref.decode(ref.lwe_decrypt(sk.lwe_big, out), p)
     assert np.array_equal(dec, (3 * msgs + 1) % 8)
+
+
+def test_decompose_hi32_matches_u64():
+    """decompose_hi32 (the keyswitch hot path's lo-free decompose) is
+    EXACT vs the u64 closed form whenever levels*base_log <= 31,
+    including the all-ones rounding-carry edge values."""
+    import jax.numpy as jnp
+    from concrete_tpu.core import kernels as K
+    rng = np.random.default_rng(0)
+    v = rng.integers(0, 1 << 64, (4096,), dtype=np.uint64)
+    special = np.array(
+        [0, 2**64 - 1, 2**63, 2**63 - 1, 2**48 - 1, (2**32 - 1) << 32,
+         ((1 << 31) - 1) << 33, (0xFFFFFFFF << 32) | 0xFFFFFFFF],
+        dtype=np.uint64)
+    v = np.concatenate([v, special])
+    for bl, lv in [(2, 8), (4, 4), (5, 4), (4, 3), (23, 1), (15, 2)]:
+        a = K.decompose(jnp.asarray(v), bl, lv)
+        b = K.decompose_hi32(jnp.asarray(v), bl, lv)
+        assert np.array_equal(np.asarray(a), np.asarray(b)), (bl, lv)
