@@ -234,7 +234,8 @@ class Compiler:
                 from concrete_tpu.optimizer.v0 import achieved_p_error
                 target = config.global_p_error
                 for _ in range(9):
-                    ach = achieved_p_error(params, native_patterns)
+                    ach = achieved_p_error(params, native_patterns,
+                                           wide_inputs)
                     if 1.0 - (1.0 - min(ach, 1.0)) ** n_pbs <= target:
                         break
                     p_error = max(p_error * (allowed / ach),

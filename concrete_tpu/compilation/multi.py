@@ -31,7 +31,7 @@ import numpy as np
 
 from concrete_tpu import params as pp
 from concrete_tpu.compilation.widths import (MAX_NATIVE_TLU_BITS, TLU_OPS,
-                                             decision_constraints_after,
+                                             decision_constraints_split,
                                              encoding_width, part_width,
                                              partition_of,
                                              tlu_effective_input_width,
@@ -50,11 +50,17 @@ class Crossing:
     lives in partition `dst`, with the downstream decision constraints
     (width, norm2) its noise must satisfy after conversion.  src_wop_nb
     is the bit count when the source PBS is a WoP TLU (whose fresh noise
-    is the vertical-packing variance, not one blind rotate), else 0."""
+    is the vertical-packing variance, not one blind rotate), else 0.
+
+    `tlu_constraints` is the subset of `constraints` whose decision is a
+    destination TLU input (margin shared with the destination's KS+MS);
+    the rest are output decodes, which see no KS/MS at all
+    (widths.decision_constraints_split)."""
     src: int
     dst: int
     constraints: tuple  # ((width, norm2), ...)
     src_wop_nb: int = 0
+    tlu_constraints: tuple = ()
 
 
 @dataclasses.dataclass
@@ -76,6 +82,10 @@ class PartitionPlan:
     #: partition was solved against — lets the caller recompute ACHIEVED
     #: per-PBS p_error after the fact (global-p_error calibration)
     patterns: dict = dataclasses.field(default_factory=dict)
+    #: width -> tuple of noise-only (p, in_sq, lut_sq) patterns (WoP
+    #: inputs, output decodes) — decision points for the achieved-error
+    #: computation that carry no KS/MS
+    noise_patterns: dict = dataclasses.field(default_factory=dict)
     #: (src, dst) -> worst achieved p_error across the crossing's decision
     #: constraints under the final parameters (computed in the exact
     #: feasibility check)
@@ -127,22 +137,25 @@ def partition_pattern_split(graph: Graph):
         elif p_eff > MAX_NATIVE_TLU_BITS:
             pt.wide_in.append((p_eff, in_c, lut_c))
             nb = wop_nb_bits(graph, node, default)
-            for w, n2o in decision_constraints_after(
-                    graph, node, default, (manp, boundary)):
+            tl, dc = decision_constraints_split(
+                graph, node, default, (manp, boundary))
+            for w, n2o in tl + dc:
                 pt.wop.append((nb, w, n2o))
         else:
             pt.native.append((p_eff, in_c, lut_c))
         if w_out != w_in:
-            cons = tuple(decision_constraints_after(
-                graph, node, default, (manp, boundary)))
+            tlu_cons, dec_cons = decision_constraints_split(
+                graph, node, default, (manp, boundary))
             # extract_bits never lowers to WoP-PBS (its source noise is a
             # sign-PBS output, mirroring tlu_pattern_split's wide_in-only
             # treatment), so only genuine wide TLUs tag the crossing
             crossings.append(Crossing(
-                src=w_in, dst=w_out, constraints=cons,
+                src=w_in, dst=w_out,
+                constraints=tuple(tlu_cons) + tuple(dec_cons),
                 src_wop_nb=wop_nb_bits(graph, node, default)
                 if (p_eff > MAX_NATIVE_TLU_BITS
-                    and node.name != "extract_bits") else 0))
+                    and node.name != "extract_bits") else 0,
+                tlu_constraints=tuple(tlu_cons)))
     for node in graph.ordered_outputs:
         if node.output.is_encrypted:
             pid = partition_of(node, default)
@@ -152,12 +165,12 @@ def partition_pattern_split(graph: Graph):
             if (in_c, lut_c) == (0, 0):
                 in_c = 1
             pt = part(pid)
-            if w > MAX_NATIVE_TLU_BITS:
-                # wide outputs only need decodable noise: no native-LUT
-                # N >= 2^(w+1) requirement (widths.tlu_pattern_split)
-                pt.wide_in.append((w, in_c, lut_c))
-            else:
-                pt.native.append((w, in_c, lut_c))
+            # outputs only need decodable noise at their width: no
+            # native-LUT N >= 2^(w+1) requirement and no v_ks/v_ms term
+            # (widths.tlu_pattern_split has the full rationale — the
+            # round-5 MULTI bench's output-only 7-bit partition was
+            # escalated to N=16384 by the old native classification)
+            pt.wide_in.append((w, in_c, lut_c))
             pt.max_norm2 = max(pt.max_norm2, n2)
     # encrypted inputs whose partition has no PBS still need params (for
     # encryption + leveled ops + decode at the consumer's frontier)
@@ -186,15 +199,19 @@ def _solve_plan(patterns: dict, crossings: list, p_error: float,
                 security_level: int, max_iterations: int,
                 restriction) -> PartitionPlan:
     """Fixed-point parameter solve for one partition grouping."""
-    # A crossing's decision margin sv(p) is shared by three stages:
+    # A crossing's TLU decision margin sv(p) is shared by three stages:
     # src BR (after the n2 dot), the conversion keyswitch, and the dst's
     # own KS+MS.  Reserve it up front — half for the destination's KS+MS,
     # a quarter for the FKS — or the destination's cost-minimal solution
     # saturates the margin and the source solve becomes infeasible.
+    # DECODE decisions (circuit outputs) see no destination KS/MS at all
+    # — reserving for them forced every output-only destination partition
+    # to giant parameters (the round-5 MULTI bench's N=16384 partition).
     caps_by_w: dict[int, list] = {}
     for c in crossings:
         caps_by_w.setdefault(c.dst, []).extend(
-            0.5 * safe_variance_bound(p, p_error) for p, _ in c.constraints)
+            0.5 * safe_variance_bound(p, p_error)
+            for p, _ in c.tlu_constraints)
 
     def solve(frontier_by_w: dict):
         out = {}
@@ -227,13 +244,16 @@ def _solve_plan(patterns: dict, crossings: list, p_error: float,
             lvl, base, var = choose_fks(params[src], params[dst], budget)
             fks[(src, dst)] = (lvl, base)
             fks_var[(src, dst)] = var
-        # frontier constraints for the next solve round
+        # frontier constraints for the next solve round: TLU decisions in
+        # the destination pay its KS+MS; decode decisions only the FKS
         frontier_by_w: dict[int, list] = {}
         for c in crossings:
             _, v_ks_d, v_ms_d = _partition_noise(params[c.dst])
             v_f = fks_var[(c.src, c.dst)]
+            tlu_set = set(c.tlu_constraints)
             frontier_by_w.setdefault(c.src, []).extend(
-                (p, n2, v_f * float(n2) ** 2 + v_ks_d + v_ms_d)
+                (p, n2, v_f * float(n2) ** 2
+                 + ((v_ks_d + v_ms_d) if (p, n2) in tlu_set else 0.0))
                 for p, n2 in c.constraints)
         new_params = solve(frontier_by_w)
         if new_params == params:
@@ -272,9 +292,11 @@ def _solve_plan(patterns: dict, crossings: list, p_error: float,
         v_fks = pp.variance_keyswitch(params[c.src].n_big, base, lvl,
                                       params[c.dst].glwe_std ** 2)
         key = (c.src, c.dst)
+        tlu_set = set(c.tlu_constraints)
         for p, n2 in c.constraints:
+            # decode decisions (outputs) see no destination KS/MS
             total = ((v_src + v_fks) * float(n2) ** 2
-                     + v_ks_d + v_ms_d)
+                     + ((v_ks_d + v_ms_d) if (p, n2) in tlu_set else 0.0))
             if total >= safe_variance_bound(p, p_error):
                 raise ValueError(
                     f"multi-partition plan infeasible: crossing "
@@ -287,6 +309,7 @@ def _solve_plan(patterns: dict, crossings: list, p_error: float,
         params=params, wop_gadgets=wop_gadgets, fks=fks,
         norm2={w: pt.max_norm2 for w, pt in patterns.items()},
         patterns={w: tuple(pt.native) for w, pt in patterns.items()},
+        noise_patterns={w: tuple(pt.wide_in) for w, pt in patterns.items()},
         crossing_p_error=crossing_pe)
 
 
@@ -413,7 +436,8 @@ def achieved_global_p_error(plan: PartitionPlan, graph: Graph) -> float:
         pats = plan.patterns.get(pid_in)
         if pr is None or not pats:
             continue
-        ach = achieved_p_error(pr, pats)
+        ach = achieved_p_error(pr, pats,
+                               plan.noise_patterns.get(pid_in, ()))
         if pid_out != pid_in:
             ach = max(ach, plan.crossing_p_error.get((pid_in, pid_out), 0.0))
         if ach >= 1.0:

@@ -311,17 +311,26 @@ def wop_nb_bits(graph: Graph, node: Node, default: int) -> int:
     return p_eff + (1 if signed else 0)
 
 
-def decision_constraints_after(graph: Graph, node: Node,
+def decision_constraints_split(graph: Graph, node: Node,
                                default: int,
-                               manp_pair=None) -> list[tuple[int, int]]:
-    """(width, norm2) decision points consuming `node`'s output: successor
-    TLU inputs (walked through leveled ops) and circuit outputs.
+                               manp_pair=None):
+    """Decision points consuming `node`'s output, split by kind:
+    (tlu_constraints, decode_constraints) as (width, norm2) lists.
+
+    TLU constraints are successor TLU inputs (walked through leveled
+    ops) — their decision margin is consumed by a keyswitch + modulus
+    switch before the bootstrap.  Decode constraints are circuit outputs
+    reached through leveled ops — the client decrypts the big-key LWE
+    directly, so NO keyswitch/modswitch noise applies (a multi-partition
+    destination that only decodes must not have KS+MS margin reserved
+    for it — the round-5 MULTI root cause, see multi._solve_plan).
 
     manp_pair: precomputed graph.manp_map() result — callers iterating
     many TLUs pass it to avoid one full dataflow pass per call."""
     manp, boundary = manp_pair if manp_pair is not None \
         else graph.manp_map()
-    out: list[tuple[int, int]] = []
+    tlu_out: list[tuple[int, int]] = []
+    dec_out: list[tuple[int, int]] = []
     seen = {node}
     leveled_reach = {node}   # node + leveled ops its raw noise flows through
     frontier = [node]
@@ -332,8 +341,9 @@ def decision_constraints_after(graph: Graph, node: Node,
                 continue
             seen.add(succ)
             if succ.name in TLU_OPS:
-                out.append((tlu_effective_input_width(graph, succ, default),
-                            norm2_of_manp(boundary.get(succ, 1))))
+                tlu_out.append(
+                    (tlu_effective_input_width(graph, succ, default),
+                     norm2_of_manp(boundary.get(succ, 1))))
             else:
                 frontier.append(succ)
                 leveled_reach.add(succ)
@@ -343,9 +353,21 @@ def decision_constraints_after(graph: Graph, node: Node,
         # an output); a successor TLU's output re-encodes the noise, and
         # its input constraint was already recorded above
         if out_node in leveled_reach and out_node.output.is_encrypted:
-            out.append((encoding_width(out_node, default),
-                        norm2_of_manp(manp.get(out_node, 1))))
-    return out or [(1, 1)]
+            dec_out.append((encoding_width(out_node, default),
+                            norm2_of_manp(manp.get(out_node, 1))))
+    if not tlu_out and not dec_out:
+        dec_out.append((1, 1))
+    return tlu_out, dec_out
+
+
+def decision_constraints_after(graph: Graph, node: Node,
+                               default: int,
+                               manp_pair=None) -> list[tuple[int, int]]:
+    """(width, norm2) decision points consuming `node`'s output —
+    decision_constraints_split flattened (TLU + decode)."""
+    tlu_out, dec_out = decision_constraints_split(graph, node, default,
+                                                 manp_pair)
+    return (tlu_out + dec_out) or [(1, 1)]
 
 
 def tlu_pattern_split(graph: Graph):
@@ -406,14 +428,16 @@ def tlu_pattern_split(graph: Graph):
         in_c, lut_c = pairs.get(node, (0, 1))
         if (in_c, lut_c) == (0, 0):
             in_c = 1   # trivially-encrypted clear path: decode fresh noise
-        if encoding_width(node, default) > MAX_NATIVE_TLU_BITS:
-            # wide outputs (e.g. WoP results) only need decodable noise —
-            # they pass through no further LUT, so no N >= 2^(p+1)
-            # mega-case requirement; leveled amplification after the last
-            # PBS must still be counted
-            wide_in.append((encoding_width(node, default), in_c, lut_c))
-        else:
-            native.append((encoding_width(node, default), in_c, lut_c))
+        # outputs only need decodable noise — they pass through no further
+        # LUT (no N >= 2^(p+1) mega-case requirement) and no
+        # keyswitch/modulus-switch (the client decrypts the big-key LWE
+        # directly), so they are noise-only constraints at every width.
+        # Classifying <=8-bit outputs as native used to charge them the
+        # PBS input path's v_ks + v_ms, which a 7-bit output turns into an
+        # N=16384 escalation (round-5 MULTI bench root cause); leveled
+        # amplification after the last PBS is still counted via the
+        # variance pair.
+        wide_in.append((encoding_width(node, default), in_c, lut_c))
     return (tuple(native) or ((1, 0, 1),), tuple(wide_in), tuple(wop))
 
 

@@ -414,8 +414,54 @@ def wop_pbs_batch(lwe_big, lut, nb_bits: int, delta_log: int, out_bits: int,
     Oracle: wop.wop_pbs.
     """
     bits = extract_bits_batch(lwe_big, nb_bits, delta_log, ksk, bsk, wp.base)
-    ggsws = circuit_bootstrap_batch(bits, ksk, bsk, pfpksk, wp)
     lut_torus = ((jnp.asarray(lut, dtype=U64)
                   & U64((1 << (out_bits + 1)) - 1))
                  << U64(_Q_LOG - out_bits - 1))
-    return vertical_packing_batch(lut_torus, ggsws, wp)
+    return _cbs_vp_chunked(bits, lut_torus, ksk, bsk, pfpksk, wp)
+
+
+def _cbs_vp_chunked(bits, lut_torus, ksk, bsk, pfpksk, wp: WopParams):
+    """Circuit bootstrap + vertical packing, chunked over the batch.
+
+    The per-element GGSW stack is nb * cbs_level * (k+1)^2 * N u64 plus
+    several times that in limb/product intermediates — a 12-bit TLU at
+    the only feasible monolithic-WoP parameters (N=16384, cbs_level 8)
+    costs ~1 GB per batch element live, and an unchunked B=64 run was
+    OOM-killed at 107 GB host RSS (the reason wop_tlu_12bit was never
+    captured in rounds 3-5).  lax.map over fixed-size chunks caps live
+    memory at one chunk with a single compiled body.
+
+    CONCRETE_TPU_WOP_CHUNK_MB bounds the modeled per-chunk GGSW bytes
+    (default 1024; intermediates are ~6x that model)."""
+    import os
+    b_ct, nb = bits.shape[:2]
+    params = wp.base
+    kp1 = params.glwe_dimension + 1
+    per_elem = nb * wp.cbs_level * kp1 * kp1 * params.polynomial_size * 8
+    budget = int(os.environ.get("CONCRETE_TPU_WOP_CHUNK_MB", "1024")) << 20
+    cs = max(1, budget // max(per_elem, 1))
+    per_lut = lut_torus.ndim == 2
+    if cs >= b_ct:
+        ggsws = circuit_bootstrap_batch(bits, ksk, bsk, pfpksk, wp)
+        return vertical_packing_batch(lut_torus, ggsws, wp)
+    n_chunks = -(-b_ct // cs)
+    pad = n_chunks * cs - b_ct
+    bits_p = jnp.pad(bits, ((0, pad),) + ((0, 0),) * (bits.ndim - 1))
+    bits_c = bits_p.reshape((n_chunks, cs) + bits.shape[1:])
+    if per_lut:
+        lut_p = jnp.pad(lut_torus, ((0, pad), (0, 0)))
+        lut_c = lut_p.reshape(n_chunks, cs, lut_torus.shape[1])
+
+        def body(args):
+            b, lt = args
+            ggsws = circuit_bootstrap_batch(b, ksk, bsk, pfpksk, wp)
+            return vertical_packing_batch(lt, ggsws, wp)
+
+        out = jax.lax.map(body, (bits_c, lut_c))
+    else:
+        def body(b):
+            ggsws = circuit_bootstrap_batch(b, ksk, bsk, pfpksk, wp)
+            return vertical_packing_batch(lut_torus, ggsws, wp)
+
+        out = jax.lax.map(body, bits_c)
+    return out.reshape(n_chunks * cs, -1)[:b_ct]

@@ -43,12 +43,17 @@ def safe_variance_bound(precision: int, p_error: float) -> float:
     return (margin / kappa_of_p_error(p_error)) ** 2
 
 
-def pattern_variance(params: "pp.CryptoParams", pattern: tuple) -> float:
+def pattern_variance(params: "pp.CryptoParams", pattern: tuple,
+                     ks_ms_weight: float = 1.0) -> float:
     """Achieved decision variance of one (precision, in_sq, lut_sq) atomic
     pattern under concrete `params` — mirrors the optimizer's feasibility
-    expression (i_sq * var_bsk + l_sq * v_br + v_ks + v_ms), so the
+    expression (i_sq * var_bsk + l_sq * v_br + w * (v_ks + v_ms)), so the
     achieved per-PBS p_error of a solution can be computed after the fact
-    (the reference reads it off DagSolution.p_error; we recompute)."""
+    (the reference reads it off DagSolution.p_error; we recompute).
+
+    ks_ms_weight mirrors the solver's noise-only handling: native TLU
+    input patterns pay the full keyswitch + modulus-switch noise (1.0);
+    noise-only patterns (WoP inputs, output decodes) pay 4^-p of it."""
     _p, i_sq, l_sq = pattern
     var_bsk = params.glwe_std ** 2
     var_lwe = params.lwe_std ** 2
@@ -60,7 +65,7 @@ def pattern_variance(params: "pp.CryptoParams", pattern: tuple) -> float:
                                  params.ks_level, var_lwe)
     v_ms = pp.variance_modulus_switch(params.n_small,
                                       params.log2_polynomial_size)
-    return i_sq * var_bsk + l_sq * v_br + v_ks + v_ms
+    return i_sq * var_bsk + l_sq * v_br + ks_ms_weight * (v_ks + v_ms)
 
 
 def p_error_of_variance(precision: int, variance: float) -> float:
@@ -70,10 +75,23 @@ def p_error_of_variance(precision: int, variance: float) -> float:
     return math.erfc(margin / math.sqrt(2.0 * variance))
 
 
-def achieved_p_error(params: "pp.CryptoParams", patterns) -> float:
-    """Worst achieved per-PBS p_error across atomic patterns under params."""
-    return max(p_error_of_variance(p, pattern_variance(params, (p, i, s)))
-               for p, i, s in patterns)
+def achieved_p_error(params: "pp.CryptoParams", patterns,
+                     noise_only=()) -> float:
+    """Worst achieved per-decision p_error across atomic patterns under
+    params.  `noise_only` patterns (WoP TLU inputs, output decodes —
+    widths.tlu_pattern_split's wide_in) are decision points too: their
+    decode risk must enter the global-p_error calibration even though
+    they carry no KS/MS (round-5 regression fix — moving the output
+    patterns out of `native` silently removed the v_br-dominated output
+    decode from the achieved computation)."""
+    pats = [_normalize_pattern(pt) for pt in patterns]
+    nops = [_normalize_pattern(pt) for pt in noise_only]
+    vals = [p_error_of_variance(p, pattern_variance(params, (p, i, s)))
+            for p, i, s in pats]
+    vals += [p_error_of_variance(
+        p, pattern_variance(params, (p, i, s), ks_ms_weight=4.0 ** -p))
+        for p, i, s in nops]
+    return max(vals)
 
 
 def cost_pbs_macs(n, k: int, big_n: int, br_l: int, br_b: int,
@@ -104,13 +122,19 @@ def cost_ks_macs(n_big: int, n_small, ks_l: int, ks_b: int):
     return float(n_big) * ks_l * a_limbs * 8 * (n_small + 1)
 
 
-#: sustained int8 MAC rate of the fused CRT-NTT kernel relative to the
-#: banded path's production dot (~153 Tmac/s) — hardware-calibrated so
-#: the two cost models reproduce the measured end-to-end ratio at the
-#: 6-bit N=4096 bench (fused 283 PBS/s vs banded 123, RESULTS.md r4):
-#: the fused kernel is VPU-elementwise-bound, so its MACs "cost" ~5x a
-#: banded-dot MAC on the effective-time scale.
-FUSED_NTT_MAC_EFFICIENCY = 0.2
+#: sustained int8 MAC rate of the banded path's production dot
+#: (hardware-measured in the round-5 hi-only kernel: 184 Tmac/s = 93% of
+#: v5e's 197 Tmac/s int8 peak).  The banded cost model counts MACs, so
+#: this is the time scale its unit carries.
+BANDED_MAC_RATE = 184e12
+
+#: effective vreg-instruction rate of the fused CRT-NTT kernel (the
+#: kernel is VPU-instruction-bound — round-4 ablations measured MXU ~11%
+#: busy), calibrated so _fused_vpu_ops_per_coef reproduces the measured
+#: 6-bit N=4096 acc32 point (317.8 PBS/s, BENCH round 5).  The raw VPU
+#: issue rate probes at ~2.4e9 vreg-instr/s; the effective rate is lower
+#: because DMA/MXU phases overlap imperfectly.
+FUSED_VPU_RATE = 1.77e9
 
 #: largest polynomial size the fused-NTT cost model offers the search:
 #: N=1024..16384 are covered by interpret-mode bit-exactness tests
@@ -137,32 +161,60 @@ def _fused_ntt_plan(k: int, big_n: int, br_l: int, br_b: int, n_rep: int,
     return len(primes), t
 
 
+def _fused_vpu_ops_per_coef(n_p: int, br_l: int, kp1: int, dl: int,
+                            log2n: int, acc32: bool) -> float:
+    """Modeled VPU vreg-op count per output coefficient per scan step of
+    the fused CRT-NTT kernel — the kernel's real resource (it is
+    VPU-instruction-bound; MXU MACs are ~11%-busy background).  Per-phase
+    weights are the hand op counts of the round-5 kernel (RESULTS.md):
+
+    - rotate/digits/update: 2 ops per roll stage (roll + select) on each
+      accumulator plane + negate/diff/decompose glue; the hi-only (acc32)
+      mode runs one u32 plane instead of the (lo, hi) pair;
+    - forward per (prime, level, component): stage-1 pair assembly +
+      pair-twiddle (2 lazy Shoup muls) + biased limb split + stage-2
+      combine (~78 ops, + 3 per digit limb);
+    - pointwise per (prime, level, comp_in, comp_out): one lazy Shoup
+      multiply + lazy add (~15);
+    - inverse per (prime, component): limb splits + idft2 pair-twiddle +
+      table-LHS combine (~96);
+    - Garner per (prime, component): ~30, plus ~25 shared k-estimate /
+      k*P / accumulate ops."""
+    rot = kp1 * (2 * log2n + (12 if acc32 else 22))
+    fwd = n_p * br_l * kp1 * (78 + 3 * dl)
+    pw = n_p * br_l * kp1 * kp1 * 15
+    inv = n_p * kp1 * 96
+    gar = n_p * kp1 * 30 + kp1 * 25
+    return float(rot + fwd + pw + inv + gar)
+
+
 def cost_pbs_macs_fused_ntt(n, k: int, big_n: int, br_l: int, br_b: int,
                             precision: int = None,
                             p_error: float = 6.3e-5):
-    """Effective int8 MACs of one PBS blind rotate with the fused CRT-NTT
-    kernel (ops/pallas_fused_ntt.py), in banded-dot MAC units (divided by
-    FUSED_NTT_MAC_EFFICIENCY so the two cost models compare on time).
-
-    Per scan step and batch row, with n1 = N/128, dl digit limbs,
-    n_p CRT primes: the forward runs l*(k+1) polys through stage 1
-    (4n1 x dl*n1 x 128) + stage 2 (n1 x 512 x 512), the inverse runs
-    (k+1) polys through idft2 (n1 x 512 x 512) + the final stage
-    (4n1 x 4n1 x 128)."""
+    """Effective cost of one PBS blind rotate with the fused CRT-NTT
+    kernel (ops/pallas_fused_ntt.py), expressed in banded-dot MAC units
+    so min(banded, fused) compares on TIME: the fused kernel is
+    VPU-instruction-bound, so its time is
+    n_small * N * ops_per_coef / (1024 lanes * FUSED_VPU_RATE), converted
+    at BANDED_MAC_RATE.  Replaces the round-4 single-scalar
+    FUSED_NTT_MAC_EFFICIENCY=0.2 (one hardware point, MAC-proportional —
+    wrong scaling in n_p/l/dl) with the structured VPU-op model
+    calibrated at the measured 6-bit N=4096 point and validated against
+    the measured banded-vs-fused winners at N=1024/2048/4096
+    (tests/test_dispatch_calibration.py)."""
     n = np.asarray(n, dtype=np.float64)
     if big_n % 128 or big_n // 128 < 8 or big_n > FUSED_NTT_MAX_POLY_SIZE:
         return np.full_like(n, math.inf)
-    n1 = big_n // 128
     dl = max(1, -(-(br_b + 1) // 8))
     kp1 = k + 1
     n_rep = int(np.max(n))
     n_p, _ = _fused_ntt_plan(k, big_n, br_l, br_b, n_rep,
                              precision if precision is not None else 8)
-    s1 = 4 * n1 * (dl * n1) * 128
-    s2 = n1 * 512 * 512
-    v1 = (4 * n1) * (4 * n1) * 128
-    per_step_row = n_p * (br_l * kp1 * (s1 + s2) + kp1 * (s2 + v1))
-    return n * (per_step_row / FUSED_NTT_MAC_EFFICIENCY)
+    acc32 = br_l * br_b <= 31
+    ops = _fused_vpu_ops_per_coef(n_p, br_l, kp1, dl,
+                                  int(math.log2(big_n)), acc32)
+    time_per_step_row = big_n * ops / (1024.0 * FUSED_VPU_RATE)
+    return n * (time_per_step_row * BANDED_MAC_RATE)
 
 
 def fused_ntt_preferred(params: "pp.CryptoParams",

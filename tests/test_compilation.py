@@ -1226,8 +1226,24 @@ def test_p_error_accounts_for_norm2():
     c_amp = amplified.compile(range(4), CFG)
     c_plain = plain.compile(range(4), CFG)
     assert c_amp.p_error >= c_plain.p_error
-    assert c_amp.p_error == CFG.forced_parameters.p_error(
-        c_amp.client_specs.message_bits, norm2=c_amp.graph.max_norm2())
+    # the worst decision is the amplified OUTPUT decode: norm2^2 * v_br,
+    # with the keyswitch/modswitch noise entering only at the 4^-p
+    # noise-only weight (round 5: outputs decode the big-key LWE
+    # directly — the old oracle params.p_error(bits, norm2) charged them
+    # the full KS+MS of a TLU input path)
+    from concrete_tpu import params as pp
+    P = CFG.forced_parameters
+    bits = c_amp.client_specs.message_bits
+    n2 = c_amp.graph.max_norm2()
+    v_br = pp.variance_blind_rotate(
+        P.n_small, P.glwe_dimension, P.polynomial_size,
+        P.pbs_base_log, P.pbs_level, P.glwe_std ** 2)
+    v_ks = pp.variance_keyswitch(P.n_big, P.ks_base_log, P.ks_level,
+                                 P.lwe_std ** 2)
+    v_ms = pp.variance_modulus_switch(P.n_small, P.log2_polynomial_size)
+    want = pp.p_error_from_variance(
+        float(n2) ** 2 * v_br + (v_ks + v_ms) * 4.0 ** -bits, bits)
+    assert c_amp.p_error == pytest.approx(want, rel=1e-9)
 
 
 def test_global_p_error_zero_for_levelled_circuit():

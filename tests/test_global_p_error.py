@@ -39,7 +39,11 @@ def test_calibrated_global_p_error_is_cheaper_than_union_bound():
     p_ub = c_ub.client_specs.params
     # the calibrated solution still meets the global budget (exact product
     # criterion over the n PBS instances)...
-    ach = achieved_p_error(p_cal, ((4, 1.0, 1.0),))
+    # the per-element decisions: the TLU input decodes with full KS+MS
+    # (fresh-input noise), the output decodes the raw BR noise (no KS/MS
+    # before a client decrypt — round-5 corrected noise model)
+    ach = achieved_p_error(p_cal, ((4, 1.0, 0.0),),
+                           noise_only=((4, 0.0, 1.0),))
     assert 1.0 - (1.0 - ach) ** n <= target * 1.0001, (ach,)
     # ...at a strictly cheaper per-PBS cost than the union-bound request
     assert _pbs_cost(p_cal) < _pbs_cost(p_ub), (p_cal, p_ub)
@@ -48,7 +52,8 @@ def test_calibrated_global_p_error_is_cheaper_than_union_bound():
 def test_tight_global_p_error_still_meets_budget():
     n, target = 50, 0.001
     c = _tlu_circuit(fhe.Configuration(global_p_error=target), count=n)
-    ach = achieved_p_error(c.client_specs.params, ((4, 1.0, 1.0),))
+    ach = achieved_p_error(c.client_specs.params, ((4, 1.0, 0.0),),
+                           noise_only=((4, 0.0, 1.0),))
     assert 1.0 - (1.0 - ach) ** n <= target * 1.0001, (ach,)
 
 
@@ -82,7 +87,8 @@ def _achieved_global(circuit) -> float:
     log_ok = 0.0
     for pid_in, _pid_out, _p, weight, _nb in _tlu_instructions(circuit.graph):
         pr = specs.partitions[pid_in]
-        ach = achieved_p_error(pr, tuple(patterns[pid_in].native))
+        ach = achieved_p_error(pr, tuple(patterns[pid_in].native),
+                               tuple(patterns[pid_in].wide_in))
         log_ok += weight * math.log1p(-min(ach, 1.0 - 1e-12))
     return -math.expm1(log_ok)
 

@@ -23,15 +23,23 @@ from concrete_tpu.ops import pallas_fused_ntt as fn
 ap = argparse.ArgumentParser()
 ap.add_argument("batch", type=int, nargs="?", default=1024)
 ap.add_argument("--params", default="6bit",
-                choices=["6bit", "4bit-tpuopt"])
+                choices=["6bit", "4bit-tpuopt", "5bit-n2048"])
 ap.add_argument("--pbits", type=int, default=None)
 ap.add_argument("--rb", type=int, default=None, help="row block override")
 ap.add_argument("--iters", type=int, default=3)
 args = ap.parse_args()
 
+#: our optimizer's 5-bit norm2=0 pick (tools/ref/v0_tpu_128.txt): the
+#: N=2048 dispatch-calibration point (VERDICT r4 #6)
+PARAMS_5BIT_N2048 = pp.CryptoParams.make(
+    n_small=768, glwe_dimension=1, polynomial_size=2048,
+    pbs_level=3, pbs_base_log=6, ks_level=8, ks_base_log=2)
+
 P = {"6bit": pp.BENCH_PARAMS_6BIT,
-     "4bit-tpuopt": pp.BENCH_PARAMS_4BIT_TPUOPT}[args.params]
-p_bits = args.pbits or {"6bit": 6, "4bit-tpuopt": 4}[args.params]
+     "4bit-tpuopt": pp.BENCH_PARAMS_4BIT_TPUOPT,
+     "5bit-n2048": PARAMS_5BIT_N2048}[args.params]
+p_bits = args.pbits or {"6bit": 6, "4bit-tpuopt": 4,
+                        "5bit-n2048": 5}[args.params]
 B = args.batch
 print(f"device={jax.devices()[0]} B={B} params={args.params} "
       f"(n={P.n_small} N={P.polynomial_size} k={P.glwe_dimension} "
