@@ -94,6 +94,16 @@ def achieved_p_error(params: "pp.CryptoParams", patterns,
     return max(vals)
 
 
+#: throughput penalty of the banded step when the single-slab
+#: dot+recombine kernel is NOT eligible (K*keep exceeds one VMEM rhs
+#: slab: the fuseddot fallback round-trips its int32 planes through
+#: HBM).  Calibrated at the measured 5-bit N=2048 point (banded 520.4
+#: PBS/s vs 1190 modeled at full rate, round 5); the same factor
+#: reproduces the measured 6-bit N=4096 banded rate (73-82 vs 148
+#: modeled).
+BANDED_FUSEDDOT_PENALTY = 2.29
+
+
 def cost_pbs_macs(n, k: int, big_n: int, br_l: int, br_b: int,
                   precision: int = None, p_error: float = 6.3e-5):
     """int8 MACs of one PBS blind rotate with the banded-matmul kernel.
@@ -101,7 +111,15 @@ def cost_pbs_macs(n, k: int, big_n: int, br_l: int, br_b: int,
     When `precision` is given, the cost accounts for noise-budget-aware BSK
     limb truncation (kept weight limb planes = 8 - t_max): small gadget
     bases tolerate deep truncation, which is why the optimizer prefers them
-    on TPU (see params.choose_truncate_limbs)."""
+    on TPU (see params.choose_truncate_limbs).
+
+    Shapes whose (K, keep*128) rhs slab exceeds the dot+recombine
+    kernel's VMEM budget (kernels._blind_rotate_pallas's
+    k_dim*keep <= 8192*4 gate) fall back to the HBM-round-tripping
+    fuseddot path and pay BANDED_FUSEDDOT_PENALTY on the effective MAC
+    rate — without this regime term the model predicted banded wins at
+    N=2048 where the hardware measures the fused NTT ahead
+    (tests/test_dispatch_calibration.py)."""
     from concrete_tpu import params as pp
     a_limbs = lb.num_digit_limbs(br_b)
     keep = 8
@@ -114,7 +132,11 @@ def cost_pbs_macs(n, k: int, big_n: int, br_l: int, br_b: int,
                 keep = 8 - t
             else:
                 break
-    return n * float((k + 1) * br_l * (k + 1) * a_limbs * keep) * big_n ** 2
+    macs = n * float((k + 1) * br_l * (k + 1) * a_limbs * keep) * big_n ** 2
+    k_dim = a_limbs * br_l * (k + 1) * big_n
+    if big_n % 128 or k_dim * keep > 8192 * 4:
+        macs = macs * BANDED_FUSEDDOT_PENALTY
+    return macs
 
 
 def cost_ks_macs(n_big: int, n_small, ks_l: int, ks_b: int):
