@@ -123,7 +123,11 @@ def monomial_mul_rolls(polys, r):
     polys: (B, C, N) u64; r: (B,) int32 in [0, 2N).
     """
     b_ct, c, n = polys.shape
-    ext = jnp.concatenate([polys, jnp.uint64(0) - polys], axis=-1)  # (B,C,2N)
+    # dtype-generic: the hi-only accumulator paths roll the top u32 word
+    # alone (exact while the low word is zero: -(h*2^32) has hi word
+    # (0-h) mod 2^32), quartering the x64-emulated u64 roll cost
+    zero = jnp.zeros((), dtype=polys.dtype)
+    ext = jnp.concatenate([polys, zero - polys], axis=-1)    # (B, C, 2N)
     bits = int(2 * n - 1).bit_length()
     for b in range(bits):
         amount = 1 << b
@@ -554,14 +558,16 @@ def _blind_rotate_pallas_hi(ct_small, bsk: LimbBSK, lut_poly,
     switched = modulus_switch(ct_small, params.log2_polynomial_size)
     a_t = switched[:, :-1]
     b_t = switched[:, -1]
-    body0 = monomial_mul_rolls(
-        _lut_rows(lut_poly, b_ct, n), (2 * n - b_t) % (2 * n))
-    acc0 = jnp.zeros((b_ct, kp1, n), dtype=U64).at[:, k, :].set(
-        body0[:, 0, :])
     # the encode guarantee: LUT torus values are multiples of 2^33; the
     # explicit shift keeps the mode exact even for hand-built LUTs (any
-    # dropped low bits are below every noise term by > 30 bits)
-    hi0 = (acc0 >> U64(32)).astype(jnp.uint32).reshape(b_ct * kp1, n)
+    # dropped low bits are below every noise term by > 30 bits).
+    # Truncate BEFORE the b_t rotation: the 12 masked roll stages then
+    # run on a single u32 plane instead of x64-emulated u64 (~4x fewer
+    # VPU ops on a B x 2N array)
+    lut_hi = (_lut_rows(lut_poly, b_ct, n) >> U64(32)).astype(jnp.uint32)
+    body0_hi = monomial_mul_rolls(lut_hi, (2 * n - b_t) % (2 * n))
+    hi0 = jnp.zeros((b_ct, kp1, n), dtype=jnp.uint32).at[:, k, :].set(
+        body0_hi[:, 0, :]).reshape(b_ct * kp1, n)
 
     a_limbs_n = lb.num_digit_limbs(params.pbs_base_log)
     keep = 8 - bsk.truncate_limbs
@@ -809,13 +815,22 @@ def sample_extract(acc, index: int = 0):
     """Batched sample extract: (B, k+1, N) u64 -> (B, k*N+1) u64."""
     b_ct, kp1, n = acc.shape
     k = kp1 - 1
-    t = jnp.arange(n, dtype=jnp.int32)
-    src = (index - t) % (2 * n)
-    neg = src >= n
-    src = jnp.where(neg, src - n, src)
     a_polys = acc[:, :k, :]                                  # (B, k, N)
-    vals = jnp.take(a_polys, src, axis=-1)
-    vals = jnp.where(neg, jnp.uint64(0) - vals, vals)
+    if index == 0:
+        # src = (-t) mod 2N: a'[0] = a[0], a'[t>0] = -a[n-t] — a flip
+        # plus one static roll instead of a gather (XLA:TPU lowers
+        # per-element gathers to catastrophic VPU loops)
+        flipped = jnp.flip(a_polys, axis=-1)                 # a[n-1-t]
+        vals = jnp.roll(flipped, 1, axis=-1)                 # a[(n-t)%n]
+        neg = (jnp.arange(n, dtype=jnp.int32) >= 1)
+        vals = jnp.where(neg, jnp.uint64(0) - vals, vals)
+    else:
+        t = jnp.arange(n, dtype=jnp.int32)
+        src = (index - t) % (2 * n)
+        neg = src >= n
+        src = jnp.where(neg, src - n, src)
+        vals = jnp.take(a_polys, src, axis=-1)
+        vals = jnp.where(neg, jnp.uint64(0) - vals, vals)
     a_out = vals.reshape(b_ct, k * n)
     body = acc[:, k, index]
     return jnp.concatenate([a_out, body[:, None]], axis=-1)

@@ -1190,7 +1190,12 @@ def blind_rotate_acc32_oracle(lwe_ct, bsk_u64, lut_poly,
     switched = ref.modulus_switch(np.asarray(lwe_ct, dtype=np.uint64),
                                   params.log2_polynomial_size)
     a_t, b_t = switched[:-1], int(switched[-1])
-    acc0 = ref.glwe_trivial(ref.monomial_mul(lut_poly, 2 * n - b_t), k)
+    # the kernel truncates the LUT to its top word BEFORE the b_t
+    # rotation (exact for encode_expand outputs, whose low 32 bits are
+    # zero; a deterministic <= 2^32 perturbation otherwise)
+    lut_t = ((np.asarray(lut_poly, dtype=np.uint64) >> np.uint64(32))
+             << np.uint64(32))
+    acc0 = ref.glwe_trivial(ref.monomial_mul(lut_t, 2 * n - b_t), k)
     hi = (acc0 >> np.uint64(32)).astype(np.uint32)
     signed = truncate_bsk_u64(bsk_u64, trunc_bits).astype(np.int64)
     signed >>= np.int64(trunc_bits)
@@ -1250,15 +1255,26 @@ def blind_rotate_fused(ct_small, bsk: FusedBSK, lut_poly,
     switched = kn.modulus_switch(ct_small, params.log2_polynomial_size)
     a_t = switched[:, :-1].astype(jnp.int32)             # (B, n_small)
     b_t = switched[:, -1]
-    body0 = kn._lut_rows(lut_poly, b_ct, n)
-    body0 = kn.monomial_mul_rolls(body0, (2 * n - b_t) % (2 * n))
+    rot = (2 * n - b_t) % (2 * n)
     # component-major accumulator (kp1, B, n): every in-kernel row range
     # (digits, pointwise, inverse stack, update) is contiguous
-    acc0 = jnp.zeros((kp1, b_ct, n), dtype=jnp.uint64).at[k].set(
-        body0[:, 0, :])
-    lo0, hi0 = ps.split_u64(acc0.reshape(kp1 * b_ct, n))
-    lo0 = lo0.reshape(kp1, b_ct, n)
-    hi0 = hi0.reshape(kp1, b_ct, n)
+    if acc32:
+        # truncate to the top word BEFORE the b_t rotation: the masked
+        # roll stages run on u32 instead of x64-emulated u64 (exact —
+        # LUT encodings are multiples of 2^33; see the banded hi path)
+        lut_hi = (kn._lut_rows(lut_poly, b_ct, n)
+                  >> jnp.uint64(32)).astype(jnp.uint32)
+        body0_hi = kn.monomial_mul_rolls(lut_hi, rot)
+        hi0 = jnp.zeros((kp1, b_ct, n), dtype=jnp.uint32).at[k].set(
+            body0_hi[:, 0, :])
+        lo0 = None
+    else:
+        body0 = kn.monomial_mul_rolls(kn._lut_rows(lut_poly, b_ct, n), rot)
+        acc0 = jnp.zeros((kp1, b_ct, n), dtype=jnp.uint64).at[k].set(
+            body0[:, 0, :])
+        lo0, hi0 = ps.split_u64(acc0.reshape(kp1 * b_ct, n))
+        lo0 = lo0.reshape(kp1, b_ct, n)
+        hi0 = hi0.reshape(kp1, b_ct, n)
     r_blk = row_block or _choose_row_block(b_ct, n, kp1, cin, n_p)
     kernel = functools.partial(
         _step_kernel, tabs=tabs, n=n, base_log=bsk.base_log, levels=levels,
