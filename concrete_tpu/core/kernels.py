@@ -498,16 +498,27 @@ LATENCY_BATCH_MAX = int(_os.environ.get("CONCRETE_TPU_LATENCY_BATCH_MAX",
                                         "4"))
 
 
-def blind_rotate(ct_small, bsk: LimbBSK, lut_poly, params: CryptoParams,
+def blind_rotate(ct_small, bsk, lut_poly, params: CryptoParams,
                  use_pallas: bool = None):
     """Batched blind rotation: (B, n+1) u64, LUT poly (N,) u64 ->
     accumulator (B, k+1, N) u64.
+
+    `bsk` dispatches the algorithm: a LimbBSK runs the banded int8-matmul
+    path, a pallas_fused_ntt.FusedBSK the single-kernel CRT-NTT path —
+    the dispatch lives HERE so every caller (pbs_batch, the WoP
+    sign-PBS/bit-extract, simulation probes) follows the keyset's choice;
+    a WoP circuit at N >= 8192 with a fused keyset used to fall into the
+    banded path, whose sliding band stacks at N=16384 are hundreds of GB.
 
     use_pallas: run the elementwise phases (rotate/decompose/limb-split and
     recombine/accumulate) as fused Pallas u32-pair kernels, keeping the
     accumulator in (lo, hi) planes across the scan.  Default: on for TPU
     backends, off for CPU (Pallas CPU needs interpret mode).
     """
+    from concrete_tpu.ops.pallas_fused_ntt import (FusedBSK,
+                                                   blind_rotate_fused)
+    if isinstance(bsk, FusedBSK):
+        return blind_rotate_fused(ct_small, bsk, lut_poly, params)
     if ct_small.shape[0] <= LATENCY_BATCH_MAX:
         return _blind_rotate_xla_latency(ct_small, bsk, lut_poly, params)
     if use_pallas is None:
@@ -860,10 +871,5 @@ def pbs_batch(ct_big, ksk: LimbKSK, bsk, lut_poly,
         offset = U64((1 << (message_bits - 1)) << (_Q_LOG - message_bits - 1))
         ct_big = ct_big.at[:, -1].add(offset)
     ct_small = keyswitch(ct_big, ksk)
-    from concrete_tpu.ops.pallas_fused_ntt import (FusedBSK,
-                                                   blind_rotate_fused)
-    if isinstance(bsk, FusedBSK):
-        acc = blind_rotate_fused(ct_small, bsk, lut_poly, params)
-    else:
-        acc = blind_rotate(ct_small, bsk, lut_poly, params)
+    acc = blind_rotate(ct_small, bsk, lut_poly, params)
     return sample_extract(acc, 0)
