@@ -567,37 +567,50 @@ def _cached_keyset(params):
     return pair
 
 
-def bench_wop_row(batch: int = 64) -> None:
-    """12-bit TLU through WoP-PBS (extract + CBS + vertical packing) at
-    optimizer-chosen 128-bit parameters, through the compiler frontend."""
+def bench_wop_row(batch: int = 128) -> None:
+    """12-bit TLU through CRT-WoP-PBS (per-residue bit extraction +
+    circuit bootstrap + one vertical packing per output residue) at
+    optimizer-chosen 128-bit parameters, through the compiler frontend.
+
+    CRT over (7, 8, 9, 11) is the reference's own lowering for >= ~9-bit
+    TLUs (FHEToTFHECrt.cpp; the runtime kernel is literally
+    memref_wop_pbs_crt_buffer, wrappers.cpp:855).  The monolithic
+    single-partition WoP alternative needs N=16384 / cbs_level-8
+    parameters whose working set exceeds this host's 128 GB even
+    batch-chunked (OOM-killed three times in round 5 — RESULTS.md);
+    the CRT cut solves to N=1024-class parameters."""
     import concrete_tpu as fhe
+    from concrete_tpu.extensions import crt
 
-    table = fhe.LookupTable([(3 * i + 1) % 256 for i in range(1 << 12)])
+    moduli = (7, 8, 9, 11)                   # product 5544 >= 2^12
+    prod = int(np.prod(moduli))
+    full = np.array([(3 * (v % 4096) + 1) % 256 for v in range(prod)],
+                    dtype=np.int64)
 
-    @fhe.compiler({"x": "encrypted"})
-    def f(x):
-        return table[x]
+    @fhe.compiler({"r0": "encrypted", "r1": "encrypted",
+                   "r2": "encrypted", "r3": "encrypted"})
+    def f(r0, r1, r2, r3):
+        return crt.crt_tlu((r0, r1, r2, r3), full, moduli)
 
     rng = np.random.default_rng(9)
     xs = rng.integers(0, 1 << 12, batch)
-    cal = xs.copy()
-    cal[:3] = [0, 1 << 11, (1 << 12) - 1]    # force full-range bounds
-    import os
+    res = np.stack([np.array(crt.crt_encode_clear(int(v), moduli))
+                    for v in xs])            # (B, 4)
     t0 = time.time()
-    cfg = fhe.Configuration(
-        use_insecure_key_cache=True,
-        insecure_key_cache_location=os.path.expanduser(
-            "~/.cache/concrete_tpu_bench"))
-    circuit = f.compile([cal, xs], cfg)
+    circuit = f.compile(
+        [tuple(res[:, j] for j in range(len(moduli)))])
     circuit.keygen(seed=12)
-    print(f"# wop12: compile+keygen {time.time() - t0:.1f}s",
+    print(f"# wop12: compile+keygen {time.time() - t0:.1f}s "
+          f"(N={circuit.client_specs.params.polynomial_size})",
           file=sys.stderr)
-    enc = circuit.encrypt(xs)
-    circuit.run(*enc) if isinstance(enc, tuple) else circuit.run(enc)
+    enc = circuit.encrypt(*(res[:, j] for j in range(len(moduli))))
+    circuit.run(*enc)
     t0 = time.time()
-    out = circuit.run(*enc) if isinstance(enc, tuple) else circuit.run(enc)
+    out = circuit.run(*enc)
     dt = time.time() - t0
-    got = np.asarray(circuit.decrypt(out))
+    dec = circuit.decrypt(out)
+    got = np.array([crt.crt_decode_clear([int(d[i]) for d in dec], moduli)
+                    for i in range(batch)])
     want = (3 * xs + 1) % 256
     errs = int((got != want).sum())
     print(f"# wop12 correctness: {batch - errs}/{batch}", file=sys.stderr)
