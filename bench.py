@@ -485,7 +485,32 @@ def bench_n4096_row(batch: int = 1024) -> None:
     else:
         from concrete_tpu.ops import pallas_fused_ntt as fn
         t0 = time.time()
-        bsk = fn.pack_bsk_fused(server.bsk, params, message_bits=6)
+        # the host-side per-prime NTT pack costs ~137 s at N=4096 —
+        # disk-cache it next to the keyset (deterministic from key+params)
+        import jax.numpy as _jnp
+        pack_path = os.path.join(_CACHE_DIR, "fusedbsk_n4096_6bit.npz")
+        bsk = None
+        if os.path.exists(pack_path):
+            try:
+                z = np.load(pack_path)
+                bsk = fn.FusedBSK(
+                    spec_val=_jnp.asarray(z["val"]),
+                    spec_sh=_jnp.asarray(z["sh"]),
+                    primes=tuple(int(p) for p in z["primes"]),
+                    trunc_bits=int(z["trunc"]), base_log=int(z["bl"]),
+                    levels=int(z["lv"]))
+            except Exception:   # noqa: BLE001
+                bsk = None
+        if bsk is None:
+            bsk = fn.pack_bsk_fused(server.bsk, params, message_bits=6)
+            try:
+                np.savez(pack_path, val=np.asarray(bsk.spec_val),
+                         sh=np.asarray(bsk.spec_sh),
+                         primes=np.array(bsk.primes, dtype=np.int64),
+                         trunc=bsk.trunc_bits, bl=bsk.base_log,
+                         lv=bsk.levels)
+            except OSError:
+                pass
         print(f"# n4096 fused pack: {time.time() - t0:.1f}s "
               f"(primes={len(bsk.primes)}, trunc_bits={bsk.trunc_bits})",
               file=sys.stderr)
