@@ -139,3 +139,37 @@ def test_frontend_crt_tlu_16bit():
         got = [int(luts[j, idx]) for j in range(len(moduli))]
         want = [int(table[x]) % m for m in moduli]
         assert got == want
+
+
+@pytest.mark.skip(reason="KNOWN BUG (round 5): crt_tlu output residues are "
+                  "wrong for moduli needing 4 index bits (9, 11, 13 — the "
+                  "reference's default 16-bit basis). Reproducer: moduli "
+                  "(7, 9), default optimizer parameters, inputs with "
+                  "residue 8 mod 9 -> the mod-9 OUTPUT residue decodes "
+                  "wrong (1/4 correct at N=1024 on CPU; the mod-7 residue "
+                  "is always right). The shipped e2e coverage only "
+                  "exercised <=3-bit blocks ((3,4,5)); the (7,8,9,11,13) "
+                  "test above is table-level only. Suspects: the bit-"
+                  "extract cascade at the block's MSB position or the "
+                  "mixed-width index packing in the runtime path "
+                  "(executor.py crt_tlu / kernels_wop.extract_bits_batch).")
+def test_frontend_crt_tlu_4bit_block_KNOWN_BUG():
+    import concrete_tpu as fhe
+
+    MODULI = (7, 9)
+    full = np.arange(63, dtype=np.int64) * 3 % 16
+
+    @fhe.compiler({"r0": "encrypted", "r1": "encrypted"})
+    def f(r0, r1):
+        return crt.crt_tlu((r0, r1), full, MODULI)
+
+    xs = np.array([8, 62, 35, 26])
+    res = np.stack([np.array(crt.crt_encode_clear(int(v), MODULI))
+                    for v in xs])
+    c = f.compile([tuple(res[:, j] for j in range(2))])
+    c.keygen(seed=1)
+    enc = c.encrypt(*(res[:, j] for j in range(2)))
+    dec = c.decrypt(c.run(*enc))
+    got = np.array([crt.crt_decode_clear([int(d[i]) for d in dec], MODULI)
+                    for i in range(len(xs))])
+    assert np.array_equal(got, (xs * 3) % 16)
